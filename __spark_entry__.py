@@ -1,38 +1,617 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2; `oracle_sql()` carries the DuckDB-equivalent ANSI SQL. Audio
+pipeline queries (decode/window/stream-join over the synthetic clips table)
+have no DuckDB oracle (binary audio + Spark-specific hashes) and get the
+rows-only check; their strong per-row invariants (SNR>=30 dB, transcript
+equality, exactly-once identity) are enforced in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bento_spark.audio.generate import clips_df  # noqa: E402
+from bento_spark.audio.udfs import with_audio_features  # noqa: E402
+from bento_spark.operators import batching, dedupe_fuzzy, enrich, errors, grouping, mapping, similarity, text  # noqa: E402
+from bento_spark.streaming.joins import stream_stream_join  # noqa: E402
+from bento_spark.streaming.windows import session_windowed, sliding_windowed, tumbling_windowed  # noqa: E402
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Relational core (mapping / filter / agg — reference processor_mapping.go,
+# Bloblang agg methods §2.8)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped agg with computed columns (mapping + group_by_value)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: predicate-pushdown filter + single agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+
+
+def q_group_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_by_value (processor_group_by_value.go:21): key = event_type."""
+    ev = grouping.group_by_value(_t(spark, sf_dir, "events"), "event_type")
+    return ev.groupBy(F.col(grouping.GROUP_COL).alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def q_group_by_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_by with ordered predicate checks (processor_group_by.go:75)."""
+    ev = _t(spark, sf_dir, "events")
+    labeled = grouping.group_by(
+        ev,
+        [
+            ("errors", F.col("event_type") == "error"),
+            ("big", F.col("value") > 150),
+        ],
+        default="normal",
+    )
+    return labeled.groupBy(F.col(grouping.GROUP_COL).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+
+
+def q_switch_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """switch processor first-match routing (processor_switch.go:77)."""
+    from bento_spark.operators.switch import switch_expr
+
+    ev = _t(spark, sf_dir, "events")
+    route = switch_expr(
+        [
+            (F.col("event_type") == "error", F.lit("dlq")),
+            (F.col("value") >= 100, F.lit("high")),
+            (F.col("user_id") % 2 == 0, F.lit("even")),
+        ],
+        default=F.lit("rest"),
+    )
+    return ev.withColumn("route", route).groupBy("route").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+def q_bounds_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bounds_check (processor_bounds_check.go:46) on document size."""
+    docs = mapping.bounds_check(_t(spark, sf_dir, "documents"), col="text", min_len=50, max_len=2000)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.length("text")).alias("total_chars")
+    )
+
+
+def q_error_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try/catch error-column protocol (processor_try.go:15, processor_catch.go:13)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    flagged = errors.set_error_when(ev, F.col("k") > 80, "k out of range")
+    caught = errors.catch_(flagged, lambda d: d.withColumn("k", F.lit(-1)))
+    return caught.groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# Batch-shape ops (archive/unarchive/select_parts — §2.4)
+# --------------------------------------------------------------------------
+
+
+def q_archive_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return batching.archive(ev, "user_id", "event_id", "event_type", fmt="lines", out_col="archived")
+
+
+def q_unarchive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", text.normalize_text("text").alias("norm"))
+    return batching.unarchive(docs, "norm", fmt="csv_row", out_col="part").select("doc_id", "part")
+
+
+def q_select_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select_parts indexes [0, -1]: first & last event per user batch."""
+    ev = _t(spark, sf_dir, "events")
+    return batching.select_parts(ev, "user_id", "event_id", [0, -1]).select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/limit per group (free-in-Spark analytic fns, SURVEY §2.8)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_dedupe_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedupe keep-first semantics (processor_dedupe.go FIFO strategy)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def q_broker_fan_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input broker fan-in = unionByName (input_broker.go:78)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "value")
+    b = ev.filter(F.col("value") > 190).select("event_id", "user_id", "value")
+    return a.unionByName(b).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (enrichment patterns — §2.7)
+# --------------------------------------------------------------------------
+
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cache-get / sql_select enrichment as broadcast lookup join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = enrich.lookup_join(li, p, on=[li.l_partkey == p.p_partkey], how="inner")
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-table enrichment chain: customer -> nation -> region."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semi/anti joins (dedupe-vs-seen-set, cache-add-failure branches)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return with_orders.agg(F.count(F.lit(1)).alias("n")).withColumn("kind", F.lit("with_orders")).unionByName(
+        without.agg(F.count(F.lit(1)).alias("n")).withColumn("kind", F.lit("without_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (system_window buffer -> F.window — §2.3)
+# --------------------------------------------------------------------------
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_windowed(
+        ev, "ts", "1 hour", ["event_type"], {"n": F.count(F.lit(1)), "total_value": F.round(F.sum("value"), 4)}
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"), "event_type", "n", "total_value"
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_windowed(ev, "ts", "2 hours", "1 hour", ["event_type"], {"n": F.count(F.lit(1))})
+    return out.select(F.unix_timestamp("window_start").alias("window_start_s"), "event_type", "n")
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = session_windowed(ev, "ts", "30 minutes", ["user_id"], {"n_events": F.count(F.lit(1))})
+    return out.select(
+        "user_id", F.unix_timestamp("window_start").alias("session_start_s"), "n_events"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis / dedup / similarity (training-data ops)
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_token_count("text").alias("n_bpe"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+def q_dedupe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedupe_fuzzy.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedupe_fuzzy.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (Spark xxhash64 has no DuckDB equivalent)
+    return dedupe_fuzzy.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (vectorized numpy signature)
+    return dedupe_fuzzy.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (approximate path)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.lsh_topk(emb, queries, k=5, n_bits=6)
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dot_d = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select("vec_id", "label", F.round(F.sqrt(dot_d), 6).alias("l2_norm"))
+
+
+# --------------------------------------------------------------------------
+# Audio pipeline (synthetic clips table per input_hint; rows-only checks —
+# strong invariants live in tests/test_audio.py & tests/test_streaming.py)
+# --------------------------------------------------------------------------
+
+_AUDIO_N = 512
+
+
+def q_audio_features_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clips = clips_df(spark, _AUDIO_N)
+    feats = with_audio_features(clips)
+    out = tumbling_windowed(
+        feats,
+        "event_ts",
+        "10 seconds",
+        ["codec"],
+        {"n": F.count(F.lit(1)), "avg_rms": F.round(F.avg("rms"), 6), "total_samples": F.sum("n_samples")},
+    )
+    return out.select(F.unix_timestamp("window_start").alias("window_start_s"), "codec", "n", "avg_rms", "total_samples")
+
+
+def q_clip_transcript_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = clips_df(spark, _AUDIO_N)
+    clip_side = base.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "event_ts")
+    ts_side = base.select(
+        "clip_id",
+        "transcript",
+        (F.col("event_ts") + F.expr("INTERVAL 3 SECONDS")).alias("t_event_ts"),
+    )
+    joined = stream_stream_join(clip_side, ts_side, watermark="5 seconds", max_lag="30 seconds")
+    return joined.select("clip_id", "transcript", text.token_count("transcript").alias("n_tokens"))
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: audio decode features + tumbling window agg on sf0.001-scale
+    synthetic clips (the north-rule pipeline shape in batch form)."""
+    return q_audio_features_window(spark, DEFAULT_SF)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filter_revenue": q_filter_revenue,
+        "group_by_value": q_group_by_value,
+        "group_by_checks": q_group_by_checks,
+        "switch_routing": q_switch_routing,
+        "bounds_check": q_bounds_check,
+        "error_protocol": q_error_protocol,
+        "archive_lines": q_archive_lines,
+        "unarchive_tokens": q_unarchive_tokens,
+        "select_parts": q_select_parts,
+        "top_k_per_group": q_top_k_per_group,
+        "dedupe_first_per_key": q_dedupe_first_per_key,
+        "broker_fan_in": q_broker_fan_in,
+        "lookup_join": q_lookup_join,
+        "multi_join": q_multi_join,
+        "semi_anti": q_semi_anti,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedupe_exact": q_dedupe_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        "embedding_norms": q_embedding_norms,
+        "audio_features_window": q_audio_features_window,
+        "clip_transcript_join": q_clip_transcript_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    toks = f"string_split({norm}, ' ')"
+    sw_en = "['the','and','of','to','in','is','that','it','for','was']"
+    sw_de = "['der','die','das','und','ist','nicht','ein','mit','auf','sich']"
+    sw_fr = "['le','la','les','et','est','une','que','pour','dans','pas']"
+    sw_es = "['el','la','los','y','es','una','que','para','en','no']"
+    tok_cnt = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    punct = "round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / greatest(length(text), 1), 6)"
+    swr = (
+        f"round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> list_contains({sw_en}, t))) * 1.0 "
+        f"/ greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)"
+    )
+    grams = (
+        f"list_distinct(CASE WHEN len({toks}) <= 3 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(generate_series(1, len({toks}) - 2), i -> array_to_string({toks}[i:i+2], ' ')) END)"
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """,
+        "filter_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "group_by_value": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "group_by_checks": """
+            SELECT CASE WHEN event_type = 'error' THEN 'errors'
+                        WHEN value > 150 THEN 'big' ELSE 'normal' END AS grp,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "switch_routing": """
+            SELECT CASE WHEN event_type = 'error' THEN 'dlq'
+                        WHEN value >= 100 THEN 'high'
+                        WHEN user_id % 2 = 0 THEN 'even' ELSE 'rest' END AS route,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "bounds_check": """
+            SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents WHERE length(text) BETWEEN 50 AND 2000
+        """,
+        "error_protocol": """
+            SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 80 THEN -1
+                        ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS k,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY k
+        """,
+        "archive_lines": """
+            SELECT user_id, string_agg(event_type, chr(10) ORDER BY event_id) AS archived
+            FROM events GROUP BY user_id
+        """,
+        "unarchive_tokens": f"""
+            SELECT doc_id, unnest(string_split({norm}, ',')) AS part FROM documents
+        """,
+        "select_parts": """
+            WITH r AS (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn_d
+              FROM events)
+            SELECT DISTINCT user_id, event_id, event_type FROM r WHERE rn_a = 1 OR rn_d = 1
+        """,
+        "top_k_per_group": """
+            SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders) WHERE rnk <= 3
+        """,
+        "dedupe_first_per_key": """
+            SELECT user_id, event_type, event_id FROM (
+              SELECT user_id, event_type, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "broker_fan_in": """
+            WITH u AS (
+              SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT event_id, user_id, value FROM events WHERE value > 190)
+            SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value FROM u GROUP BY user_id
+        """,
+        "lookup_join": """
+            SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+        """,
+        "multi_join": """
+            SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "semi_anti": """
+            SELECT count(*) AS n, 'with_orders' AS kind FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT count(*) AS n, 'without_orders' AS kind FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "tumbling_window": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+                   event_type, count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_window": """
+            SELECT CAST((floor(epoch(ts) / 3600) - k) * 3600 AS BIGINT) AS window_start_s,
+                   event_type, count(*) AS n
+            FROM events, (SELECT unnest([0, 1]) AS k) ks
+            GROUP BY 1, 2
+        """,
+        "session_window": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o)
+            SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s, count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST({tok_cnt} AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe,
+                   {punct} AS punct_ratio,
+                   {swr} AS stopword_ratio,
+                   round((CASE WHEN {tok_cnt} BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN {punct} < 0.1 THEN 0.3 ELSE 0.0 END)
+                       + (CASE WHEN {swr} >= 0.05 THEN 0.3 ELSE 0.0 END), 6) AS quality
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH sc AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> list_contains({sw_en}, t))) AS s_en,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> list_contains({sw_de}, t))) AS s_de,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> list_contains({sw_fr}, t))) AS s_fr,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> list_contains({sw_es}, t))) AS s_es
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM sc
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({norm}) AS fp FROM documents
+        """,
+        "dedupe_exact": f"""
+            SELECT md5({norm}) AS fp, count(*) AS n_dups, min(doc_id) AS canonical_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "ngram_jaccard": f"""
+            WITH g AS (SELECT doc_id AS id, {grams} AS grams FROM documents),
+            ex AS (SELECT id, len(grams) AS set_size, unnest(grams) AS gm FROM g),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter,
+                     any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b
+              FROM ex a JOIN ex b ON a.gm = b.gm AND a.id < b.id
+              GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (size_a + size_b - n_inter), 6) AS jaccard
+            FROM inter
+            WHERE n_inter * 1.0 / (size_a + size_b - n_inter) >= 0.6
+        """,
+        "ann_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(q.qv AS DOUBLE[])), 6) AS cos_sim
+              FROM embeddings e, q WHERE e.vec_id != q.query_id)
+            SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+              FROM scored) WHERE rnk <= 5
+        """,
+        "embedding_norms": """
+            SELECT vec_id, label,
+                   round(sqrt(list_aggregate(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
+            FROM embeddings
+        """,
+        # minhash_lsh, simhash, ann_lsh, audio_features_window,
+        # clip_transcript_join: rows-only (non-SQL-expressible: Spark-side
+        # hashes / numpy signatures / binary audio payloads)
+    }
+
+
+if __name__ == "__main__":
+    from bento_spark.session import get_spark
+
+    s = get_spark()
+    entry(s).show(10, truncate=False)

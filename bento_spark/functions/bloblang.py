@@ -1,0 +1,508 @@
+"""Bloblang-subset -> Catalyst Column compiler.
+
+The reference interprets Bloblang per message with a tree-walk executor
+(parser /root/reference/internal/bloblang/parser/mapping_parser.go,
+executor internal/bloblang/mapping/executor.go:89-260, arithmetic
+internal/bloblang/query/arithmetic.go:19-53). We compile the same surface
+to Column expressions instead — Catalyst whole-stage-codegen executes them,
+so there is no interpreter in the data path at all.
+
+Supported subset (grows as configs need it):
+- statements  `root.x = <expr>`, `root = deleted()` / conditional delete
+  (filter), `meta k = <expr>`
+- literals    ints, floats, strings ("…"), true/false/null, arrays
+- refs        this.field / this.a.b (nested), bare `this` is invalid here
+              (fixed schema), meta("k")
+- operators   + - * / % == != > >= < <= && || ! and `|` (pipe = coalesce,
+              arithmetic.go:19-53)
+- if/else     `if cond { a } else { b }` expression form
+- functions   now(), uuid_v4(), timestamp_unix(), hostname() -> literal
+- methods     (reference files methods_strings.go / methods_numbers.go /
+  methods_structured.go / methods.go): uppercase lowercase capitalize trim
+  length slice split join contains has_prefix has_suffix replace_all
+  re_replace_all re_match index_of reverse string number bool floor ceil
+  round abs sqrt log log10 min max sum unique sort flatten first last
+  catch or not_null type hash encode ts_unix ts_format
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>\#[^\n]*)
+  | (?P<float>\d+\.\d+)
+  | (?P<int>\d+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<op>\|\||&&|==|!=|>=|<=|=>|->|[-+*/%<>=!|.,(){}\[\]:])
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _tokenize(src: str) -> list[Tok]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise BloblangError(f"unexpected character {src[pos]!r} at {pos}")
+        kind = m.lastgroup or ""
+        if kind not in ("ws", "comment"):
+            out.append(Tok(kind, m.group(), pos))
+        pos = m.end()
+    out.append(Tok("eof", "", pos))
+    return out
+
+
+class BloblangError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# parser (Pratt) producing Column expressions directly
+# ---------------------------------------------------------------------------
+
+_BINARY_PREC = {
+    "||": 1,
+    "&&": 2,
+    "==": 3,
+    "!=": 3,
+    ">": 4,
+    ">=": 4,
+    "<": 4,
+    "<=": 4,
+    "|": 5,  # pipe = coalesce (arithmetic.go:455)
+    "+": 6,
+    "-": 6,
+    "*": 7,
+    "/": 7,
+    "%": 7,
+}
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _tokenize(src)
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise BloblangError(f"expected {text!r}, got {t.text!r} at {t.pos}")
+        return t
+
+    # expression entry
+    def parse_expr(self, min_prec: int = 0) -> Column:
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            prec = _BINARY_PREC.get(t.text)
+            if t.kind != "op" or prec is None or prec < min_prec:
+                return left
+            self.next()
+            right = self.parse_expr(prec + 1)
+            left = self.apply_binary(t.text, left, right)
+
+    def apply_binary(self, op: str, a: Column, b: Column) -> Column:
+        if op == "||":
+            return a | b
+        if op == "&&":
+            return a & b
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == "|":
+            return F.coalesce(a, b)
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "%":
+            return a % b
+        raise BloblangError(f"unknown operator {op}")
+
+    def parse_unary(self) -> Column:
+        t = self.peek()
+        if t.text == "!":
+            self.next()
+            return ~self.parse_unary()
+        if t.text == "-":
+            self.next()
+            return -self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> Column:
+        col = self.parse_primary()
+        while True:
+            t = self.peek()
+            if t.text == ".":
+                self.next()
+                name = self.next().text
+                args: list = []
+                if self.peek().text == "(":
+                    self.next()
+                    while self.peek().text != ")":
+                        args.append(self.parse_expr())
+                        if self.peek().text == ",":
+                            self.next()
+                    self.expect(")")
+                    col = _apply_method(name, col, args)
+                else:
+                    col = col.getField(name) if isinstance(col, Column) else col[name]
+            elif t.text == "[":
+                self.next()
+                idx = self.parse_expr()
+                self.expect("]")
+                col = F.element_at(col, idx + 1)
+            else:
+                return col
+
+    def parse_primary(self) -> Column:
+        t = self.next()
+        if t.kind == "int":
+            return F.lit(int(t.text))
+        if t.kind == "float":
+            return F.lit(float(t.text))
+        if t.kind == "string":
+            return F.lit(_unquote(t.text))
+        if t.text == "(":
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if t.text == "[":
+            items = []
+            while self.peek().text != "]":
+                items.append(self.parse_expr())
+                if self.peek().text == ",":
+                    self.next()
+            self.expect("]")
+            arr = F.array(*items)
+            arr.__dict__["_bl_is_array"] = True
+            return arr
+        if t.kind == "name":
+            return self.parse_name(t.text)
+        raise BloblangError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def parse_name(self, name: str) -> Column:
+        if name == "true":
+            return F.lit(True)
+        if name == "false":
+            return F.lit(False)
+        if name == "null":
+            return F.lit(None)
+        if name == "if":
+            cond = self.parse_expr()
+            self.expect("{")
+            then = self.parse_expr()
+            self.expect("}")
+            otherwise = F.lit(None)
+            if self.peek().text == "else":
+                self.next()
+                self.expect("{")
+                otherwise = self.parse_expr()
+                self.expect("}")
+            return F.when(cond, then).otherwise(otherwise)
+        if name == "this":
+            self.expect(".")
+            field = self.next().text
+            return F.col(field)
+        if self.peek().text == "(":
+            self.next()
+            args = []
+            while self.peek().text != ")":
+                args.append(self.parse_expr())
+                if self.peek().text == ",":
+                    self.next()
+            self.expect(")")
+            return _apply_function(name, args)
+        # bare name = column reference (our rows are typed columns)
+        return F.col(name)
+
+
+def _unquote(s: str) -> str:
+    return s[1:-1].encode().decode("unicode_escape")
+
+
+# ---------------------------------------------------------------------------
+# function & method registries
+# (reference: internal/bloblang/query/functions.go, methods_strings.go,
+#  methods_numbers.go, methods_structured.go, methods.go)
+# ---------------------------------------------------------------------------
+
+
+def _apply_function(name: str, args: list[Column]) -> Column:
+    if name == "now":
+        return F.current_timestamp()
+    if name == "timestamp_unix":
+        return F.unix_timestamp(F.current_timestamp())
+    if name == "uuid_v4":
+        return F.expr("uuid()")
+    if name == "random_int":
+        return (F.rand() * F.lit(2**31)).cast("long")
+    if name == "deleted":
+        raise BloblangError("deleted() is only valid as a whole-root assignment")
+    if name == "meta":
+        return F.col("meta").getItem(args[0])
+    if name == "error":
+        return F.col("error")
+    if name == "errored":
+        return F.col("error").isNotNull()
+    if name == "content":
+        return F.col("bytes")
+    if name == "range":
+        if len(args) == 2:
+            return F.sequence(args[0], args[1] - 1)
+        return F.sequence(args[0], args[1] - 1, args[2])
+    if name == "throw":
+        return F.raise_error(args[0])
+    if name == "pi":
+        return F.lit(math.pi)
+    raise BloblangError(f"unsupported function {name}()")
+
+
+# Methods whose RESULT is an array (drives polymorphic .length() dispatch —
+# Bloblang's length works on strings and arrays alike, Spark splits that
+# into length()/size()).
+_ARRAY_PRODUCERS = {"split", "unique", "sort", "flatten", "append", "concat_arrays", "keys", "values"}
+
+
+def _apply_method(name: str, col: Column, args: list[Column]) -> Column:
+    # NB: plain getattr would hit Column.__getattr__ and build a field access
+    if name == "length" and col.__dict__.get("_bl_is_array", False):
+        return F.size(col)
+    m = _METHODS.get(name)
+    if m is None:
+        raise BloblangError(f"unsupported method .{name}()")
+    out = m(col, *args)
+    if name in _ARRAY_PRODUCERS:
+        out.__dict__["_bl_is_array"] = True
+    return out
+
+
+_METHODS = {
+    # strings (methods_strings.go)
+    "uppercase": lambda c: F.upper(c),
+    "lowercase": lambda c: F.lower(c),
+    "capitalize": lambda c: F.initcap(c),
+    "trim": lambda c, *a: F.trim(c),
+    "length": lambda c: F.length(c),
+    "slice": lambda c, lo, hi=None: F.substring(c, lo + 1, (hi - lo) if hi is not None else F.lit(1 << 30)),
+    "split": lambda c, sep: F.split(c, sep),
+    "join": lambda c, sep=None: F.array_join(c, sep if sep is not None else F.lit("")),
+    "contains": lambda c, s: F.contains(c, s),
+    "has_prefix": lambda c, s: F.startswith(c, s),
+    "has_suffix": lambda c, s: F.endswith(c, s),
+    "index_of": lambda c, s: F.locate(s, c) - 1,
+    "replace_all": lambda c, a, b: F.replace(c, a, b),
+    "re_replace_all": lambda c, pat, rep: F.regexp_replace(c, pat, rep),
+    "re_match": lambda c, pat: F.regexp_like(c, pat),
+    "reverse": lambda c: F.reverse(c),
+    "repeat": lambda c, n: F.repeat(c, n),
+    "quote": lambda c: F.concat(F.lit('"'), c, F.lit('"')),
+    "strip_html": lambda c: F.regexp_replace(c, "<[^>]*>", ""),
+    # encoding / hashing
+    "hash": lambda c, alg: _hash(c, alg),
+    "encode": lambda c, scheme: _encode(c, scheme),
+    "decode": lambda c, scheme: _decode(c, scheme),
+    # numbers (methods_numbers.go, bloblang_numbers_v2.go)
+    "abs": lambda c: F.abs(c),
+    "ceil": lambda c: F.ceil(c),
+    "floor": lambda c: F.floor(c),
+    "round": lambda c: F.round(c, 0),
+    "sqrt": lambda c: F.sqrt(c),
+    "log": lambda c: F.log(c),
+    "log10": lambda c: F.log10(c),
+    "pow": lambda c, e: F.pow(c, e),
+    "sin": lambda c: F.sin(c),
+    "cos": lambda c: F.cos(c),
+    "tan": lambda c: F.tan(c),
+    # arrays/objects (methods_structured.go)
+    "sum": lambda c: F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x),
+    "min": lambda c: F.array_min(c),
+    "max": lambda c: F.array_max(c),
+    "unique": lambda c: F.array_distinct(c),
+    "sort": lambda c: F.sort_array(c),
+    "flatten": lambda c: F.flatten(c),
+    "first": lambda c: F.element_at(c, 1),
+    "last": lambda c: F.element_at(c, -1),
+    "append": lambda c, *xs: F.concat(c, F.array(*xs)),
+    "concat": lambda c, other: F.concat(c, other),
+    "index": lambda c, i: F.element_at(c, i + 1),
+    "keys": lambda c: F.map_keys(c),
+    "values": lambda c: F.map_values(c),
+    "get": lambda c, k: F.element_at(c, k),
+    "exists": lambda c, k: F.map_contains_key(c, k),
+    # coercion / error handling (methods.go:14-335)
+    "string": lambda c: c.cast("string"),
+    "number": lambda c: c.cast("double"),
+    "bool": lambda c: c.cast("boolean"),
+    "bytes": lambda c: c.cast("binary"),
+    "catch": lambda c, fallback: F.coalesce(c, fallback),
+    "or": lambda c, fallback: F.coalesce(c, fallback),
+    "not_null": lambda c: c,  # nullability is schema-level here; no-op
+    "type": lambda c: F.typeof(c),
+    # timestamps (internal/impl/pure/bloblang_time.go)
+    "ts_unix": lambda c: F.unix_timestamp(c),
+    "ts_unix_milli": lambda c: (F.unix_timestamp(c) * 1000).cast("long"),
+    "ts_format": lambda c, fmt: F.date_format(c, fmt),
+    "ts_parse": lambda c, fmt: F.to_timestamp(c, fmt),
+    "ts_round": lambda c, unit: F.date_trunc(unit, c),
+}
+
+def _lit_str(col: Column) -> str:
+    """Extract a python string from a literal Column arg (hash/encode
+    algorithm selectors must be compile-time constants)."""
+    expr = col._jc.toString() if hasattr(col, "_jc") else str(col)
+    m = re.match(r"^'?\"?([A-Za-z0-9_]+)", expr.strip())
+    if not m:
+        raise BloblangError(f"expected a literal string argument, got {expr}")
+    return m.group(1)
+
+
+def _hash(c: Column, alg: Column) -> Column:
+    name = _lit_str(alg).lower()
+    if name == "md5":
+        return F.md5(c.cast("binary"))
+    if name in ("sha256", "sha2"):
+        return F.sha2(c.cast("binary"), 256)
+    if name == "sha512":
+        return F.sha2(c.cast("binary"), 512)
+    if name == "crc32":
+        return F.crc32(c.cast("binary"))
+    if name == "xxhash64":
+        return F.xxhash64(c)
+    raise BloblangError(f"unsupported hash algorithm {name}")
+
+
+def _encode(c: Column, scheme: Column) -> Column:
+    name = _lit_str(scheme).lower()
+    if name == "base64":
+        return F.base64(c.cast("binary"))
+    if name == "hex":
+        return F.hex(c.cast("binary"))
+    raise BloblangError(f"unsupported encode scheme {name}")
+
+
+def _decode(c: Column, scheme: Column) -> Column:
+    name = _lit_str(scheme).lower()
+    if name == "base64":
+        return F.unbase64(c)
+    if name == "hex":
+        return F.unhex(c)
+    raise BloblangError(f"unsupported decode scheme {name}")
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def compile_expr(src: str) -> Column:
+    """Compile a single Bloblang expression to a Column."""
+    p = _Parser(src)
+    col = p.parse_expr()
+    if p.peek().kind != "eof":
+        t = p.peek()
+        raise BloblangError(f"trailing input at {t.pos}: {t.text!r}")
+    return col
+
+
+@dataclass
+class CompiledMapping:
+    assignments: list[tuple[str, Column]]  # root.<name> = expr, in order
+    filter_keep: Column | None  # None = keep all
+    meta: list[tuple[str, Column]]
+    full_remap: bool  # True if `root = {...}`-style (not supported yet)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.filter_keep is not None:
+            df = df.filter(self.filter_keep)
+        for name, col in self.assignments:
+            df = df.withColumn(name, col)
+        for k, v in self.meta:
+            if "meta" in df.columns:
+                df = df.withColumn(
+                    "meta", F.map_concat(F.col("meta"), F.create_map(F.lit(k), v.cast("string")))
+                )
+            else:
+                df = df.withColumn("meta", F.create_map(F.lit(k), v.cast("string")))
+        return df
+
+
+_DELETED_IF_RE = re.compile(r"^\s*root\s*=\s*(?:deleted\(\)\s+if|if)\s+(.*?)\s*\{\s*deleted\(\)\s*\}\s*$")
+
+
+def compile_mapping(src: str) -> CompiledMapping:
+    """Compile a full mapping (one statement per line) mirroring the
+    executor semantics of mapping/executor.go:115-209: ordered assignments,
+    root-deletion = filter, meta assignment."""
+    assignments: list[tuple[str, Column]] = []
+    meta: list[tuple[str, Column]] = []
+    filter_keep: Column | None = None
+
+    # join continuation lines (statement per line in our subset)
+    for raw_line in src.splitlines():
+        line = raw_line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = _DELETED_IF_RE.match(line)
+        if m or line.startswith("root = deleted() if "):
+            cond_src = m.group(1) if m else line[len("root = deleted() if ") :]
+            drop = compile_expr(cond_src)
+            keep = ~F.coalesce(drop, F.lit(False))
+            filter_keep = keep if filter_keep is None else (filter_keep & keep)
+            continue
+        if line.startswith("meta "):
+            body = line[len("meta ") :]
+            k, _, expr_src = body.partition("=")
+            meta.append((k.strip(), compile_expr(expr_src.strip())))
+            continue
+        if line.startswith("root."):
+            target, _, expr_src = line.partition("=")
+            name = target.strip()[len("root.") :]
+            if "." in name:
+                raise BloblangError(f"nested assignment targets not supported: {name}")
+            assignments.append((name, compile_expr(expr_src.strip())))
+            continue
+        raise BloblangError(f"unsupported statement: {line!r}")
+    return CompiledMapping(assignments, filter_keep, meta, full_remap=False)

@@ -1,0 +1,120 @@
+"""Batch-shape processors: archive / unarchive / split / select_parts /
+insert_part.
+
+Reference semantics (batch = ordered list of parts,
+/root/reference/internal/message/message.go:4):
+- `archive` combines a batch into one message (lines/json_array/concat,
+  processor_archive.go:59, formats :186-196)
+- `unarchive` explodes one message into a batch (processor_unarchive.go:48,
+  formats :336-354)
+- `split` re-chunks batches to size N (processor_split.go:19)
+- `select_parts` keeps messages at given batch indexes
+  (processor_select_parts.go:17)
+- `insert_part` inserts a synthesized message at a batch index
+  (processor_insert_part.go:43)
+
+Spark-first: a "batch" is a group key; position is a window-function
+row_number. Archive = groupBy + collect_list over an explicit ordering;
+unarchive = explode. Split is a physical concern (repartition /
+maxRecordsPerBatch) — exposed for parity but usually a no-op.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+IDX_COL = "_batch_index"
+
+
+def with_batch_index(df: DataFrame, batch_key: str, order_by: str) -> DataFrame:
+    """batch_index()/batch_size() equivalents (reference
+    internal/bloblang/query/functions.go:186,201) as window functions."""
+    w = Window.partitionBy(batch_key).orderBy(order_by)
+    return df.withColumn(IDX_COL, F.row_number().over(w) - 1).withColumn(
+        "_batch_size", F.count(F.lit(1)).over(Window.partitionBy(batch_key))
+    )
+
+
+def select_parts(df: DataFrame, batch_key: str, order_by: str, indexes: Sequence[int]) -> DataFrame:
+    """Keep rows at the given 0-based positions within each batch; negative
+    indexes count from the end (reference message.go:47-61)."""
+    df = with_batch_index(df, batch_key, order_by)
+    size = F.col("_batch_size")
+    conds = None
+    for i in indexes:
+        c = (F.col(IDX_COL) == F.lit(i)) if i >= 0 else (F.col(IDX_COL) == size + F.lit(i))
+        conds = c if conds is None else (conds | c)
+    return df.filter(conds).drop(IDX_COL, "_batch_size")
+
+
+def insert_part(df: DataFrame, batch_key: str, order_by: str, index: int, row_cols: dict[str, Column]) -> DataFrame:
+    """Insert one synthesized row per batch at position `index` (-1 =
+    append). Implemented as a union of a per-group literal row; ordering is
+    logical (via the order column), matching reference semantics where only
+    relative position matters."""
+    keys = df.select(batch_key).distinct()
+    anchor = df.groupBy(batch_key).agg(
+        (F.min(order_by) if index == 0 else F.max(order_by)).alias(order_by)
+    )
+    synth = keys.join(anchor, batch_key)
+    for name, col in row_cols.items():
+        synth = synth.withColumn(name, col)
+    return df.unionByName(synth, allowMissingColumns=True)
+
+
+def archive(
+    df: DataFrame,
+    batch_key: str,
+    order_by: str,
+    payload_col: str,
+    fmt: str = "lines",
+    out_col: str = "archived",
+) -> DataFrame:
+    """Combine each batch into one row: formats lines (newline join),
+    json_array, concatenate (processor_archive.go:186-196).
+
+    sort_array over (order, payload) structs keeps the agg a single shuffle
+    with deterministic order — no window + second shuffle.
+    """
+    pairs = F.sort_array(F.collect_list(F.struct(F.col(order_by).alias("o"), F.col(payload_col).alias("p"))))
+    vals = F.transform(pairs, lambda s: s["p"])
+    if fmt == "lines":
+        out = F.array_join(F.transform(vals, lambda v: v.cast("string")), "\n")
+    elif fmt == "json_array":
+        out = F.to_json(vals)
+    elif fmt == "concatenate":
+        out = F.array_join(F.transform(vals, lambda v: v.cast("string")), "")
+    else:
+        raise ValueError(f"unsupported archive format: {fmt}")
+    return df.groupBy(batch_key).agg(out.alias(out_col))
+
+
+def unarchive(
+    df: DataFrame,
+    payload_col: str,
+    fmt: str = "lines",
+    out_col: str = "part",
+) -> DataFrame:
+    """Explode one row into many: lines / json_array / csv
+    (processor_unarchive.go:336-354)."""
+    if fmt == "lines":
+        parts = F.split(F.col(payload_col), "\n")
+    elif fmt == "json_array":
+        parts = F.from_json(F.col(payload_col), "array<string>")
+    elif fmt == "csv_row":
+        parts = F.split(F.col(payload_col), ",")
+    else:
+        raise ValueError(f"unsupported unarchive format: {fmt}")
+    return df.withColumn(out_col, F.explode(parts))
+
+
+def split(df: DataFrame, rows_per_partition_hint: int | None = None) -> DataFrame:
+    """Re-chunking is physical in Spark; expose as an optional repartition
+    hint (processor_split.go:19 parity)."""
+    if rows_per_partition_hint:
+        n = max(1, df.sparkSession.sparkContext.defaultParallelism)
+        return df.repartition(n)
+    return df

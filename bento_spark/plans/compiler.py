@@ -1,0 +1,246 @@
+"""YAML config -> Pipeline (a DAG of DataFrame transforms).
+
+Re-creates the reference's declarative model — a YAML config declaring
+`input -> pipeline.processors -> output`
+(/root/reference/internal/config/schema.go:29-40, stream section
+internal/stream/config.go:21-24) — compiled to DataFrame transforms
+instead of a goroutine chain (stream assembly in the reference:
+internal/stream/type.go:100-154). The config IS the logical plan; Catalyst
+owns the physical plan.
+
+Config shape (the Bento-shaped subset we support, plus `window` which the
+reference expresses as the system_window buffer):
+
+    input:
+      generate_clips: {count: 1000, event_step_ms: 100}   # or
+      parquet: {path: ..., schema: ...}                    # batch or stream
+    pipeline:
+      processors:
+        - mapping: |
+            root.key = this.clip_id.slice(10, 12)
+            root = deleted() if this.dur_ms > 60000
+        - audio_decode: {}
+        - audio_features: {}
+        - audio_normalize: {target_sr: 16000}
+        - bounds_check: {column: bytes, min: 1}
+        - dedupe: {keys: [clip_id], watermark: [event_ts, "10 seconds"]}
+        - set_error: {when: "this.sr_hz < 8000", message: "bad sr"}
+        - catch: {set: {sr_hz: "16000"}}
+        - spread_skew: {cost: dur_ms}
+    window:
+      type: tumbling            # tumbling | sliding | session
+      size: 10 seconds
+      slide: 5 seconds          # sliding only
+      gap: 30 seconds           # session only
+      keys: [key]
+      lateness: 2 seconds
+      aggs: {n: "count()", total_ms: "sum(dur_ms)"}
+    output:
+      path: /tmp/out
+      keys: [window_start, key]     # exactly-once MERGE key
+      dlq: /tmp/dlq                 # errored rows routed here
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bento_spark.audio.generate import CLIP_SCHEMA, clips_df
+from bento_spark.audio.udfs import with_audio_features, with_decoded_pcm, with_normalized_clip
+from bento_spark.functions.bloblang import compile_expr, compile_mapping
+from bento_spark.operators import errors as err_ops
+from bento_spark.operators import grouping, mapping as map_ops, skew
+from bento_spark.streaming.sink import IdempotentParquetSink, dlq_split_writer
+from bento_spark.streaming.windows import session_windowed, sliding_windowed, tumbling_windowed
+
+_AGG_RE = re.compile(r"^\s*(\w+)\s*\(\s*(.*?)\s*\)\s*$")
+
+
+def _parse_agg(src: str) -> Column:
+    m = _AGG_RE.match(src)
+    if not m:
+        raise ValueError(f"bad aggregate expression: {src!r}")
+    fn, arg = m.group(1).lower(), m.group(2)
+    col = compile_expr(arg) if arg else F.lit(1)
+    table = {
+        "count": lambda c: F.count(F.lit(1)) if not arg else F.count(c),
+        "count_distinct": F.countDistinct,
+        "approx_count_distinct": F.approx_count_distinct,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "avg": F.avg,
+        "mean": F.avg,
+        "collect_list": F.collect_list,
+        "first": F.first,
+        "stddev": F.stddev,
+    }
+    if fn not in table:
+        raise ValueError(f"unsupported aggregate fn: {fn}")
+    return table[fn](col)
+
+
+@dataclass
+class Pipeline:
+    conf: dict[str, Any]
+    _sink: IdempotentParquetSink | None = field(default=None, init=False)
+
+    # ------------------------------------------------------------------ input
+    def _input(self, spark: SparkSession, streaming: bool) -> DataFrame:
+        inp = self.conf.get("input") or {}
+        if "generate_clips" in inp:
+            opts = inp["generate_clips"] or {}
+            df = clips_df(
+                spark,
+                int(opts.get("count", 1000)),
+                seed=int(opts.get("seed", 42)),
+                event_step_ms=int(opts.get("event_step_ms", 100)),
+            )
+            if streaming:
+                raise ValueError(
+                    "generate_clips streams via a staging dir: use input.parquet with "
+                    "a path written by clips_df (see Pipeline.stage_clips)"
+                )
+            return df
+        if "parquet" in inp:
+            opts = inp["parquet"]
+            if streaming:
+                reader = spark.readStream.schema(opts.get("schema", CLIP_SCHEMA))
+                if "max_files_per_trigger" in opts:
+                    reader = reader.option("maxFilesPerTrigger", int(opts["max_files_per_trigger"]))
+                return reader.parquet(opts["path"])
+            return spark.read.parquet(opts["path"])
+        raise ValueError(f"unsupported input config: {list(inp)}")
+
+    @staticmethod
+    def stage_clips(spark: SparkSession, path: str, count: int, **kw) -> None:
+        """Materialize the deterministic clips table to a dir usable as a
+        (file-)stream source."""
+        clips_df(spark, count, **kw).write.mode("overwrite").parquet(path)
+
+    # ------------------------------------------------------------- processors
+    def _apply_processors(self, df: DataFrame) -> DataFrame:
+        procs = (self.conf.get("pipeline") or {}).get("processors") or []
+        for p in procs:
+            if not isinstance(p, dict) or len(p) != 1:
+                raise ValueError(f"each processor must be a single-key map, got {p!r}")
+            name, opts = next(iter(p.items()))
+            df = self._apply_one(df, name, opts)
+        return df
+
+    def _apply_one(self, df: DataFrame, name: str, opts: Any) -> DataFrame:
+        if name == "mapping":
+            return compile_mapping(opts).apply(df)
+        if name == "filter":
+            return df.filter(compile_expr(opts))
+        if name == "audio_decode":
+            return with_decoded_pcm(df)
+        if name == "audio_features":
+            return with_audio_features(df)
+        if name == "audio_normalize":
+            o = opts or {}
+            return with_normalized_clip(
+                df, target_sr=int(o.get("target_sr", 16000)), target_codec=o.get("codec", "pcm_s16le")
+            )
+        if name == "bounds_check":
+            o = opts or {}
+            return map_ops.bounds_check(
+                df, col=o.get("column", "bytes"), min_len=int(o.get("min", 0)),
+                max_len=int(o["max"]) if "max" in o else None,
+            )
+        if name == "dedupe":
+            o = opts or {}
+            wm = tuple(o["watermark"]) if "watermark" in o else None
+            return grouping.dedupe(df, o["keys"], watermark=wm)
+        if name == "set_error":
+            return err_ops.set_error_when(df, compile_expr(opts["when"]), opts.get("message", "error"))
+        if name == "catch":
+            sets = (opts or {}).get("set") or {}
+
+            def fix(d: DataFrame) -> DataFrame:
+                for colname, expr_src in sets.items():
+                    d = d.withColumn(colname, compile_expr(str(expr_src)))
+                return d
+
+            return err_ops.catch_(df, fix)
+        if name == "group_by_value":
+            return grouping.group_by_value(df, compile_expr(opts["value"]))
+        if name == "spread_skew":
+            o = opts or {}
+            return skew.spread_by_cost(df, cost_col=o.get("cost", "dur_ms"))
+        if name == "repartition":
+            o = opts or {}
+            if "by" in o:
+                return df.repartition(int(o.get("num", 0)) or df.sparkSession.sparkContext.defaultParallelism,
+                                      *[F.col(c) for c in o["by"]])
+            return df.repartition(int(o["num"]))
+        raise ValueError(f"unsupported processor: {name}")
+
+    # ----------------------------------------------------------------- window
+    def _apply_window(self, df: DataFrame) -> DataFrame:
+        w = self.conf.get("window")
+        if not w:
+            return df
+        keys = w.get("keys") or []
+        aggs = {n: _parse_agg(s) for n, s in (w.get("aggs") or {"n": "count()"}).items()}
+        event_col = w.get("event_col", "event_ts")
+        lateness = w.get("lateness")
+        typ = w.get("type", "tumbling")
+        if typ == "tumbling":
+            return tumbling_windowed(df, event_col, w["size"], keys, aggs,
+                                     offset=w.get("offset"), allowed_lateness=lateness)
+        if typ == "sliding":
+            return sliding_windowed(df, event_col, w["size"], w["slide"], keys, aggs,
+                                    offset=w.get("offset"), allowed_lateness=lateness)
+        if typ == "session":
+            return session_windowed(df, event_col, w["gap"], keys, aggs, allowed_lateness=lateness)
+        raise ValueError(f"unsupported window type: {typ}")
+
+    # ------------------------------------------------------------------ build
+    def build_batch(self, spark: SparkSession) -> DataFrame:
+        """Bounded run: same plan on a batch DataFrame (the reference's
+        bounded test mode; SURVEY §1 streams-vs-tables)."""
+        return self._apply_window(self._apply_processors(self._input(spark, streaming=False)))
+
+    def build_stream(self, spark: SparkSession) -> DataFrame:
+        return self._apply_window(self._apply_processors(self._input(spark, streaming=True)))
+
+    def run_stream(self, spark: SparkSession, checkpoint: str, available_now: bool = True):
+        """Execute as a StreamingQuery with the exactly-once parquet sink
+        (Iceberg MERGE on a real cluster) and optional DLQ routing."""
+        out = self.conf.get("output") or {}
+        if "path" not in out:
+            raise ValueError("output.path required for run_stream")
+        df = self.build_stream(spark)
+        self._sink = IdempotentParquetSink(out["path"], key_cols=out.get("keys"))
+        if out.get("dlq"):
+            dlq = IdempotentParquetSink(out["dlq"])
+            writer = dlq_split_writer(self._sink, dlq)
+        else:
+            writer = self._sink.foreach_batch()
+        q = (
+            df.writeStream.outputMode(out.get("mode", "append"))
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(writer)
+        )
+        trigger = {"availableNow": True} if available_now else {"processingTime": out.get("trigger", "5 seconds")}
+        return q.trigger(**trigger).start()
+
+    @property
+    def sink(self) -> IdempotentParquetSink:
+        if self._sink is None:
+            raise RuntimeError("run_stream has not been called")
+        return self._sink
+
+
+def compile_yaml(src: str) -> Pipeline:
+    conf = yaml.safe_load(src)
+    if not isinstance(conf, dict):
+        raise ValueError("pipeline config must be a mapping")
+    return Pipeline(conf)

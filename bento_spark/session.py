@@ -1,0 +1,85 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for the 100 TB design target, then overridable:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  replaces the reference's static `pipeline.threads` worker pool
+  (/root/reference/internal/pipeline/pool.go:32-49) with adaptive
+  parallelism.
+- Arrow on for all pandas UDF exchange; `maxRecordsPerBatch` sized for
+  binary audio payloads (a 30 s 44.1 kHz stereo clip is ~5 MB — batches of
+  thousands of such rows would blow executor memory, so we cap low and let
+  Arrow chunk).
+- shuffle partitions default to 2x cores locally; on a real cluster set
+  `spark.sql.shuffle.partitions` ~= 2-3x total executor cores or rely on
+  AQE coalescing from a high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size for audio-payload UDF stages: keep per-batch memory
+# bounded when rows carry multi-MB binary clips.
+AUDIO_ARROW_BATCH = 256
+
+
+def get_spark(
+    app_name: str = "bento-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = _parse_local_cores(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8) if cores else 200
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(max(cores or 8, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(AUDIO_ARROW_BATCH))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Streaming state store: RocksDB scales state beyond heap (the
+        # clip<->transcript join at 10^12-clip scale holds watermark-bounded
+        # state far larger than executor memory).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _parse_local_cores(master: str) -> int | None:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return None
+    return None
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,148 @@
+"""Metrics + lineage: StreamingQueryListener mirroring the reference's
+metric names.
+
+Reference metric surface (SURVEY.md §2.11): input_received,
+input_latency_ns, processor_received/sent/error, buffer_*, output_sent,
+batch_created (/root/reference/internal/component/output/async_writer.go:92-95,
+internal/component/input/async_reader.go:88,
+internal/batch/policy/policy.go:79-96); tracing span events
+PRODUCE/CONSUME/DELETE/ERROR (internal/bundle/tracing/events.go:12-19).
+
+Spark gives the same signals via StreamingQueryProgress: numInputRows →
+input_received, sink.numOutputRows → output_sent, stateOperators →
+state-store size, eventTime.watermark → watermark lag. This listener maps
+them onto the reference names and records per-micro-batch lineage rows
+(sources' startOffset/endOffset per partition — the per-partition lineage
+the north rule requires).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class BatchMetrics:
+    batch_id: int
+    ts: str
+    input_received: int
+    output_sent: int
+    watermark: str | None
+    watermark_lag_ms: float | None
+    state_rows_total: int
+    state_memory_bytes: int
+    input_rows_per_sec: float
+    process_rows_per_sec: float
+    lineage: list[dict] = field(default_factory=list)
+
+
+class BentoMetricsListener(StreamingQueryListener):
+    """Collects per-micro-batch metrics + per-partition source lineage."""
+
+    def __init__(self):
+        self.batches: list[BatchMetrics] = []
+        self.errors: list[str] = []
+        self._lock = threading.Lock()
+
+    # -- listener hooks ----------------------------------------------------
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        try:
+            state_rows = sum(s.numRowsTotal for s in p.stateOperators)
+            state_mem = sum(s.memoryUsedBytes for s in p.stateOperators)
+        except Exception:
+            state_rows, state_mem = 0, 0
+        wm, lag = None, None
+        try:
+            et = p.eventTime or {}
+            wm = et.get("watermark")
+            mx = et.get("max")
+            if wm and mx:
+                from datetime import datetime
+
+                fmt = "%Y-%m-%dT%H:%M:%S.%fZ"
+                lag = (datetime.strptime(mx, fmt) - datetime.strptime(wm, fmt)).total_seconds() * 1e3
+        except Exception:
+            pass
+        lineage = []
+        try:
+            for s in p.sources:
+                lineage.append(
+                    {
+                        "source": s.description,
+                        "start_offset": s.startOffset,
+                        "end_offset": s.endOffset,
+                        "rows": s.numInputRows,
+                    }
+                )
+        except Exception:
+            pass
+        m = BatchMetrics(
+            batch_id=p.batchId,
+            ts=p.timestamp,
+            input_received=p.numInputRows,
+            output_sent=getattr(p.sink, "numOutputRows", -1),
+            watermark=wm,
+            watermark_lag_ms=lag,
+            state_rows_total=state_rows,
+            state_memory_bytes=state_mem,
+            input_rows_per_sec=p.inputRowsPerSecond or 0.0,
+            process_rows_per_sec=p.processedRowsPerSecond or 0.0,
+            lineage=lineage,
+        )
+        with self._lock:
+            self.batches.append(m)
+
+    def onQueryTerminated(self, event):
+        if getattr(event, "exception", None):
+            with self._lock:
+                self.errors.append(str(event.exception))
+
+    def onQueryIdle(self, event):
+        pass
+
+    # -- reporting ----------------------------------------------------------
+    def totals(self) -> dict:
+        with self._lock:
+            return {
+                "input_received": sum(b.input_received for b in self.batches),
+                "output_sent": sum(max(b.output_sent, 0) for b in self.batches),
+                "batch_created": len(self.batches),
+                "state_rows_last": self.batches[-1].state_rows_total if self.batches else 0,
+                "max_watermark_lag_ms": max(
+                    (b.watermark_lag_ms for b in self.batches if b.watermark_lag_ms is not None),
+                    default=None,
+                ),
+            }
+
+    def lineage_rows(self) -> list[dict]:
+        with self._lock:
+            return [
+                {"batch_id": b.batch_id, **src} for b in self.batches for src in b.lineage
+            ]
+
+    def dump_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {"totals": self.totals(), "lineage": self.lineage_rows(), "errors": self.errors},
+                f,
+                indent=2,
+                default=str,
+            )
+
+
+def wait_for_batches(listener: BentoMetricsListener, n: int, timeout_s: float = 60.0) -> bool:
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if len(listener.batches) >= n:
+            return True
+        time.sleep(0.2)
+    return False

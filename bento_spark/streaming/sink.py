@@ -1,0 +1,126 @@
+"""Exactly-once sinks + DLQ routing.
+
+Reference delivery model: at-least-once via transaction acks
+(/root/reference/internal/message/transaction.go:20-38); sliding windows
+are even documented best-attempt re-delivery
+(internal/impl/pure/buffer_system_window.go:45). The north rule demands
+exactly-once — we exceed the reference by construction:
+
+    exactly-once = checkpointed offsets (Spark WAL) x idempotent sink.
+
+On a real cluster the sink is Iceberg `MERGE INTO` keyed on
+(clip_id, window_start) with a `_batch_id` idempotence guard. The Iceberg
+runtime jar isn't in this sandbox, so `IdempotentParquetSink` implements
+the identical contract over a parquet directory:
+
+- each micro-batch writes to `data/_bid=<epoch_id>/` and then atomically
+  creates a commit marker `commits/<epoch_id>`;
+- a replayed batch (same epoch_id after crash/restart) sees its marker —
+  or overwrites its own uncommitted directory — so the batch lands exactly
+  once;
+- `read()` returns committed batches only, optionally last-writer-wins
+  deduped by key (the MERGE equivalent).
+
+DLQ routing re-creates the reference's `switch`/`fallback`/
+`reject_errored` outputs (output_switch.go:164, output_fallback.go:18,
+output_reject_errored.go:19) as predicate-filtered writes per sink inside
+one foreachBatch.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class IdempotentParquetSink:
+    """foreachBatch sink with exactly-once semantics over plain parquet."""
+
+    def __init__(self, path: str, key_cols: Sequence[str] | None = None):
+        self.path = path.rstrip("/")
+        self.data_dir = f"{self.path}/data"
+        self.commit_dir = f"{self.path}/commits"
+        self.key_cols = list(key_cols) if key_cols else None
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    def _marker(self, epoch_id: int) -> str:
+        return f"{self.commit_dir}/{epoch_id}"
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(self._marker(epoch_id)):
+            return  # replayed batch: already committed exactly once
+        (
+            batch_df.withColumn("_bid", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .parquet(f"{self.data_dir}/_bid={int(epoch_id)}")
+        )
+        # atomic commit point: marker creation
+        with open(self._marker(epoch_id), "w") as f:
+            f.write("ok")
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        return self.write_batch
+
+    def committed_ids(self) -> list[int]:
+        return sorted(int(x) for x in os.listdir(self.commit_dir))
+
+    def read(self, spark: SparkSession, merged: bool | None = None) -> DataFrame:
+        ids = self.committed_ids()
+        if not ids:
+            raise FileNotFoundError(f"no committed batches under {self.path}")
+        df = spark.read.option("basePath", self.data_dir).parquet(
+            *[f"{self.data_dir}/_bid={i}" for i in ids]
+        )
+        if merged is None:
+            merged = self.key_cols is not None
+        if merged and self.key_cols:
+            # MERGE INTO equivalent: last committed batch wins per key
+            w = Window.partitionBy(*self.key_cols).orderBy(F.desc("_bid"))
+            df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        return df.drop("_bid")
+
+
+def route_outputs(
+    sinks: Sequence[tuple[Column | None, IdempotentParquetSink]],
+    mode: str = "switch",
+) -> Callable[[DataFrame, int], None]:
+    """Multi-sink router for foreachBatch.
+
+    mode='switch': each row goes to the FIRST matching predicate's sink
+    (None predicate = catch-all) — output_switch.go:164 semantics.
+    mode='fan_out': every sink receives the full batch (broker fan_out,
+    output_broker.go:150).
+    """
+
+    def _route(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if mode == "fan_out":
+                for _, sink in sinks:
+                    sink.write_batch(batch_df, epoch_id)
+                return
+            remaining = batch_df
+            for pred, sink in sinks:
+                if pred is None:
+                    sink.write_batch(remaining, epoch_id)
+                    remaining = remaining.filter(F.lit(False))
+                else:
+                    sink.write_batch(remaining.filter(pred), epoch_id)
+                    remaining = remaining.filter(~F.coalesce(pred, F.lit(False)))
+        finally:
+            batch_df.unpersist()
+
+    return _route
+
+
+def dlq_split_writer(
+    main: IdempotentParquetSink,
+    dlq: IdempotentParquetSink,
+    error_col: str = "error",
+) -> Callable[[DataFrame, int], None]:
+    """reject_errored semantics: errored rows -> DLQ sink, rest -> main."""
+    return route_outputs([(F.col(error_col).isNotNull(), dlq), (None, main)])

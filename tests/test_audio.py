@@ -1,0 +1,107 @@
+"""Audio kernel tests: codec round-trips, SNR invariant, generator
+determinism, vectorized UDF vs single-clip oracle decode.
+
+Per-row invariant from BASELINE.json input_hint: decoded-PCM allclose at
+SNR >= 30 dB + exact transcript equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.audio.codecs import decode_clip, encode_clip, resample_linear, snr_db
+from bento_spark.audio.generate import clip_params, clip_row_pandas, clips_df, synth_pcm
+from bento_spark.audio.udfs import with_audio_features, with_decoded_pcm, with_normalized_clip
+
+
+def test_pcm16_roundtrip_snr():
+    pcm = synth_pcm(7, 16000, 500)
+    raw = encode_clip(pcm, 16000, "pcm_s16le")
+    out = decode_clip(raw, "pcm_s16le", 16000)
+    assert out.shape == pcm.shape
+    assert snr_db(pcm, out) >= 30.0
+
+
+def test_wav_roundtrip_snr():
+    pcm = synth_pcm(11, 22050, 700)
+    raw = encode_clip(pcm, 22050, "wav")
+    out = decode_clip(raw, "wav", 22050)
+    assert snr_db(pcm, out) >= 30.0
+
+
+def test_f32_roundtrip_exact():
+    pcm = synth_pcm(3, 8000, 300)
+    out = decode_clip(encode_clip(pcm, 8000, "pcm_f32le"), "pcm_f32le", 8000)
+    np.testing.assert_array_equal(pcm, out)
+
+
+def test_flac_stub_raises():
+    with pytest.raises((NotImplementedError, Exception)):
+        decode_clip(b"fLaC....", "flac", 16000)
+
+
+def test_resample_preserves_tone():
+    sr_from, sr_to = 44100, 16000
+    t = np.arange(int(sr_from * 0.5)) / sr_from
+    pcm = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    rs = resample_linear(pcm, sr_from, sr_to)
+    assert abs(rs.size - int(pcm.size * sr_to / sr_from)) <= 1
+    t2 = np.arange(rs.size) / sr_to
+    ref = np.sin(2 * np.pi * 440 * t2).astype(np.float32)
+    assert snr_db(ref, rs) >= 30.0
+
+
+def test_generator_deterministic():
+    a = clip_row_pandas(np.array([0, 1, 63, 64]))
+    b = clip_row_pandas(np.array([0, 1, 63, 64]))
+    assert (a["bytes"] == b["bytes"]).all()
+    assert (a["transcript"] == b["transcript"]).all()
+    # every 64th row is a long clip (skew fixture)
+    assert a.loc[2, "dur_ms"] >= 8000
+    assert a.loc[0, "dur_ms"] < 2000
+
+
+def test_clips_df_distributed_matches_local(spark):
+    df = clips_df(spark, 20, partitions=4).orderBy("clip_id")
+    rows = df.collect()
+    assert len(rows) == 20
+    local = clip_row_pandas(np.arange(20))
+    for i, r in enumerate(rows):
+        assert r.clip_id == local.loc[i, "clip_id"]
+        assert r.transcript == local.loc[i, "transcript"]
+        assert bytes(r.bytes) == bytes(local.loc[i, "bytes"])
+
+
+def test_decode_udf_snr_vs_oracle(spark):
+    df = clips_df(spark, 12, partitions=2)
+    dec = with_decoded_pcm(df).select("clip_id", "codec", "sr_hz", "dur_ms", "pcm").collect()
+    assert len(dec) == 12
+    for r in dec:
+        i = int(r.clip_id.split("-")[1])
+        ref = synth_pcm(i, r.sr_hz, r.dur_ms)
+        got = np.asarray(r.pcm, dtype=np.float32)
+        assert got.size == ref.size
+        assert snr_db(ref, got) >= 30.0, f"SNR too low for {r.clip_id} ({r.codec})"
+
+
+def test_audio_features(spark):
+    df = clips_df(spark, 8, partitions=2)
+    feats = with_audio_features(df).select("clip_id", "n_samples", "rms", "peak", "clip_s").collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert r.n_samples > 0
+        assert 0.0 < r.rms < 1.0
+        assert 0.0 < r.peak <= 1.0
+
+
+def test_codec_normalize(spark):
+    df = clips_df(spark, 6, partitions=2)
+    norm = with_normalized_clip(df, target_sr=16000).collect()
+    for r in norm:
+        pcm = decode_clip(bytes(r.norm_bytes), "pcm_s16le", 16000)
+        assert r.norm_sr_hz == 16000
+        expected = int(round(r.dur_ms / 1000 * 16000))
+        assert abs(pcm.size - expected) <= 2
+        assert 0.90 <= np.abs(pcm).max() <= 1.0

@@ -1,0 +1,103 @@
+"""Bloblang-subset compiler tests — golden outputs mirroring reference
+Bloblang semantics (arithmetic.go operator set, methods_strings.go,
+mapping executor delete-as-filter)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.functions.bloblang import BloblangError, compile_expr, compile_mapping
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "Hello World", 2.5, "a,b,c"), (2, "spark", -3.0, "x,y"), (3, None, 10.0, "")],
+        "id int, s string, x double, csv string",
+    )
+
+
+def _one(df, expr_src, **filters):
+    out = df.select(compile_expr(expr_src).alias("v"))
+    return [r.v for r in out.collect()]
+
+
+def test_arithmetic_and_comparison(df):
+    assert _one(df, "1 + 2 * 3") == [7, 7, 7]
+    assert _one(df, "this.x * 2") == [5.0, -6.0, 20.0]
+    assert _one(df, "this.id >= 2") == [False, True, True]
+    assert _one(df, "this.id % 2 == 1") == [True, False, True]
+
+
+def test_pipe_coalesce(df):
+    # `|` is coalesce (reference arithmetic.go:455)
+    assert _one(df, 'this.s | "fallback"') == ["Hello World", "spark", "fallback"]
+
+
+def test_boolean_ops(df):
+    assert _one(df, "this.id == 1 || this.id == 3") == [True, False, True]
+    assert _one(df, "!(this.x > 0)") == [False, True, False]
+
+
+def test_if_else(df):
+    assert _one(df, 'if this.x > 0 { "pos" } else { "neg" }') == ["pos", "neg", "pos"]
+
+
+def test_string_methods(df):
+    assert _one(df, "this.s.uppercase()") == ["HELLO WORLD", "SPARK", None]
+    assert _one(df, "this.s.length()") == [11, 5, None]
+    assert _one(df, 'this.s.contains("World")') == [True, False, None]
+    assert _one(df, 'this.s.replace_all("l", "L")') == ["HeLLo WorLd", "spark", None]
+    assert _one(df, 'this.csv.split(",").length()') == [3, 2, 1]
+
+
+def test_number_methods(df):
+    assert _one(df, "this.x.abs()") == [2.5, 3.0, 10.0]
+    assert _one(df, "this.x.floor()") == [2, -3, 10]
+
+
+def test_array_literal_and_methods(df):
+    assert _one(df, "[1, 2, 3].sum()") == [6.0, 6.0, 6.0]
+    assert _one(df, "[3, 1, 2].sort().first()") == [1, 1, 1]
+
+
+def test_hash_encode(df):
+    vals = _one(df, 'this.s.hash("md5")')
+    assert vals[0] == "b10a8db164e0754105b7a99be72e3fe5"  # md5("Hello World")
+    b64 = _one(df, 'this.s.encode("base64")')
+    assert b64[0] == "SGVsbG8gV29ybGQ="
+
+
+def test_type_coercion(df):
+    assert _one(df, "this.id.string()") == ["1", "2", "3"]
+    assert _one(df, 'this.s.catch("dflt")') == ["Hello World", "spark", "dflt"]
+
+
+def test_mapping_assign_and_filter(df):
+    m = compile_mapping(
+        """
+        # computed columns + delete-as-filter (mapping executor semantics)
+        root.double_x = this.x * 2
+        root.tag = if this.x > 0 { "pos" } else { "neg" }
+        root = deleted() if this.id == 2
+        """
+    )
+    out = m.apply(df).select("id", "double_x", "tag").orderBy("id").collect()
+    assert [r.id for r in out] == [1, 3]
+    assert [r.double_x for r in out] == [5.0, 20.0]
+    assert [r.tag for r in out] == ["pos", "pos"]
+
+
+def test_mapping_meta(df):
+    m = compile_mapping('meta src = "unit"\nroot.y = this.id + 1')
+    row = m.apply(df).filter(F.col("id") == 1).select("y", "meta").first()
+    assert row.y == 2
+    assert row.meta == {"src": "unit"}
+
+
+def test_unsupported_raises():
+    with pytest.raises(BloblangError):
+        compile_expr("this.s.explode_into_chaos()")
+    with pytest.raises(BloblangError):
+        compile_mapping("root.a.b = 1")
