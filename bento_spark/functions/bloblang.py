@@ -103,6 +103,7 @@ class _Parser:
     def __init__(self, src: str):
         self.toks = _tokenize(src)
         self.i = 0
+        self.bindings: dict[str, Column] = {}
 
     def peek(self) -> Tok:
         return self.toks[self.i]
@@ -182,7 +183,7 @@ class _Parser:
                 if self.peek().text == "(":
                     self.next()
                     while self.peek().text != ")":
-                        args.append(self.parse_expr())
+                        args.append(self.parse_arg())
                         if self.peek().text == ",":
                             self.next()
                     self.expect(")")
@@ -197,14 +198,78 @@ class _Parser:
             else:
                 return col
 
+    def parse_arg(self):
+        """A method argument: either an expression or a lambda
+        `x -> expr` / `(a, b) -> expr` (Bloblang lambdas, e.g.
+        `filter(loc -> loc.v > 0)` — query/expression.go). Lambdas compile
+        to Python callables over Columns, feeding Spark higher-order
+        functions (F.filter/transform/aggregate/...)."""
+        # lookahead: NAME ->   |   ( NAME [, NAME] ) ->
+        if self.peek().kind == "name" and self.toks[self.i + 1].text == "->":
+            params = [self.next().text]
+            self.next()  # ->
+            return self._make_lambda(params)
+        if self.peek().text == "(":
+            j = self.i + 1
+            params = []
+            while self.toks[j].kind == "name":
+                params.append(self.toks[j].text)
+                j += 1
+                if self.toks[j].text == ",":
+                    j += 1
+                    continue
+                break
+            if params and self.toks[j].text == ")" and self.toks[j + 1].text == "->":
+                self.i = j + 2
+                return self._make_lambda(params)
+        return self.parse_expr()
+
+    def _make_lambda(self, params: list[str]):
+        start = self.i
+        # advance past the body once (with dummy bindings) so the outer
+        # parse continues correctly; the closure re-parses with real args
+        saved = dict(self.bindings)
+        self.bindings.update({p: F.lit(None) for p in params})
+        self.parse_expr()
+        end = self.i
+        self.bindings = saved
+
+        def body(cols: tuple[Column, ...]) -> Column:
+            sub = _Parser.__new__(_Parser)
+            sub.toks = self.toks
+            sub.i = start
+            sub.bindings = {**saved, **dict(zip(params, cols))}
+            out = sub.parse_expr()
+            if sub.i != end:
+                raise BloblangError("lambda body re-parse mismatch")
+            return out
+
+        # Spark's _create_lambda inspects the signature: it must be plain
+        # positional args, so build a fixed-arity wrapper.
+        if len(params) == 1:
+            fn = lambda a: body((a,))  # noqa: E731
+        elif len(params) == 2:
+            fn = lambda a, b: body((a, b))  # noqa: E731
+        elif len(params) == 3:
+            fn = lambda a, b, c: body((a, b, c))  # noqa: E731
+        else:
+            raise BloblangError(f"lambdas support 1-3 parameters, got {len(params)}")
+        fn._bl_lambda = True  # type: ignore[attr-defined]
+        return fn
+
     def parse_primary(self) -> Column:
         t = self.next()
         if t.kind == "int":
-            return F.lit(int(t.text))
+            col = F.lit(int(t.text))
+            col.__dict__["_bl_lit"] = int(t.text)
+            return col
         if t.kind == "float":
             return F.lit(float(t.text))
         if t.kind == "string":
-            return F.lit(_unquote(t.text))
+            s = _unquote(t.text)
+            col = F.lit(s)
+            col.__dict__["_bl_lit"] = s  # compile-time literal (format/hash selectors)
+            return col
         if t.text == "(":
             e = self.parse_expr()
             self.expect(")")
@@ -230,6 +295,43 @@ class _Parser:
             return F.lit(False)
         if name == "null":
             return F.lit(None)
+        if name == "match":
+            # match expressions (reference internal/bloblang/query/expression.go):
+            #   match this.x { cond => val, cond => val, _ => default }
+            # where each cond is a full expression (or `_` catch-all).
+            subject = None
+            if self.peek().text != "{":
+                subject = self.parse_expr()
+            self.expect("{")
+            arms: list[tuple[Column | None, Column]] = []
+            while self.peek().text != "}":
+                t = self.peek()
+                if t.kind == "name" and t.text == "_":
+                    self.next()
+                    cond = None
+                else:
+                    cond = self.parse_expr()
+                    if subject is not None:
+                        # a bare value arm means equality with the subject;
+                        # a boolean expression arm is used as-is. We follow
+                        # the reference: non-boolean arm => equality check.
+                        cond = cond if _is_boolish(cond) else (subject == cond)
+                self.expect("=>")
+                val = self.parse_expr()
+                arms.append((cond, val))
+                if self.peek().text == ",":
+                    self.next()
+            self.expect("}")
+            out: Column | None = None
+            default = F.lit(None)
+            chain = None
+            for cond, val in arms:
+                if cond is None:
+                    default = val
+                    continue
+                chain = F.when(cond, val) if chain is None else chain.when(cond, val)
+            out = default if chain is None else chain.otherwise(default)
+            return out
         if name == "if":
             cond = self.parse_expr()
             self.expect("{")
@@ -255,12 +357,33 @@ class _Parser:
                     self.next()
             self.expect(")")
             return _apply_function(name, args)
+        if name in self.bindings:
+            return self.bindings[name]
         # bare name = column reference (our rows are typed columns)
         return F.col(name)
 
 
 def _unquote(s: str) -> str:
     return s[1:-1].encode().decode("unicode_escape")
+
+
+_BOOL_EXPR_HINTS = (" > ", " >= ", " < ", " <= ", " = ", " != ", " AND ", " OR ", "NOT ", "LIKE", "RLIKE", "IN (", "IS NULL", "IS NOT NULL", "contains(", "startswith(", "endswith(", "regexp_like(")
+
+
+def _is_boolish(col: Column) -> bool:
+    """Best-effort: does this Column already evaluate to a boolean?
+
+    Match arms that are boolean predicates are used as-is; value arms become
+    equality checks against the subject (reference match semantics). Literal
+    true/false also count as predicates.
+    """
+    try:
+        s = col._jc.toString() if hasattr(col, "_jc") else str(col)
+    except Exception:
+        s = str(col)
+    if s.strip() in ("true", "false"):
+        return True
+    return any(h in s for h in _BOOL_EXPR_HINTS)
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +426,10 @@ def _apply_function(name: str, args: list[Column]) -> Column:
 # Methods whose RESULT is an array (drives polymorphic .length() dispatch —
 # Bloblang's length works on strings and arrays alike, Spark splits that
 # into length()/size()).
-_ARRAY_PRODUCERS = {"split", "unique", "sort", "flatten", "append", "concat_arrays", "keys", "values"}
+_ARRAY_PRODUCERS = {
+    "split", "unique", "sort", "flatten", "append", "concat_arrays", "keys",
+    "values", "filter", "map_each", "find_all", "re_find_all", "zip", "enumerated",
+}
 
 
 def _apply_method(name: str, col: Column, args: list[Column]) -> Column:
@@ -384,14 +510,70 @@ _METHODS = {
     # timestamps (internal/impl/pure/bloblang_time.go)
     "ts_unix": lambda c: F.unix_timestamp(c),
     "ts_unix_milli": lambda c: (F.unix_timestamp(c) * 1000).cast("long"),
+    "ts_unix_micro": lambda c: (F.unix_timestamp(c) * 1_000_000).cast("long"),
     "ts_format": lambda c, fmt: F.date_format(c, fmt),
+    "ts_strftime": lambda c, fmt: F.date_format(c, fmt),
     "ts_parse": lambda c, fmt: F.to_timestamp(c, fmt),
-    "ts_round": lambda c, unit: F.date_trunc(unit, c),
+    "ts_strptime": lambda c, fmt: F.to_timestamp(c, fmt),
+    "ts_round": lambda c, unit: F.date_trunc(_lit_str(unit), c),
+    "ts_tz": lambda c, tz: F.from_utc_timestamp(c, tz),
+    # higher-order (Bloblang lambdas over arrays, methods_structured.go:
+    # filter, map_each, fold :641, any/all exist via find/check patterns)
+    "filter": lambda c, fn: F.filter(c, fn),
+    "map_each": lambda c, fn: F.transform(c, fn),
+    "any": lambda c, fn: F.exists(c, fn),
+    "all": lambda c, fn: F.forall(c, fn),
+    "fold": lambda c, init, fn: F.aggregate(c, _widen_init(init), fn),
+    "find": lambda c, fn: F.element_at(F.filter(c, fn), 1),
+    "find_all": lambda c, fn: F.filter(c, fn),
+    "zip": lambda c, other: F.arrays_zip(c, other),
+    "enumerated": lambda c: F.arrays_zip(F.sequence(F.lit(0), F.size(c) - 1), c),
+    "without": lambda c, *keys: F.map_filter(c, lambda k, v: ~k.isin(*[_lit_str(x) for x in keys])),
+    "not_empty": lambda c: F.when(F.length(c.cast("string")) > 0, c),
+    # format (methods_strings.go `format`): "%s-%d".format(a, b)
+    "format": lambda c, *a: F.format_string(_lit_str(c), *a),
+    "pad_left": lambda c, n, ch: F.lpad(c, n if isinstance(n, int) else _lit_int(n), _lit_str(ch)),
+    "pad_right": lambda c, n, ch: F.rpad(c, n if isinstance(n, int) else _lit_int(n), _lit_str(ch)),
+    "trim_prefix": lambda c, p: F.when(F.startswith(c, p), F.substring(c, F.length(p) + 1, F.lit(1 << 30))).otherwise(c),
+    "trim_suffix": lambda c, s: F.when(F.endswith(c, s), F.substring(c, 1, F.length(c) - F.length(s))).otherwise(c),
+    "escape_url_query": lambda c: F.url_encode(c),
+    "unescape_url_query": lambda c: F.url_decode(c),
+    "re_find_all": lambda c, pat: F.regexp_extract_all(c, pat, F.lit(0)),
+    "int64": lambda c: c.cast("bigint"),
+    "int32": lambda c: c.cast("int"),
+    "float64": lambda c: c.cast("double"),
+    "float32": lambda c: c.cast("float"),
 }
+
+def _widen_init(init: Column) -> Column:
+    """fold's init literal must match the lambda's result type; widen int
+    literals to bigint and float literals to double (Bloblang numbers are
+    int64/float64, type_helpers.go:14-36)."""
+    lit = init.__dict__.get("_bl_lit") if hasattr(init, "__dict__") else None
+    if isinstance(lit, int):
+        return init.cast("bigint")
+    if isinstance(lit, float):
+        return init.cast("double")
+    return init
+
+
+def _lit_int(col: Column | int) -> int:
+    if isinstance(col, int):
+        return col
+    if "_bl_lit" in getattr(col, "__dict__", {}):
+        return int(col.__dict__["_bl_lit"])
+    expr = col._jc.toString() if hasattr(col, "_jc") else str(col)
+    m = re.search(r"(\d+)", expr)
+    if not m:
+        raise BloblangError(f"expected a literal int argument, got {expr}")
+    return int(m.group(1))
+
 
 def _lit_str(col: Column) -> str:
     """Extract a python string from a literal Column arg (hash/encode
     algorithm selectors must be compile-time constants)."""
+    if "_bl_lit" in col.__dict__:
+        return col.__dict__["_bl_lit"]
     expr = col._jc.toString() if hasattr(col, "_jc") else str(col)
     m = re.match(r"^'?\"?([A-Za-z0-9_]+)", expr.strip())
     if not m:

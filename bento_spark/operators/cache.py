@@ -1,0 +1,159 @@
+"""cache / cached — keyed state as tables (enrichment & memoization).
+
+Reference semantics:
+- `cache` processor: per-message get/set/add/delete against a named cache
+  resource (/root/reference/internal/impl/pure/processor_cache.go:150,
+  operators :125,:267-273); 16 cache backends (memory, lru, ttlru, redis,
+  …) registered under internal/impl/*/cache_*.go.
+- `cached`: memoize a child processor's result by key + TTL
+  (processor_cached.go).
+- The cache-hydration stream-join cookbook
+  (config/examples/joining_streams.yaml:32-56) builds a stream-stream join
+  from cache get/set — in Spark that is a native stateful join
+  (bento_spark.streaming.joins); this module covers the LOOKUP/state-table
+  uses.
+
+Spark-first: a cache is a keyed DataFrame/table. Per-row get = left join
+(broadcast when small — Catalyst picks BHJ under the threshold); set/add =
+MERGE-style upsert (last-writer-wins / insert-if-absent), implemented over
+parquet here and `MERGE INTO` on Iceberg clusters. There is no per-row
+Python and no driver round-trip: a batch of N getss is ONE join, matching
+how the reference amortizes multi-gets (processor_cache.go batch path).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class KeyValueCache:
+    """A named keyed state table with Bento cache-operator semantics.
+
+    Backing store: a parquet dir of versioned snapshots (atomic swap via
+    commit marker), standing in for an Iceberg table. `_v` is the writer
+    version — resolution is last-writer-wins per key, the same contract as
+    `MERGE INTO cache USING batch ON key WHEN MATCHED UPDATE ...`.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key_col: str = "key"):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.key_col = key_col
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- storage ------------------------------------------------------------
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith("_v=") and os.path.exists(f"{self.path}/{d}/_SUCCESS")
+        )
+
+    def snapshot(self) -> DataFrame | None:
+        """Current cache contents (latest write per key)."""
+        vs = self._versions()
+        if not vs:
+            return None
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[f"{self.path}/_v={v}" for v in vs]
+        )
+        w = Window.partitionBy(self.key_col).orderBy(F.desc("_v"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .filter(~F.col("_deleted"))
+            .drop("_rn", "_v", "_deleted")
+        )
+
+    def _write(self, df: DataFrame, deleted: bool) -> None:
+        v = (self._versions()[-1] + 1) if self._versions() else 0
+        df.withColumn("_deleted", F.lit(deleted)).write.mode("overwrite").parquet(
+            f"{self.path}/_v={v}"
+        )
+
+    # -- operators (processor_cache.go:125) ----------------------------------
+    def set(self, df: DataFrame) -> None:
+        """Upsert all rows (last write wins per key)."""
+        self._write(df.dropDuplicates([self.key_col]), deleted=False)
+
+    def add(self, df: DataFrame) -> DataFrame:
+        """Insert-if-absent. Returns the rows that were REJECTED (key already
+        present) — the reference errors those messages; callers route them
+        with the error-column protocol."""
+        cur = self.snapshot()
+        fresh = df.dropDuplicates([self.key_col])
+        if cur is None:
+            self._write(fresh, deleted=False)
+            return fresh.limit(0)
+        rejected = fresh.join(cur.select(self.key_col), self.key_col, "left_semi")
+        accepted = fresh.join(cur.select(self.key_col), self.key_col, "left_anti")
+        self._write(accepted, deleted=False)
+        return rejected
+
+    def delete(self, keys: DataFrame) -> None:
+        cur = self.snapshot()
+        if cur is None:
+            return
+        tomb = cur.join(keys.select(self.key_col), self.key_col, "left_semi")
+        self._write(tomb, deleted=True)
+
+    def get(self, df: DataFrame, on: str | None = None, broadcast: bool = True) -> DataFrame:
+        """Enrich df with cache values by key (left join; misses = NULL,
+        matching the reference where a miss errors the message — follow with
+        set_error_when(value.isNull()) if that routing is wanted)."""
+        cur = self.snapshot()
+        key = on or self.key_col
+        if cur is None:
+            # no cache yet: all misses
+            return df.withColumn("_cache_miss", F.lit(True))
+        side = cur.withColumnRenamed(self.key_col, key) if key != self.key_col else cur
+        if broadcast:
+            side = F.broadcast(side)
+        return df.join(side, key, "left")
+
+    def compact(self) -> None:
+        """Fold all versions into one (Iceberg's rewrite_data_files analogue)."""
+        cur = self.snapshot()
+        if cur is None:
+            return
+        cur = cur.persist()
+        cur.count()
+        for v in self._versions():
+            import shutil
+
+            shutil.rmtree(f"{self.path}/_v={v}")
+        self._write(cur, deleted=False)
+        cur.unpersist()
+
+
+def cached(
+    cache: KeyValueCache,
+    key_cols: Sequence[str],
+    compute: Callable[[DataFrame], DataFrame],
+) -> Callable[[DataFrame], DataFrame]:
+    """Memoize a per-key computation (processor_cached.go): rows whose key
+    is already in the cache take the cached result; the rest run `compute`
+    once per distinct key and are written back. One anti-join + one compute
+    over misses — batch-amortized, never per-row."""
+
+    def run(df: DataFrame) -> DataFrame:
+        key = cache.key_col
+        keyed = df.withColumn(key, F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]))
+        cur = cache.snapshot()
+        if cur is not None:
+            hits = keyed.join(F.broadcast(cur), key, "inner")
+            misses = keyed.join(cur.select(key), key, "left_anti")
+        else:
+            hits, misses = None, keyed
+        computed = compute(misses)
+        new_entries = computed.select(key, *[c for c in computed.columns if c not in keyed.columns]).dropDuplicates([key])
+        cache.set(new_entries)
+        out = computed if hits is None else hits.unionByName(computed, allowMissingColumns=True)
+        return out.drop(key)
+
+    return run

@@ -201,10 +201,12 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash"
 
 
 def _fnv1a64(s: str) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    for ch in s.encode("utf-8"):
-        h ^= np.uint64(ch)
-        h *= np.uint64(0x100000001B3)
+    # FNV-1a relies on mod-2^64 wraparound; silence the intended overflow
+    with np.errstate(over="ignore"):
+        h = np.uint64(0xCBF29CE484222325)
+        for ch in s.encode("utf-8"):
+            h ^= np.uint64(ch)
+            h *= np.uint64(0x100000001B3)
     return h
 
 

@@ -42,3 +42,76 @@ def exists_in(fact: DataFrame, keys: DataFrame, on: Sequence[str] | str, negate:
     """Semi/anti join: the reference expresses these via cache-add failure
     branches and dedupe-vs-seen-set (processor_dedupe.go:81)."""
     return fact.join(F.broadcast(keys), on=on, how="left_anti" if negate else "left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts (backward) or earliest with right_ts >= left_ts
+    (forward) per key. Absent in the reference (SURVEY §2.7 — its nearest
+    analogue is a cache holding "current value per key"); first-class for
+    time-series enrichment at scale.
+
+    Implementation is union + window (one shuffle on (key, ts), no range
+    cross-product): tag sides, sort-merge within key, carry the last right
+    payload forward with last(ignorenulls). This scales as a single
+    repartition-by-key — the classic distributed as-of strategy — instead of
+    a range-condition join that Catalyst would plan as broadcast-nested-loop.
+    """
+    from pyspark.sql.window import Window
+
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c != key]
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c != key],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols if c != key],
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+    )
+    u = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        # right rows sort before left rows at equal ts => right@t matches left@t
+        w = Window.partitionBy(key).orderBy(F.col("_ts").asc(), F.col("_side").asc())
+    elif direction == "forward":
+        w = Window.partitionBy(key).orderBy(F.col("_ts").desc(), F.col("_side").asc())
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    carried = [F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in rcols]
+    matched_ts = F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w)
+    out = (
+        u.select(key, "_ts", "_side", *[f"_l_{c}" for c in lcols if c != key], *carried,
+                 matched_ts.alias("_matched_ts"))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (
+            (F.col("_ts") - F.col("_matched_ts") <= bound)
+            if direction == "backward"
+            else (F.col("_matched_ts") - F.col("_ts") <= bound)
+        )
+        out = out.select(
+            key, "_ts", "_matched_ts", *[f"_l_{c}" for c in lcols if c != key],
+            *[F.when(in_tol, F.col(f"_r_{c}")).alias(f"_r_{c}") for c in rcols],
+        )
+    renames = (
+        [F.col(key), F.col("_ts").alias(left_ts)]
+        + [F.col(f"_l_{c}").alias(c) for c in lcols if c != key]
+        + [F.col(f"_r_{c}").alias(c) for c in rcols]
+    )
+    return out.select(*renames)

@@ -37,6 +37,24 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8) if cores else 200
 
+    # Large binary rows (multi-MB audio clips) allocate multi-MB byte[]s at
+    # a very high rate. Two measured pathologies at >=24 concurrent tasks:
+    # (a) G1's humongous-object path (region commit/uncommit churn) showed
+    #     ~4x wall-time inflation on binary-column scans — ParallelGC with a
+    #     fixed pre-touched heap removed it (9.4s -> 2.6s scan at local[32]);
+    # (b) glibc routes >128 KiB mallocs straight to mmap/munmap, serializing
+    #     all JVM/Python threads on the process mmap lock — raising the
+    #     malloc mmap threshold keeps the churn in userspace arenas.
+    # Both only matter for high-core single-host runs (our two-parallelism
+    # evidence); on a real cluster each executor JVM is small and per-node
+    # concurrency is modest, but the settings are safe there too.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "134217728")
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
+    gc_opts = f"-XX:+UseParallelGC -Xms{driver_mem}"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -52,7 +70,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", gc_opts)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # Streaming state store: RocksDB scales state beyond heap (the
         # clip<->transcript join at 10^12-clip scale holds watermark-bounded
         # state far larger than executor memory).

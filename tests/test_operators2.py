@@ -1,0 +1,214 @@
+"""Tests for wave-2 operators: codecs, grok/parse_log, json query/schema,
+branch/workflow, cache, as-of join, Bloblang match/lambdas."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.functions.bloblang import compile_expr
+from bento_spark.operators import codec
+from bento_spark.operators.branch import Branch, apply_branch, apply_branch_inline, workflow
+from bento_spark.operators.cache import KeyValueCache, cached
+from bento_spark.operators.enrich import asof_join
+
+
+# ---------------------------------------------------------------- codecs
+def test_compress_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(i, f"payload-{i}".encode() * 20) for i in range(50)], ["id", "body"]
+    )
+    out = (
+        df.withColumn("gz", codec.compress_col("body", "gzip"))
+        .withColumn("back", codec.decompress_col("gz", "gzip"))
+        .withColumn("ok", F.col("back") == F.col("body"))
+        .withColumn("smaller", F.length("gz") < F.length("body"))
+    )
+    rows = out.collect()
+    assert all(r.ok and r.smaller for r in rows)
+    # deterministic compression (mtime=0): required for exactly-once identity
+    gz0 = out.filter(F.col("id") == 7).collect()[0].gz
+    assert bytes(gz0) == gzip.compress(b"payload-7" * 20, mtime=0)
+
+
+def test_decompress_bad_payload_yields_null(spark):
+    df = spark.createDataFrame([(1, b"not gzip")], ["id", "body"])
+    row = df.withColumn("out", codec.decompress_col("body", "gzip")).collect()[0]
+    assert row.out is None
+
+
+def test_zlib_bz2_lzma(spark):
+    df = spark.createDataFrame([(1, b"hello world" * 10)], ["id", "body"])
+    for alg in ("zlib", "bz2", "lzma"):
+        row = (
+            df.withColumn("c", codec.compress_col("body", alg))
+            .withColumn("d", codec.decompress_col("c", alg))
+            .collect()[0]
+        )
+        assert bytes(row.d) == b"hello world" * 10
+
+
+# ---------------------------------------------------------------- grok
+def test_parse_log_clf(spark):
+    lines = [
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326',
+        '10.2.3.4 - - [11/Oct/2000:14:00:01 -0700] "POST /submit HTTP/1.1" 404 512',
+        "this line does not match at all",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    out = codec.parse_log(df, "line").collect()
+    ok = [r for r in out if r.error is None]
+    bad = [r for r in out if r.error is not None]
+    assert len(ok) == 2 and len(bad) == 1
+    first = next(r for r in ok if r.remote_ip == "127.0.0.1")
+    assert (first.verb, first.request, first.status, first.size) == ("GET", "/apache_pb.gif", 200, 2326)
+
+
+def test_grok_custom_pattern(spark):
+    df = spark.createDataFrame([("level=INFO msg=started",)], ["line"])
+    out = codec.grok(df, "line", "level=%{LOGLEVEL:lvl} msg=%{WORD:msg}").collect()[0]
+    assert out.lvl == "INFO" and out.msg == "started"
+
+
+# ---------------------------------------------------------------- json
+def test_json_query_and_schema(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"user": {"name": "ada", "age": 36}, "ok": true}'),
+            (2, '{"user": {"name": "bob"}, "ok": false}'),
+        ],
+        ["id", "body"],
+    )
+    out = codec.json_map(df, "body", {"name": ("user.name", "string"), "age": ("user.age", "int")})
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].name == "ada" and rows[1].age == 36
+    assert rows[2].age is None
+
+    checked = codec.json_schema_check(df, "body", [("user.name", "string"), ("user.age", "integer")])
+    errs = {r.id: r.error for r in checked.collect()}
+    assert errs[1] is None
+    assert errs[2] is not None and "user.age" in errs[2]
+
+
+# ---------------------------------------------------------------- branch/workflow
+def test_branch_inline_and_join_paths_agree(spark):
+    df = spark.createDataFrame([(i, i * 1.0) for i in range(20)], ["id", "v"])
+    br = Branch(
+        name="double",
+        request_map={"req": F.col("v") * 2},
+        processors=lambda d: d,
+        result_map={"doubled": F.col("req")},
+        skip_when=F.col("v") > 15,
+    )
+    inline = apply_branch_inline(df, br)
+    joined = apply_branch(df, br)
+    a = {r.id: r.doubled for r in inline.collect()}
+    b = {r.id: r.doubled for r in joined.select("id", "doubled").collect()}
+    assert a == b
+    assert a[3] == 6.0 and a[16] is None  # skipped rows keep NULL
+
+
+def test_workflow_dag_order_and_cycle(spark):
+    df = spark.createDataFrame([(2,)], ["x"])
+    bs = [
+        Branch("c", None, lambda d: d, {"z": F.col("y") + 1}, depends_on=["b"]),
+        Branch("a", None, lambda d: d, {"w": F.col("x") * 10}),
+        Branch("b", None, lambda d: d, {"y": F.col("w") + F.col("x")}, depends_on=["a"]),
+    ]
+    row = workflow(df, bs).collect()[0]
+    assert (row.w, row.y, row.z) == (20, 22, 23)
+
+    import graphlib
+
+    cyc = [
+        Branch("a", None, lambda d: d, {"p": F.lit(1)}, depends_on=["b"]),
+        Branch("b", None, lambda d: d, {"q": F.lit(2)}, depends_on=["a"]),
+    ]
+    with pytest.raises(graphlib.CycleError):
+        workflow(df, cyc)
+
+
+# ---------------------------------------------------------------- cache
+def test_cache_set_get_add_delete(spark, tmp_path):
+    c = KeyValueCache(spark, str(tmp_path / "kv"), key_col="k")
+    c.set(spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]))
+    got = {r.k: r.v for r in c.snapshot().collect()}
+    assert got == {"a": 1, "b": 2}
+
+    rejected = c.add(spark.createDataFrame([("b", 99), ("c", 3)], ["k", "v"]))
+    assert [r.k for r in rejected.collect()] == ["b"]  # b already present
+    got = {r.k: r.v for r in c.snapshot().collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+
+    c.set(spark.createDataFrame([("a", 10)], ["k", "v"]))  # upsert
+    assert {r.k: r.v for r in c.snapshot().collect()}["a"] == 10
+
+    c.delete(spark.createDataFrame([("b",)], ["k"]))
+    assert sorted(r.k for r in c.snapshot().collect()) == ["a", "c"]
+
+    df = spark.createDataFrame([("a",), ("zz",)], ["k"])
+    enriched = {r.k: r.v for r in c.get(df).collect()}
+    assert enriched["a"] == 10 and enriched["zz"] is None
+
+    c.compact()
+    assert sorted(r.k for r in c.snapshot().collect()) == ["a", "c"]
+
+
+def test_cached_memoization(spark, tmp_path):
+    c = KeyValueCache(spark, str(tmp_path / "memo"), key_col="key")
+    calls = []
+
+    def compute(d):
+        calls.append(1)
+        return d.withColumn("out", F.col("n") * 100)
+
+    fn = cached(c, ["n"], compute)
+    df = spark.createDataFrame([(1,), (2,)], ["n"])
+    first = {r.n: r.out for r in fn(df).collect()}
+    assert first == {1: 100, 2: 200}
+    # second run: all keys cached — compute still invoked (lazy plan) but on
+    # an empty miss-set; results must be identical and come from the cache
+    second = {r.n: r.out for r in fn(spark.createDataFrame([(1,), (2,), (3,)], ["n"])).collect()}
+    assert second == {1: 100, 2: 200, 3: 300}
+
+
+# ---------------------------------------------------------------- as-of join
+def test_asof_join_backward_forward(spark):
+    quotes = spark.createDataFrame(
+        [("k1", 10, 1.0), ("k1", 20, 2.0), ("k1", 30, 3.0), ("k2", 15, 9.0)],
+        ["key", "q_ts", "px"],
+    )
+    trades = spark.createDataFrame(
+        [("k1", 5), ("k1", 20), ("k1", 25), ("k2", 100)], ["key", "t_ts"]
+    )
+    back = asof_join(trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts")
+    got = {(r.key, r.t_ts): r.px for r in back.collect()}
+    assert got == {("k1", 5): None, ("k1", 20): 2.0, ("k1", 25): 2.0, ("k2", 100): 9.0}
+
+    fwd = asof_join(trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts", direction="forward")
+    got_f = {(r.key, r.t_ts): r.px for r in fwd.collect()}
+    assert got_f == {("k1", 5): 1.0, ("k1", 20): 2.0, ("k1", 25): 3.0, ("k2", 100): None}
+
+
+# ---------------------------------------------------------------- bloblang wave 2
+def test_bloblang_match_and_lambdas(spark):
+    df = spark.createDataFrame([(3, "abc", [1, 2, 3])], ["n", "s", "arr"])
+    got = df.select(
+        compile_expr('match this.n { 1 => "one", 3 => "three", _ => "other" }').alias("m"),
+        compile_expr("this.arr.filter(x -> x >= 2).length()").alias("f"),
+        compile_expr("this.arr.map_each(x -> x * x).sum()").alias("sq"),
+        compile_expr('this.arr.fold(100, (acc, x) -> acc + x)').alias("fold"),
+        compile_expr('"%s/%d".format(this.s, this.n)').alias("fmt"),
+        compile_expr('this.s.pad_left(5, "_")').alias("pad"),
+        compile_expr('this.arr.any(x -> x == 2)').alias("has2"),
+        compile_expr('this.arr.all(x -> x > 0)').alias("allpos"),
+    ).collect()[0]
+    assert got.m == "three"
+    assert got.f == 2
+    assert got.sq == 14.0
+    assert got.fold == 106
+    assert got.fmt == "abc/3"
+    assert got.pad == "__abc"
+    assert got.has2 is True and got.allpos is True
