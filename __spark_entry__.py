@@ -322,6 +322,192 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Wave-2 operators: parse/codec/branch/workflow/analytics (SURVEY §2.5-2.6)
+# --------------------------------------------------------------------------
+
+
+def q_parse_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grok/parse_log (processor_grok.go:104, processor_parse_log.go:105):
+    synthesize CLF lines from events, parse them back, aggregate by verb."""
+    from bento_spark.operators.codec import parse_log
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.format_string(
+            '10.0.%d.%d - u%d [01/Jan/2024:00:00:00 +0000] "%s /page/%d HTTP/1.1" %d %d',
+            (F.col("user_id") % 256).cast("int"),
+            (F.col("event_id") % 256).cast("int"),
+            F.col("user_id"),
+            F.when(F.col("event_type") == "purchase", F.lit("POST")).otherwise(F.lit("GET")),
+            (F.col("event_id") % 50).cast("int"),
+            F.when(F.col("event_type") == "error", F.lit(500)).otherwise(F.lit(200)),
+            F.col("value").cast("int"),
+        ).alias("line")
+    )
+    parsed = parse_log(lines, "line")
+    return parsed.filter(F.col("error").isNull()).groupBy("verb", "status").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("size").alias("total_bytes")
+    )
+
+
+def q_jq_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jq/jmespath JSON query (processor_jq.go:95) via get_json_object."""
+    from bento_spark.operators.codec import json_map
+
+    ev = _t(spark, sf_dir, "events")
+    out = json_map(ev, "props", {"k": ("k", "int")})
+    return out.groupBy((F.col("k") % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_json_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_schema validation -> error column (processor_jsonschema.go:93):
+    every 7th payload is corrupted to `{}` so both routes are exercised."""
+    from bento_spark.operators.codec import json_schema_check
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props", F.when(F.col("event_id") % 7 == 0, F.lit("{}")).otherwise(F.col("props"))
+    )
+    checked = json_schema_check(ev, "props", [("k", "integer")])
+    return checked.groupBy(F.col("error").isNull().alias("valid")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_workflow_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """workflow DAG of branches (processor_workflow.go:252): derived-column
+    stages in dependency order over lineitem."""
+    from bento_spark.operators.branch import Branch, workflow
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = workflow(
+        li,
+        [
+            Branch("charge", None, lambda d: d,
+                   {"charge": F.col("disc_price") * (1 + F.col("l_tax"))},
+                   depends_on=["disc"]),
+            Branch("disc", None, lambda d: d,
+                   {"disc_price": F.col("l_extendedprice") * (1 - F.col("l_discount"))}),
+            Branch("bucket", None, lambda d: d,
+                   {"bucket": F.when(F.col("charge") > 50000, F.lit("big")).otherwise(F.lit("small"))},
+                   depends_on=["charge"]),
+        ],
+    )
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("charge"), 2).alias("total_charge")
+    )
+
+
+def q_branch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """branch with skip_when (processor_branch.go:152): compute a derived
+    result only for non-skipped rows; skipped rows keep NULL."""
+    from bento_spark.operators.branch import Branch, apply_branch_inline
+
+    o = _t(spark, sf_dir, "orders")
+    br = Branch(
+        name="prio_score",
+        request_map={"req_price": F.col("o_totalprice") / 1000.0},
+        processors=lambda d: d,
+        result_map={"score": F.round(F.col("req_price") * 2, 4)},
+        skip_when=F.col("o_orderstatus") == "F",
+    )
+    out = apply_branch_inline(o, br)
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.coalesce(F.col("score"), F.lit(0.0))), 4).alias("total_score"),
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup aggregation (free-in-Spark, SURVEY §2.8 'absent in Bento')."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics (free-in-Spark window functions, §2.8)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return out.groupBy("user_id").agg(
+        F.round(F.sum(F.coalesce(F.col("prev_value"), F.lit(0.0))), 4).alias("sum_prev"),
+        F.count(F.col("next_type")).alias("n_with_next"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of join (SURVEY §2.7 'free in Spark'): for each click, the latest
+    prior purchase value per user."""
+    from bento_spark.operators.enrich import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = asof_join(clicks, purchases, key="user_id", left_ts="ts", right_ts="p_ts")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum(F.coalesce(F.col("p_value"), F.lit(0.0))), 4).alias("sum_asof_value"),
+    )
+
+
+def q_mapping_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloblang mapping compiled to Columns (processor_mapping.go:15 via
+    functions/bloblang.py): filter + computed fields over documents."""
+    from bento_spark.functions.bloblang import compile_mapping
+
+    docs = _t(spark, sf_dir, "documents")
+    m = compile_mapping(
+        """
+root = deleted() if this.text.length() < 40
+root.head = this.text.slice(0, 16).lowercase()
+root.n_chars = this.text.length()
+root.lang_tag = match this.lang { "en" => "english", "de" => "german", _ => "other" }
+"""
+    )
+    out = m.apply(docs)
+    return out.groupBy("lang_tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("head").alias("first_head"),
+    )
+
+
+def q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compress/decompress processors (rows-only: DuckDB has no gzip)."""
+    from bento_spark.operators.codec import compress_col, decompress_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").cast("binary").alias("body"))
+    out = (
+        docs.withColumn("gz", compress_col("body", "gzip"))
+        .withColumn("back", decompress_col("gz", "gzip"))
+    )
+    return out.select(
+        "doc_id",
+        (F.col("back") == F.col("body")).alias("roundtrip_ok"),
+        (F.length("gz") < F.length("body")).alias("compressed_smaller"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Audio pipeline (synthetic clips table per input_hint; rows-only checks —
 # strong invariants live in tests/test_audio.py & tests/test_streaming.py)
 # --------------------------------------------------------------------------
@@ -396,6 +582,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "embedding_norms": q_embedding_norms,
+        "parse_log": q_parse_log,
+        "jq_extract": q_jq_extract,
+        "json_schema_check": q_json_schema_check,
+        "workflow_dag": q_workflow_dag,
+        "branch_enrich": q_branch_enrich,
+        "rollup_agg": q_rollup_agg,
+        "lag_lead": q_lag_lead,
+        "asof_join": q_asof_join,
+        "mapping_pipeline": q_mapping_pipeline,
+        "compress_roundtrip": q_compress_roundtrip,
         "audio_features_window": q_audio_features_window,
         "clip_transcript_join": q_clip_transcript_join,
     }
@@ -604,9 +800,90 @@ def oracle_sql() -> dict[str, str]:
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
             FROM embeddings
         """,
-        # minhash_lsh, simhash, ann_lsh, audio_features_window,
-        # clip_transcript_join: rows-only (non-SQL-expressible: Spark-side
-        # hashes / numpy signatures / binary audio payloads)
+        "parse_log": """
+            WITH lines AS (
+              SELECT printf('10.0.%d.%d - u%d [01/Jan/2024:00:00:00 +0000] "%s /page/%d HTTP/1.1" %d %d',
+                     CAST(user_id % 256 AS INT), CAST(event_id % 256 AS INT), user_id,
+                     CASE WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END,
+                     CAST(event_id % 50 AS INT),
+                     CASE WHEN event_type = 'error' THEN 500 ELSE 200 END,
+                     CAST(trunc(value) AS INT)) AS line
+              FROM events),
+            parsed AS (
+              SELECT regexp_extract(line, '"(\\w+) ', 1) AS verb,
+                     CAST(regexp_extract(line, '" (\\d+) (\\d+)$', 1) AS INT) AS status,
+                     CAST(regexp_extract(line, '" (\\d+) (\\d+)$', 2) AS BIGINT) AS size
+              FROM lines)
+            SELECT verb, status, count(*) AS n, CAST(sum(size) AS BIGINT) AS total_bytes
+            FROM parsed GROUP BY verb, status
+        """,
+        "jq_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+                   count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY 1
+        """,
+        "json_schema_check": """
+            SELECT (CASE WHEN event_id % 7 = 0 THEN NULL
+                         ELSE json_extract_string(props, '$.k') END) IS NOT NULL AS valid,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "workflow_dag": """
+            WITH d AS (
+              SELECT l_extendedprice * (1 - l_discount) AS disc_price, l_tax FROM lineitem),
+            c AS (SELECT disc_price * (1 + l_tax) AS charge FROM d)
+            SELECT CASE WHEN charge > 50000 THEN 'big' ELSE 'small' END AS bucket,
+                   count(*) AS n, round(sum(charge), 2) AS total_charge
+            FROM c GROUP BY 1
+        """,
+        "branch_enrich": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN 0.0
+                                  ELSE round(o_totalprice / 1000.0 * 2, 4) END), 4) AS total_score
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "rollup_agg": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n, round(sum(o_totalprice), 4) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "lag_lead": """
+            WITH w AS (
+              SELECT user_id,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+              FROM events)
+            SELECT user_id, round(sum(coalesce(prev_value, 0)), 4) AS sum_prev,
+                   count(next_type) AS n_with_next
+            FROM w GROUP BY user_id
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+            purchases AS (
+              SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase')
+            SELECT c.user_id, count(*) AS n_clicks,
+                   round(sum(coalesce(p.p_value, 0)), 4) AS sum_asof_value
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND p.p_ts <= c.ts
+            GROUP BY c.user_id
+        """,
+        "mapping_pipeline": f"""
+            SELECT CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german'
+                             ELSE 'other' END AS lang_tag,
+                   count(*) AS n,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   min(lower(substring(text, 1, 16))) AS first_head
+            FROM documents WHERE length(text) >= 40
+            GROUP BY 1
+        """,
+        # minhash_lsh, simhash, ann_lsh, compress_roundtrip,
+        # audio_features_window, clip_transcript_join: rows-only
+        # (non-SQL-expressible: Spark-side hashes / numpy signatures /
+        # gzip / binary audio payloads)
     }
 
 

@@ -36,6 +36,11 @@ HEADLINE = [
     "simhash",
     "ann_cosine",
     "embedding_norms",
+    "parse_log",
+    "asof_join",
+    "rollup_agg",
+    "workflow_dag",
+    "mapping_pipeline",
     "audio_features_window",
     "clip_transcript_join",
 ]

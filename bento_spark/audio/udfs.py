@@ -156,3 +156,72 @@ def with_audio_features(df: DataFrame, keep_payload: bool = False) -> DataFrame:
             yield out
 
     return df.mapInPandas(feats, schema=out_schema)
+
+
+SPECTRAL_FEATURE_COLS = (
+    "n_samples bigint, rms double, n_frames int, "
+    "band_mean array<float>, band_std array<float>"
+)
+
+
+def _stft_band_energies(pcm: np.ndarray, n_fft: int = 512, hop: int = 160, n_bands: int = 16):
+    """Log band energies over STFT frames (the standard ASR front-end shape:
+    framed windowed FFT -> banded power -> log). Pure numpy, O(n log n),
+    cache-resident — compute-dense per byte, unlike the O(n) scalar
+    features, so it exercises CPU scaling rather than memory bandwidth."""
+    if pcm.size < n_fft:
+        pcm = np.pad(pcm, (0, n_fft - pcm.size))
+    n_frames = 1 + (pcm.size - n_fft) // hop
+    frames = np.lib.stride_tricks.as_strided(
+        pcm, shape=(n_frames, n_fft), strides=(pcm.strides[0] * hop, pcm.strides[0])
+    )
+    win = np.hanning(n_fft).astype(np.float32)
+    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+    bands = spec[:, : (n_fft // 2)].reshape(n_frames, n_bands, -1).sum(axis=2)
+    logb = np.log1p(bands)
+    return n_frames, logb.mean(axis=0).astype(np.float32), logb.std(axis=0).astype(np.float32)
+
+
+def with_spectrogram_features(
+    df: DataFrame,
+    target_sr: int = 16000,
+    n_fft: int = 512,
+    hop: int = 160,
+    n_bands: int = 16,
+    keep_payload: bool = False,
+) -> DataFrame:
+    """Full ASR-style front-end in ONE Arrow pass: decode -> resample to
+    target_sr -> peak-normalize -> STFT log-band energies + rms.
+
+    Output adds SPECTRAL_FEATURE_COLS; the raw payload is dropped by
+    default (features are what flows into the window agg)."""
+    passthrough = [f for f in df.schema.fields if keep_payload or f.name != "bytes"]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
+    out_schema += ", " + SPECTRAL_FEATURE_COLS
+    keep_cols = [f.name for f in passthrough]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_s, rms, nfr, bm, bs = [], [], [], [], []
+            for raw, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
+                pcm = decode_clip(raw, codec, int(sr))
+                pcm = resample_linear(pcm, int(sr), target_sr)
+                peak = float(np.abs(pcm).max()) if pcm.size else 0.0
+                if peak > 0:
+                    pcm = (pcm / peak * 0.95).astype(np.float32)
+                n = pcm.size
+                n_s.append(n)
+                rms.append(float(np.sqrt(np.mean(pcm**2))) if n else 0.0)
+                k, m, s = _stft_band_energies(pcm, n_fft=n_fft, hop=hop, n_bands=n_bands)
+                nfr.append(k)
+                bm.append(m)
+                bs.append(s)
+            out = pdf[keep_cols].copy()
+            out["n_samples"] = pd.array(n_s, dtype="int64")
+            out["rms"] = rms
+            out["n_frames"] = pd.array(nfr, dtype="int32")
+            out["band_mean"] = bm
+            out["band_std"] = bs
+            yield out
+
+    return df.mapInPandas(feats, schema=out_schema)

@@ -180,6 +180,85 @@ class Pipeline:
                 return df.repartition(int(o.get("num", 0)) or df.sparkSession.sparkContext.defaultParallelism,
                                       *[F.col(c) for c in o["by"]])
             return df.repartition(int(o["num"]))
+        if name == "compress":
+            o = opts or {}
+            from bento_spark.operators.codec import compress_col
+
+            col = o.get("column", "bytes")
+            return df.withColumn(o.get("out", col), compress_col(col, o.get("algorithm", "gzip")))
+        if name == "decompress":
+            o = opts or {}
+            from bento_spark.operators.codec import decompress_col
+
+            col = o.get("column", "bytes")
+            out = o.get("out", col)
+            dfd = df.withColumn(out, decompress_col(col, o.get("algorithm", "gzip")))
+            return err_ops.set_error_when(dfd, F.col(out).isNull() & F.col(col).isNotNull(), "decompress failed")
+        if name == "grok":
+            from bento_spark.operators.codec import grok
+
+            return grok(df, opts["column"], opts["pattern"])
+        if name == "parse_log":
+            from bento_spark.operators.codec import parse_log
+
+            o = opts or {}
+            return parse_log(df, o.get("column", "line"), o.get("format", "apache_common"))
+        if name == "json_map":
+            from bento_spark.operators.codec import json_map
+
+            o = dict(opts)
+            col = o.pop("column")
+            outputs = {k: (v["path"], v.get("type", "string")) for k, v in o["fields"].items()}
+            return json_map(df, col, outputs)
+        if name == "json_schema":
+            from bento_spark.operators.codec import json_schema_check
+
+            return json_schema_check(df, opts["column"], [(f["field"], f["type"]) for f in opts["required"]])
+        if name == "archive":
+            from bento_spark.operators import batching
+
+            o = opts or {}
+            return batching.archive(
+                df, o["key"], o["order_by"], o["column"],
+                fmt=o.get("format", "lines"), out_col=o.get("out", "archived"),
+            )
+        if name == "unarchive":
+            from bento_spark.operators import batching
+
+            o = opts or {}
+            return batching.unarchive(df, o["column"], fmt=o.get("format", "lines"), out_col=o.get("out", "part"))
+        if name == "branch":
+            # expression-only branch: request_map/result_map of Bloblang
+            # exprs, optional skip_when (processor_branch.go:152)
+            from bento_spark.operators.branch import Branch, apply_branch_inline
+
+            o = opts or {}
+            br = Branch(
+                name=o.get("name", "branch"),
+                request_map={k: compile_expr(v) for k, v in (o.get("request_map") or {}).items()} or None,
+                processors=lambda d: d,
+                result_map={k: compile_expr(v) for k, v in o["result_map"].items()},
+                skip_when=compile_expr(o["skip_when"]) if "skip_when" in o else None,
+            )
+            return apply_branch_inline(df, br)
+        if name == "workflow":
+            from bento_spark.operators.branch import Branch, workflow as run_workflow
+
+            brs = []
+            for b in opts["branches"]:
+                brs.append(
+                    Branch(
+                        name=b["name"],
+                        request_map=None,
+                        processors=lambda d: d,
+                        result_map={k: compile_expr(v) for k, v in b["result_map"].items()},
+                        skip_when=compile_expr(b["skip_when"]) if "skip_when" in b else None,
+                        depends_on=b.get("depends_on", ()),
+                    )
+                )
+            return run_workflow(df, brs)
+        if name in ("noop", "log"):
+            return df  # log/metric side effects live in the metrics listener
         raise ValueError(f"unsupported processor: {name}")
 
     # ----------------------------------------------------------------- window

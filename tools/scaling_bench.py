@@ -4,9 +4,9 @@ on identical input.
 
 Pipeline measured (the engine's streaming hot path, in bounded form):
 parquet scan of the materialized clips table -> vectorized audio decode ->
-polyphase/linear resample to 16 kHz -> peak normalize -> re-encode
-pcm_s16le + feature extraction, all in one Arrow pass (no per-row Python)
--> tumbling window aggregation keyed by codec -> noop sink. Input is materialized ONCE and
+resample to 16 kHz -> peak normalize -> STFT log-band energy features (the
+ASR front-end), all in one Arrow pass (no per-row Python) -> tumbling
+window aggregation keyed by codec -> noop sink. Input is materialized ONCE and
 shared by both levels (identical bytes, identical file layout).
 
 Methodology notes (what a fair cluster-scaling measurement needs):
@@ -50,7 +50,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from bento_spark.session import get_spark
-from bento_spark.audio.udfs import with_normalized_clip
+from bento_spark.audio.udfs import with_spectrogram_features
 from bento_spark.streaming.windows import tumbling_windowed
 
 cores = int(sys.argv[1]); n = int(sys.argv[2]); src = sys.argv[3]
@@ -59,13 +59,14 @@ spark.sparkContext.setLogLevel("ERROR")
 
 def pipeline():
     # full north-rule audio chain: decode -> resample 16k -> peak-normalize
-    # -> re-encode pcm_s16le, features in the same Arrow pass
-    feats = with_normalized_clip(spark.read.parquet(src), target_sr=16000,
-                                 target_codec="pcm_s16le",
-                                 keep_payload=False, emit_features=True)
+    # -> STFT log-band energies (ASR front-end), one Arrow pass
+    feats = with_spectrogram_features(spark.read.parquet(src), target_sr=16000)
     agg = tumbling_windowed(
         feats, "event_ts", "10 seconds", ["codec"],
-        {{"n": F.count(F.lit(1)), "avg_rms": F.avg("rms"), "total_samples": F.sum("n_samples")}},
+        {{"n": F.count(F.lit(1)), "avg_rms": F.avg("rms"),
+          "total_samples": F.sum("n_samples"),
+          "avg_band0": F.avg(F.element_at("band_mean", 1)),
+          "total_frames": F.sum("n_frames")}},
     )
     agg.write.format("noop").mode("overwrite").save()
 
@@ -127,8 +128,8 @@ North rule: throughput scaling efficiency >= 0.8 between cluster sizes N
 and 4N. Sandbox proxy (no real cluster available): the same job — parquet
 scan of the materialized clips table (ONE shared copy, identical files for
 both levels) -> vectorized decode -> resample 16k -> peak-normalize ->
-re-encode pcm_s16le + features (one Arrow pass) -> tumbling window agg
-keyed by codec -> sink — at local[8] vs local[32],
+STFT log-band energies (ASR front-end, one Arrow pass) -> tumbling window
+agg keyed by codec -> sink — at local[8] vs local[32],
 n_clips = {n_clips}, deterministic seed 42. Steady-state: two warm-up passes
 per level (long-lived-executor model: workers spawned, page cache hot, JIT
 compiled), then MIN of 5 measured passes (min-of-N is noise-robust; this VM
