@@ -90,6 +90,7 @@ def _parse_agg(src: str) -> Column:
 class Pipeline:
     conf: dict[str, Any]
     _sink: IdempotentParquetSink | None = field(default=None, init=False)
+    _dlq_query: Any = field(default=None, init=False)  # StreamingQuery for window+dlq configs
 
     # ------------------------------------------------------------------ input
     def _input(self, spark: SparkSession, streaming: bool) -> DataFrame:
@@ -296,13 +297,41 @@ class Pipeline:
         out = self.conf.get("output") or {}
         if "path" not in out:
             raise ValueError("output.path required for run_stream")
-        df = self.build_stream(spark)
         self._sink = IdempotentParquetSink(out["path"], key_cols=out.get("keys"))
-        if out.get("dlq"):
-            dlq = IdempotentParquetSink(out["dlq"])
-            writer = dlq_split_writer(self._sink, dlq)
-        else:
+        has_window = bool(self.conf.get("window"))
+        dlq_path = out.get("dlq")
+
+        if dlq_path and has_window:
+            # Errored rows must be routed BEFORE the window agg (the agg
+            # output has no per-row error column — reference semantics:
+            # reject_errored sits between pipeline and the window-fed
+            # output). Idiomatic Spark: a SECOND streaming query over the
+            # same source feeds the DLQ, each with its own checkpoint —
+            # exactly-once holds independently for both sinks. (A single
+            # query can't window correctly per-micro-batch: a window's rows
+            # may span batches and last-writer-wins MERGE would drop the
+            # earlier partials.)
+            rows = self._apply_processors(self._input(spark, streaming=True))
+            if "error" in rows.columns:
+                dlq = IdempotentParquetSink(dlq_path)
+                errored = rows.filter(F.col("error").isNotNull())
+                self._dlq_query = (
+                    errored.writeStream.outputMode("append")
+                    .option("checkpointLocation", checkpoint.rstrip("/") + "_dlq")
+                    .foreachBatch(dlq.foreach_batch())
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                rows = rows.filter(F.col("error").isNull())
+            df = self._apply_window(rows)
             writer = self._sink.foreach_batch()
+        else:
+            df = self.build_stream(spark)
+            if dlq_path:
+                dlq = IdempotentParquetSink(dlq_path)
+                writer = dlq_split_writer(self._sink, dlq)
+            else:
+                writer = self._sink.foreach_batch()
         q = (
             df.writeStream.outputMode(out.get("mode", "append"))
             .option("checkpointLocation", checkpoint)

@@ -1,0 +1,73 @@
+"""spark-submit entry point: run a YAML pipeline as a Structured Streaming
+job with the exactly-once sink.
+
+Cluster usage (north rule: spark-submit --py-files on multi-executor):
+
+    python tools/build_pyfiles.py                      # -> dist/bento_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/bento_spark.zip \
+        jobs/run_pipeline.py --config pipeline.yaml \
+        --checkpoint s3://bucket/ckpt [--continuous]
+
+Local smoke (what the sandbox runs):
+
+    spark-submit --master 'local[8]' --py-files dist/bento_spark.zip \
+        jobs/run_pipeline.py --config config/examples/clips_window.yaml \
+        --checkpoint /tmp/ckpt
+
+The job resumes from the checkpoint if one exists (offset/commit logs +
+state store), so kill/restart is exactly-once end-to-end. With
+--continuous it runs until SIGTERM (processingTime trigger); default is
+one availableNow drain (bounded catch-up, the reference's `read_until`
+shape for bounded runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="pipeline YAML path")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--continuous", action="store_true", help="run until stopped (processingTime trigger)")
+    ap.add_argument("--stage-clips", type=int, default=0, metavar="N",
+                    help="first materialize N synthetic clips to input.parquet.path")
+    ap.add_argument("--timeout", type=int, default=0, help="max seconds to run (0 = no bound)")
+    args = ap.parse_args()
+
+    # spark-submit provides the SparkSession; fall back to our factory when
+    # run as a plain python script.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+
+    from bento_spark.plans.compiler import Pipeline, compile_yaml
+    from bento_spark.streaming.metrics import BentoMetricsListener
+
+    with open(args.config) as f:
+        pipe = compile_yaml(f.read())
+
+    if args.stage_clips:
+        path = pipe.conf["input"]["parquet"]["path"]
+        Pipeline.stage_clips(spark, path, args.stage_clips)
+
+    listener = BentoMetricsListener()
+    spark.streams.addListener(listener)
+    q = pipe.run_stream(spark, checkpoint=args.checkpoint, available_now=not args.continuous)
+    q.awaitTermination(args.timeout or None)
+    if args.continuous and q.isActive:
+        q.stop()
+    if pipe._dlq_query is not None:
+        pipe._dlq_query.awaitTermination(args.timeout or None)
+
+    import json
+
+    print(json.dumps({"metrics": listener.totals(), "lineage_batches": len(listener.lineage_rows())}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
