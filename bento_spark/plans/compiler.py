@@ -91,6 +91,7 @@ class Pipeline:
     conf: dict[str, Any]
     _sink: IdempotentParquetSink | None = field(default=None, init=False)
     _dlq_query: Any = field(default=None, init=False)  # StreamingQuery for window+dlq configs
+    _case_sinks: list = field(default_factory=list, init=False)  # switch/fan_out sinks
 
     # ------------------------------------------------------------------ input
     def _input(self, spark: SparkSession, streaming: bool) -> DataFrame:
@@ -117,6 +118,35 @@ class Pipeline:
                     reader = reader.option("maxFilesPerTrigger", int(opts["max_files_per_trigger"]))
                 return reader.parquet(opts["path"])
             return spark.read.parquet(opts["path"])
+        # file-format scanners (reference scanners: lines/csv/json_documents,
+        # internal/impl/pure/scanner_*.go) — Spark readers ARE the scanners
+        if "csv" in inp:
+            opts = inp["csv"]
+            rd = spark.readStream if streaming else spark.read
+            if streaming or "schema" in opts:
+                rd = rd.schema(opts["schema"])
+            return rd.options(
+                header=str(opts.get("header", True)).lower(),
+                **({"maxFilesPerTrigger": str(opts["max_files_per_trigger"])} if streaming and "max_files_per_trigger" in opts else {}),
+            ).csv(opts["path"])
+        if "json" in inp:
+            opts = inp["json"]
+            rd = spark.readStream if streaming else spark.read
+            if streaming or "schema" in opts:
+                rd = rd.schema(opts["schema"])
+            return rd.json(opts["path"])
+        if "lines" in inp:
+            opts = inp["lines"]
+            rd = spark.readStream if streaming else spark.read
+            return rd.text(opts["path"]).withColumnRenamed("value", opts.get("column", "line"))
+        if "broker" in inp:
+            # fan-in of child inputs (input_broker.go:78) = streaming union
+            children = inp["broker"]["inputs"]
+            dfs = [Pipeline({"input": c})._input(spark, streaming) for c in children]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
         raise ValueError(f"unsupported input config: {list(inp)}")
 
     @staticmethod
@@ -295,9 +325,10 @@ class Pipeline:
         """Execute as a StreamingQuery with the exactly-once parquet sink
         (Iceberg MERGE on a real cluster) and optional DLQ routing."""
         out = self.conf.get("output") or {}
-        if "path" not in out:
-            raise ValueError("output.path required for run_stream")
-        self._sink = IdempotentParquetSink(out["path"], key_cols=out.get("keys"))
+        if "path" not in out and not (out.get("switch") or out.get("fan_out")):
+            raise ValueError("output.path (or switch/fan_out) required for run_stream")
+        if "path" in out:
+            self._sink = IdempotentParquetSink(out["path"], key_cols=out.get("keys"))
         has_window = bool(self.conf.get("window"))
         dlq_path = out.get("dlq")
 
@@ -325,6 +356,28 @@ class Pipeline:
                 rows = rows.filter(F.col("error").isNull())
             df = self._apply_window(rows)
             writer = self._sink.foreach_batch()
+        elif out.get("switch"):
+            # predicate-routed multi-sink (output_switch.go:164): first
+            # matching case wins; `default: path` is the catch-all
+            from bento_spark.streaming.sink import route_outputs
+
+            df = self.build_stream(spark)
+            cases = [
+                (compile_expr(c["check"]), IdempotentParquetSink(c["path"]))
+                for c in out["switch"]
+            ]
+            if out.get("default"):
+                cases.append((None, IdempotentParquetSink(out["default"])))
+            self._case_sinks = [s for _, s in cases]
+            writer = route_outputs(cases, mode="switch")
+        elif out.get("fan_out"):
+            # broker fan_out (output_broker.go:150): every sink gets the batch
+            from bento_spark.streaming.sink import route_outputs
+
+            df = self.build_stream(spark)
+            sinks = [(None, IdempotentParquetSink(p)) for p in out["fan_out"]]
+            self._case_sinks = [s for _, s in sinks]
+            writer = route_outputs(sinks, mode="fan_out")
         else:
             df = self.build_stream(spark)
             if dlq_path:

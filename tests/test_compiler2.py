@@ -1,0 +1,134 @@
+"""Compiler wave-2: scanner inputs (csv/json/lines/broker), switch/fan_out
+outputs, new processors (compress/grok/json_map/branch/workflow in YAML)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.plans.compiler import Pipeline, compile_yaml
+from bento_spark.streaming.sink import IdempotentParquetSink
+
+
+def test_csv_json_lines_inputs(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    df.coalesce(1).write.option("header", True).csv(str(tmp_path / "c"))
+    df.coalesce(1).write.json(str(tmp_path / "j"))
+    spark.createDataFrame([("x y",), ("z w",)], ["value"]).coalesce(1).write.text(str(tmp_path / "t"))
+
+    got_csv = compile_yaml(
+        f'input: {{csv: {{path: {tmp_path}/c, schema: "id int, s string", header: true}}}}'
+    ).build_batch(spark)
+    assert {r.id for r in got_csv.collect()} == {1, 2}
+
+    got_json = compile_yaml(f"input: {{json: {{path: {tmp_path}/j}}}}").build_batch(spark)
+    assert {r.s for r in got_json.collect()} == {"a", "b"}
+
+    got_lines = compile_yaml(f"input: {{lines: {{path: {tmp_path}/t}}}}").build_batch(spark)
+    assert set(got_lines.columns) == {"line"}
+    assert {r.line for r in got_lines.collect()} == {"x y", "z w"}
+
+
+def test_broker_fan_in_input(spark, tmp_path):
+    spark.createDataFrame([(1,)], ["id"]).write.json(str(tmp_path / "a"))
+    spark.createDataFrame([(2,)], ["id"]).write.json(str(tmp_path / "b"))
+    got = compile_yaml(
+        f"""
+input:
+  broker:
+    inputs:
+      - {{json: {{path: {tmp_path}/a}}}}
+      - {{json: {{path: {tmp_path}/b}}}}
+"""
+    ).build_batch(spark)
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+
+
+def test_output_switch_routing(spark, tmp_path):
+    src = str(tmp_path / "src")
+    Pipeline.stage_clips(spark, src, 60)
+    p = compile_yaml(
+        f"""
+input:
+  parquet: {{path: {src}}}
+output:
+  switch:
+    - {{check: "this.sr_hz == 8000", path: {tmp_path}/low}}
+    - {{check: "this.dur_ms > 5000", path: {tmp_path}/long}}
+  default: {tmp_path}/rest
+"""
+    )
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(90)
+    low = IdempotentParquetSink(str(tmp_path / "low")).read(spark)
+    rest = IdempotentParquetSink(str(tmp_path / "rest")).read(spark)
+    assert low.count() == 15  # sr cycle: every 4th clip is 8000
+    assert low.filter(F.col("sr_hz") != 8000).count() == 0
+    # first-match-wins: no 8000-sr rows in later sinks
+    assert rest.filter(F.col("sr_hz") == 8000).count() == 0
+    long_s = IdempotentParquetSink(str(tmp_path / "long")).read(spark)
+    assert long_s.filter(F.col("sr_hz") == 8000).count() == 0
+    assert low.count() + rest.count() + long_s.count() == 60
+
+
+def test_output_fan_out(spark, tmp_path):
+    src = str(tmp_path / "src")
+    Pipeline.stage_clips(spark, src, 20)
+    p = compile_yaml(
+        f"""
+input:
+  parquet: {{path: {src}}}
+output:
+  fan_out: [{tmp_path}/s1, {tmp_path}/s2]
+"""
+    )
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(90)
+    for s in ("s1", "s2"):
+        assert IdempotentParquetSink(str(tmp_path / s)).read(spark).count() == 20
+
+
+def test_yaml_processors_wave2(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 7}}', "level=ERROR msg=boom")], ["id", "body", "logline"]
+    )
+    df.write.json(str(tmp_path / "in"))
+    p = compile_yaml(
+        f"""
+input:
+  json: {{path: {tmp_path}/in, schema: "id int, body string, logline string"}}
+pipeline:
+  processors:
+    - json_map:
+        column: body
+        fields:
+          ab: {{path: a.b, type: int}}
+    - grok: {{column: logline, pattern: "level=%{{LOGLEVEL:lvl}} msg=%{{WORD:msg}}"}}
+    - branch:
+        request_map: {{doubled: "this.ab * 2"}}
+        result_map: {{ab2: "this.doubled + 1"}}
+    - workflow:
+        branches:
+          - {{name: s2, result_map: {{f: "this.e * 10"}}, depends_on: [s1]}}
+          - {{name: s1, result_map: {{e: "this.ab2 + this.ab"}}}}
+"""
+    )
+    row = p.build_batch(spark).collect()[0]
+    assert (row.ab, row.lvl, row.msg, row.ab2, row.e, row.f) == (7, "ERROR", "boom", 15, 22, 220)
+
+
+def test_yaml_compress_decompress(spark, tmp_path):
+    src = str(tmp_path / "src")
+    Pipeline.stage_clips(spark, src, 8)
+    p = compile_yaml(
+        f"""
+input:
+  parquet: {{path: {src}}}
+pipeline:
+  processors:
+    - compress: {{column: bytes, out: gz, algorithm: zlib}}
+    - decompress: {{column: gz, out: back, algorithm: zlib}}
+"""
+    )
+    out = p.build_batch(spark).withColumn("ok", F.col("back") == F.col("bytes"))
+    assert all(r.ok for r in out.collect())
