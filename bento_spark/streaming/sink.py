@@ -58,15 +58,47 @@ class IdempotentParquetSink:
             .write.mode("overwrite")
             .parquet(f"{self.data_dir}/_bid={int(epoch_id)}")
         )
-        # atomic commit point: marker creation
-        with open(self._marker(epoch_id), "w") as f:
-            f.write("ok")
+        # atomic commit point: marker creation. The marker carries the
+        # committed row count — per-batch output lineage the metrics
+        # listener can't see through foreachBatch (numOutputRows is -1 for
+        # ForeachBatchSink), mirroring the reference's output_sent counter
+        # (component/output/async_writer.go:92-95).
+        import json as _json
+
+        n = self.spark_count(epoch_id)
+        with open(self._marker(epoch_id) + ".tmp", "w") as f:
+            f.write(_json.dumps({"epoch": int(epoch_id), "rows": n}))
+        os.replace(self._marker(epoch_id) + ".tmp", self._marker(epoch_id))
+
+    def spark_count(self, epoch_id: int) -> int:
+        """Row count of a written batch from parquet footers (no scan)."""
+        import pyarrow.parquet as pq
+
+        d = f"{self.data_dir}/_bid={int(epoch_id)}"
+        total = 0
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+        return total
+
+    def output_sent(self) -> int:
+        """Total rows committed across batches (output_sent metric)."""
+        import json as _json
+
+        total = 0
+        for i in self.committed_ids():
+            try:
+                with open(self._marker(i)) as f:
+                    total += _json.loads(f.read()).get("rows", 0)
+            except (ValueError, OSError):
+                pass  # markers from older layouts carry no count
+        return total
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:
         return self.write_batch
 
     def committed_ids(self) -> list[int]:
-        return sorted(int(x) for x in os.listdir(self.commit_dir))
+        return sorted(int(x) for x in os.listdir(self.commit_dir) if x.isdigit())
 
     def read(self, spark: SparkSession, merged: bool | None = None) -> DataFrame:
         ids = self.committed_ids()
