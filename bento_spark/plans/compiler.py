@@ -166,8 +166,21 @@ class Pipeline:
         return df
 
     def _apply_one(self, df: DataFrame, name: str, opts: Any) -> DataFrame:
-        if name == "mapping":
+        if name in ("mapping", "mutation"):
+            # mutation = mapping with in-place assignment semantics
+            # (processor_mutation.go:15) — identical compilation here since
+            # our assignments are withColumn either way
             return compile_mapping(opts).apply(df)
+        if name == "sleep":
+            return df  # throttling is a trigger/rate concern in Spark (below)
+        if name == "rate_limit":
+            # token-bucket rate limiting (processor_rate_limit.go:32,
+            # rate_limit_local.go:16) maps to source-side pacing in Spark:
+            # maxFilesPerTrigger/maxOffsetsPerTrigger + trigger interval.
+            # Recorded on the plan for run_stream to apply; a no-op on the
+            # already-built frame.
+            self.conf.setdefault("_rate_limit", opts or {})
+            return df
         if name == "filter":
             return df.filter(compile_expr(opts))
         if name == "audio_decode":

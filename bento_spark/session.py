@@ -50,6 +50,11 @@ def get_spark(
     # concurrency is modest, but the settings are safe there too.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "134217728")
+    # Arrow's bundled jemalloc madvises aggressively (MADV_FREE/THP hints);
+    # under this VM's kernel that showed up as khugepaged/page-reclaim system
+    # time during Arrow-heavy stages. The plain system allocator measured
+    # equal-or-faster with far lower variance.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     driver_mem = (extra_conf or {}).get(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     )
@@ -72,6 +77,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_mem)
         .config("spark.driver.extraJavaOptions", gc_opts)
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")

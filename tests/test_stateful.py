@@ -112,3 +112,35 @@ def test_normalized_clip_emit_features(spark):
         assert 0.90 <= r.peak <= 0.96
         # resample preserves duration: n_samples ~= dur_ms * 16
         assert abs(r.n_samples - r.dur_ms * 16) <= 16 + r.dur_ms * 16 * 0.01
+
+
+def test_streaming_dedupe_within_watermark(spark, tmp_path):
+    """dedupe processor in streaming mode (dropDuplicatesWithinWatermark —
+    the scalable analogue of the reference's TTL'd cache dedupe,
+    processor_dedupe.go:81)."""
+    from bento_spark.operators.grouping import dedupe
+
+    src = str(tmp_path / "src")
+    base = clips_df(spark, 40, partitions=1).select("clip_id", "dur_ms", "event_ts")
+    dup = base.limit(15)  # re-deliver the first 15 (at-least-once replay)
+    base.coalesce(1).write.parquet(src + "/p1")
+    dup.coalesce(1).write.parquet(src + "/p2")
+
+    s = (
+        spark.readStream.schema("clip_id string, dur_ms int, event_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p*")
+    )
+    out = dedupe(s, ["clip_id"], watermark=("event_ts", "10 minutes"))
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sink.read(spark)
+    assert got.count() == 40  # duplicates dropped across micro-batches
+    assert got.select("clip_id").distinct().count() == 40
