@@ -65,7 +65,14 @@ def main() -> int:
 
     import json
 
-    print(json.dumps({"metrics": listener.totals(), "lineage_batches": len(listener.lineage_rows())}))
+    totals = listener.totals()
+    try:
+        totals["output_sent"] = pipe.sink.output_sent()
+    except RuntimeError:
+        pass  # switch/fan_out configs have per-case sinks instead
+    for i, s in enumerate(pipe._case_sinks):
+        totals[f"output_sent_case{i}"] = s.output_sent()
+    print(json.dumps({"metrics": totals, "lineage_batches": len(listener.lineage_rows())}))
     return 0
 
 
