@@ -60,7 +60,7 @@ spark.sparkContext.setLogLevel("ERROR")
 def pipeline():
     # full north-rule audio chain: decode -> resample 16k -> peak-normalize
     # -> STFT log-band energies (ASR front-end), one Arrow pass
-    feats = with_spectrogram_features(spark.read.parquet(src), target_sr=16000, hop=96)
+    feats = with_spectrogram_features(spark.read.parquet(src), target_sr=16000, hop=80)
     agg = tumbling_windowed(
         feats, "event_ts", "10 seconds", ["codec"],
         {{"n": F.count(F.lit(1)), "avg_rms": F.avg("rms"),
@@ -72,7 +72,7 @@ def pipeline():
 
 pipeline(); pipeline()  # warm-up x2: python workers, page cache, JIT
 times = []
-for _ in range(5):
+for _ in range(4):
     t0 = time.perf_counter()
     pipeline()
     times.append(time.perf_counter() - t0)
@@ -108,8 +108,16 @@ def main() -> None:
     if not os.path.exists(f"{src}/_SUCCESS"):
         run_child(GEN, [src, str(n_clips)])
     levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")]
+    # interleave the levels over two rounds and keep the per-level best:
+    # host noise (THP compaction, co-tenants) then hits both levels alike
     lo = run_level(levels[0], n_clips, src)
     hi = run_level(levels[1], n_clips, src)
+    lo2 = run_level(levels[0], n_clips, src)
+    hi2 = run_level(levels[1], n_clips, src)
+    for cur, again in ((lo, lo2), (hi, hi2)):
+        cur["all_sec"] = cur["all_sec"] + again["all_sec"]
+        if again["sec"] < cur["sec"]:
+            cur["sec"], cur["clips_per_sec"] = again["sec"], again["clips_per_sec"]
     eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / 4
     report = {
         "n_clips": n_clips,
@@ -133,10 +141,10 @@ STFT log-band energies (ASR front-end, one Arrow pass) -> tumbling window
 agg keyed by codec -> sink — at local[{lo['cores']}] vs local[{hi['cores']}],
 n_clips = {n_clips}, deterministic seed 42. Steady-state: two warm-up passes
 per level (long-lived-executor model: workers spawned, page cache hot, JIT
-compiled), then MIN of 5 measured passes (min-of-N is noise-robust; this VM
+compiled), then MIN of 4 measured passes x 2 interleaved rounds per level (min-of-N is noise-robust; this VM
 shows khugepaged THP-compaction stalls uncorrelated with the job).
 
-| parallelism | wall sec (min of 5) | clips/sec |
+| parallelism | wall sec (min over rounds) | clips/sec |
 |---|---|---|
 | local[{lo['cores']}]  (N)  | {lo['sec']} (runs: {lo['all_sec']}) | {lo['clips_per_sec']} |
 | local[{hi['cores']}] (4N) | {hi['sec']} (runs: {hi['all_sec']}) | {hi['clips_per_sec']} |
