@@ -305,6 +305,38 @@ class Pipeline:
             return df  # log/metric side effects live in the metrics listener
         raise ValueError(f"unsupported processor: {name}")
 
+    # ------------------------------------------------------------------- join
+    def _apply_join(self, df: DataFrame, spark: SparkSession, streaming: bool) -> DataFrame:
+        """Stateful stream-stream join section (the north-rule clip ⋈
+        transcript join; reference analogue is the cache-hydration pattern,
+        config/examples/joining_streams.yaml:32-56 in the reference repo).
+
+            join:
+              right: {parquet: {path: ..., schema: ..., max_files_per_trigger: N}}
+              key: clip_id
+              left_ts: event_ts
+              right_ts: t_event_ts
+              watermark: 10 seconds
+              max_lag: 30 seconds
+              how: inner          # or leftOuter
+        """
+        j = self.conf.get("join")
+        if not j:
+            return df
+        from bento_spark.streaming.joins import stream_stream_join
+
+        right = Pipeline({"input": j["right"]})._input(spark, streaming)
+        return stream_stream_join(
+            df,
+            right,
+            key=j.get("key", "clip_id"),
+            left_ts=j.get("left_ts", "event_ts"),
+            right_ts=j.get("right_ts", "t_event_ts"),
+            watermark=j.get("watermark", "10 seconds"),
+            max_lag=j.get("max_lag", "30 seconds"),
+            how=j.get("how", "inner"),
+        )
+
     # ----------------------------------------------------------------- window
     def _apply_window(self, df: DataFrame) -> DataFrame:
         w = self.conf.get("window")
@@ -329,10 +361,14 @@ class Pipeline:
     def build_batch(self, spark: SparkSession) -> DataFrame:
         """Bounded run: same plan on a batch DataFrame (the reference's
         bounded test mode; SURVEY §1 streams-vs-tables)."""
-        return self._apply_window(self._apply_processors(self._input(spark, streaming=False)))
+        df = self._apply_processors(self._input(spark, streaming=False))
+        df = self._apply_join(df, spark, streaming=False)
+        return self._apply_window(df)
 
     def build_stream(self, spark: SparkSession) -> DataFrame:
-        return self._apply_window(self._apply_processors(self._input(spark, streaming=True)))
+        df = self._apply_processors(self._input(spark, streaming=True))
+        df = self._apply_join(df, spark, streaming=True)
+        return self._apply_window(df)
 
     def run_stream(self, spark: SparkSession, checkpoint: str, available_now: bool = True):
         """Execute as a StreamingQuery with the exactly-once parquet sink
@@ -367,6 +403,7 @@ class Pipeline:
                     .start()
                 )
                 rows = rows.filter(F.col("error").isNull())
+            rows = self._apply_join(rows, spark, streaming=True)
             df = self._apply_window(rows)
             writer = self._sink.foreach_batch()
         elif out.get("switch"):

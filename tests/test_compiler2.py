@@ -132,3 +132,47 @@ pipeline:
     )
     out = p.build_batch(spark).withColumn("ok", F.col("back") == F.col("bytes"))
     assert all(r.ok for r in out.collect())
+
+
+def test_yaml_stream_stream_join(spark, tmp_path):
+    """Full north-rule pipeline from YAML: clip stream ⋈ transcript stream
+    with watermark + event-time bound, windowed agg, exactly-once sink."""
+    from bento_spark.audio.generate import clips_df
+
+    base = clips_df(spark, 120, partitions=2)
+    cdir, tdir = str(tmp_path / "c"), str(tmp_path / "t")
+    base.select("clip_id", "sr_hz", "dur_ms", "codec", "event_ts").write.parquet(cdir)
+    base.select(
+        "clip_id",
+        "transcript",
+        (F.col("event_ts") + F.expr("INTERVAL 2 SECONDS")).alias("t_event_ts"),
+    ).write.parquet(tdir)
+
+    p = compile_yaml(
+        f"""
+input:
+  parquet:
+    path: {cdir}
+    schema: "clip_id string, sr_hz int, dur_ms int, codec string, event_ts timestamp"
+join:
+  right:
+    parquet:
+      path: {tdir}
+      schema: "clip_id string, transcript string, t_event_ts timestamp"
+  key: clip_id
+  watermark: 5 seconds
+  max_lag: 10 seconds
+output:
+  path: {tmp_path}/out
+  keys: [clip_id]
+"""
+    )
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = p.sink.read(spark)
+    assert got.count() == 120  # every clip matched its transcript
+    assert "transcript" in got.columns
+    # transcripts exactly equal to source (north-rule invariant)
+    src_txt = {r.clip_id: r.transcript for r in base.select("clip_id", "transcript").collect()}
+    for r in got.select("clip_id", "transcript").collect():
+        assert r.transcript == src_txt[r.clip_id]
