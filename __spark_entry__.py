@@ -311,6 +311,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, n_bits=6)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (IVF coarse quantizer: distributed k-means + probe join)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, n_clusters=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(emb, queries, cents, k=5, n_probe=3)
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dot_d = F.aggregate(
@@ -581,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_norms": q_embedding_norms,
         "parse_log": q_parse_log,
         "jq_extract": q_jq_extract,

@@ -186,7 +186,11 @@ class Pipeline:
         if name == "audio_decode":
             return with_decoded_pcm(df)
         if name == "audio_features":
-            return with_audio_features(df)
+            o = opts or {}
+            # YAML pipelines keep pass-through semantics by default; set
+            # keep_payload: false to drop `bytes` from the UDF output (the
+            # scale-path default for agg-bound pipelines)
+            return with_audio_features(df, keep_payload=bool(o.get("keep_payload", True)))
         if name == "audio_normalize":
             o = opts or {}
             return with_normalized_clip(

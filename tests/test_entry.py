@@ -22,6 +22,7 @@ def test_oracle_keys_subset_of_queries():
         "minhash_lsh",
         "simhash",
         "ann_lsh",
+        "ann_ivf",
         "compress_roundtrip",
         "audio_features_window",
         "clip_transcript_join",

@@ -212,3 +212,24 @@ def test_bloblang_match_and_lambdas(spark):
     assert got.fmt == "abc/3"
     assert got.pad == "__abc"
     assert got.has2 is True and got.allpos is True
+
+
+def test_ivf_topk_matches_brute_force_mostly(spark, tables):
+    """IVF with enough probes should recover most exact neighbors."""
+    from bento_spark.operators.similarity import brute_force_topk, ivf_topk, kmeans_centroids
+
+    emb = tables["embeddings"]
+    cents = kmeans_centroids(emb, n_clusters=4, n_iter=2)
+    assert cents.shape[0] >= 2
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=3)
+    approx = ivf_topk(emb, queries, cents, k=3, n_probe=4)  # probe all clusters = exact
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    a = {(r.query_id, r.rank): r.neighbor_id for r in approx.collect()}
+    overlap = sum(1 for k_ in e if a.get(k_) == e[k_])
+    assert overlap >= int(0.8 * len(e))  # all-probe IVF ≈ exact
+    # determinism: same centroids on a second run
+    cents2 = kmeans_centroids(emb, n_clusters=4, n_iter=2)
+    import numpy as np
+
+    assert np.allclose(cents, cents2)
