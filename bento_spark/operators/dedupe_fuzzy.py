@@ -115,14 +115,15 @@ def minhash_lsh_pairs(
     candidates per bucket are tiny at production thresholds.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
+    grams_tbl = df.select(
         F.col(id_col).alias("id"),
         word_ngrams(text_col, n).alias("grams"),
-    ).withColumn("sig", minhash_signature(F.col("grams"), num_hashes))
-
-    banded = base.select(
+    )
+    # the band rows carry ONLY (id, band, bucket) — never the gram arrays.
+    # Exploding grams into 2x`bands` shuffle copies is the classic LSH
+    # mistake at scale; verification re-reads grams once per side instead.
+    banded = grams_tbl.withColumn("sig", minhash_signature(F.col("grams"), num_hashes)).select(
         "id",
-        "grams",
         F.explode(
             F.array(
                 *[
@@ -142,7 +143,12 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "grams", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # the self-join would otherwise recompute the 64-hash signature pipeline
+    # for BOTH sides; the banded table is tiny (3 scalars x bands per doc),
+    # so materialize it once (same move as Spark MLlib's LSH)
+    banded = banded.persist()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -153,17 +159,15 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.grams").alias("grams_a"),
-            F.col("b.grams").alias("grams_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    ga = grams_tbl.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams_tbl.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = cands.join(ga, "id_a").join(gb, "id_b")
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
-    return cands.select(
+    return verified.select(
         "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
