@@ -319,6 +319,45 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, cents, k=5, n_probe=3)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup family):
+    all pairs with cosine >= threshold, exact via broadcast self-join (the
+    LSH path is q_ann_lsh; this is the verification-grade operator). The
+    synthetic embeddings have max pairwise cosine ~0.48, so 0.4 exercises
+    a real (non-empty, selective) result."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+def q_cache_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cache processor get/set as a state table (processor_cache.go:150):
+    build a keyed cache from nation, enrich customers via cache.get
+    (broadcast lookup join under the hood)."""
+    import tempfile
+
+    from bento_spark.operators.cache import KeyValueCache
+
+    cache = KeyValueCache(spark, tempfile.mkdtemp(prefix="bento_cache_"), key_col="c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation_name")
+    )
+    cache.set(n)
+    c = _t(spark, sf_dir, "customer")
+    enriched = cache.get(c)
+    return enriched.groupBy("nation_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dot_d = F.aggregate(
@@ -590,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "cache_enrichment": q_cache_enrichment,
         "embedding_norms": q_embedding_norms,
         "parse_log": q_parse_log,
         "jq_extract": q_jq_extract,
@@ -802,6 +843,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
               FROM scored) WHERE rnk <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "cache_enrichment": """
+            SELECT n.n_name AS nation_name, count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 4) AS total_balance
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "embedding_norms": """
             SELECT vec_id, label,
