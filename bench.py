@@ -62,6 +62,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
+    # warm the JVM (codegen, AQE, parquet reader) and python workers once so
+    # per-query numbers measure the engine, not first-call compilation
+    _force(qs["multi_join"](spark, sf_dir))
+    _force(qs["text_stats"](spark, sf_dir))
+
     timings: dict[str, float] = {}
     audio_secs = 0.0
     for name in HEADLINE:
