@@ -420,6 +420,19 @@ def _apply_function(name: str, args: list[Column]) -> Column:
         return F.raise_error(args[0])
     if name == "pi":
         return F.lit(math.pi)
+    if name in ("nanoid", "ksuid"):
+        # unique-id generators (functions.go:875,:913); uuid is Spark's
+        # native per-row unique id — same contract (uniqueness), different
+        # format, documented deviation
+        return F.expr("uuid()")
+    if name == "hostname":
+        import socket
+
+        return F.lit(socket.gethostname())
+    if name == "env":
+        import os as _os
+
+        return F.lit(_os.environ.get(_lit_str(args[0]), ""))
     raise BloblangError(f"unsupported function {name}()")
 
 
@@ -484,8 +497,11 @@ _METHODS = {
     "tan": lambda c: F.tan(c),
     # arrays/objects (methods_structured.go)
     "sum": lambda c: F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x),
-    "min": lambda c: F.array_min(c),
-    "max": lambda c: F.array_max(c),
+    # min/max: no-arg = array reduction; with args = pairwise least/greatest
+    # (Bloblang numbers methods_numbers.go)
+    "min": lambda c, *a: F.least(c, *a) if a else F.array_min(c),
+    "max": lambda c, *a: F.greatest(c, *a) if a else F.array_max(c),
+    "snake_case": lambda c: F.lower(F.regexp_replace(F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1_$2"), r"[\s-]+", "_")),
     "unique": lambda c: F.array_distinct(c),
     "sort": lambda c: F.sort_array(c),
     "flatten": lambda c: F.flatten(c),

@@ -9,20 +9,23 @@ Scale design:
 - exact: hash-groupBy — one shuffle on the fingerprint.
 - ngram-jaccard (exact): explode + self-join on shingle — correct but
   O(pairs); used as the small-scale oracle for the LSH path.
-- MinHash+LSH: shingle -> k xxhash64 min-hashes (all JVM-side higher-order
-  functions, NO Python) -> band buckets -> join within bucket -> verify
-  with exact Jaccard. At 100 TB the band-bucket join is the only shuffle
-  and candidate verification touches only bucket collisions.
-- SimHash: 64-bit signature via vectorized numpy (Arrow batches); hamming
-  band join.
+- MinHash+LSH: shingle rows -> k xxhash64 min-hash groupBy aggregates
+  (all JVM-side, codegen'd, NO Python) -> band buckets -> join within
+  bucket -> verify with exact Jaccard. At 100 TB the band-bucket join is
+  the only wide shuffle and verification touches only bucket collisions.
+- SimHash: 64-bit signature via exploded-token bit-vote sums (codegen);
+  hamming band join with pigeonhole guarantee.
+
+NOTE on higher-order functions: Spark evaluates F.transform/F.aggregate/
+F.zip_with INTERPRETED (no whole-stage codegen). For per-row arrays of
+hundreds of elements that is a 3-8x penalty, so every hot path here is
+formulated as explode + relational aggregate instead; the Column-level
+variants (word_ngrams, minhash_signature, with_simhash) remain for
+composition in small expressions.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -244,16 +247,6 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash"
     )
     empty = F.length(F.trim(F.col(text_col))) == 0
     return df.withColumn(out_col, F.when(empty, F.lit(0).cast("bigint")).otherwise(sig))
-
-
-def _fnv1a64(s: str) -> np.uint64:
-    # FNV-1a relies on mod-2^64 wraparound; silence the intended overflow
-    with np.errstate(over="ignore"):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in s.encode("utf-8"):
-            h ^= np.uint64(ch)
-            h *= np.uint64(0x100000001B3)
-    return h
 
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
