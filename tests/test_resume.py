@@ -107,3 +107,71 @@ def test_session_window_streaming_closes_on_watermark(spark, tmp_path):
     # per-codec sessions (closed by the 60s jump); the second burst stays open
     assert len(rows) == 3  # one session per codec
     assert sum(r.n for r in rows) == 40
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
+    """leftOuter stream-stream join: unmatched left rows emit with NULL
+    right side once the watermark passes (reference never had outer joins —
+    the cache-hydration pattern silently drops misses; we exceed it)."""
+    from bento_spark.streaming.joins import stream_stream_join
+
+    base = clips_df(spark, 60, partitions=1)
+    clipside = base.select("clip_id", "dur_ms", "event_ts")
+    # transcripts only for clip ids NOT divisible by 3
+    tsside = base.filter(F.substring("clip_id", -2, 2).cast("int") % 3 != 0).select(
+        "clip_id",
+        "transcript",
+        (F.col("event_ts") + F.expr("INTERVAL 1 SECOND")).alias("t_event_ts"),
+    )
+    cdir, tdir = str(tmp_path / "c"), str(tmp_path / "t")
+    clipside.coalesce(1).write.parquet(cdir + "/p1")
+    tsside.coalesce(1).write.parquet(tdir + "/p1")
+    # sentinel rows 10 min later in a SECOND micro-batch: outer-join NULLs
+    # are emitted only once the (min-of-both-sides) watermark passes the
+    # join bound, which needs later event time on both inputs
+    far = F.col("event_ts") + F.expr("INTERVAL 600 SECONDS")
+    base.limit(1).select(F.lit("sentinel-c").alias("clip_id"), "dur_ms", far.alias("event_ts")).coalesce(1).write.parquet(cdir + "/p2")
+    base.limit(1).select(F.lit("sentinel-t").alias("clip_id"), "transcript", far.alias("t_event_ts")).coalesce(1).write.parquet(tdir + "/p2")
+    cs = (
+        spark.readStream.schema("clip_id string, dur_ms int, event_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir + "/p*")
+    )
+    ts = (
+        spark.readStream.schema("clip_id string, transcript string, t_event_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tdir + "/p*")
+    )
+    joined = stream_stream_join(cs, ts, watermark="2 seconds", max_lag="5 seconds", how="leftOuter")
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.clip_id: r.transcript
+        for r in sink.read(spark).collect()
+        if not r.clip_id.startswith("sentinel")
+    }
+    matched = [c for c, t in rows.items() if t is not None]
+    unmatched = [c for c, t in rows.items() if t is None]
+    assert len(matched) > 0 and len(unmatched) > 0
+    # every unmatched id is one of the withheld (divisible-by-3) clips
+    for c in unmatched:
+        assert int(c[-2:]) % 3 == 0
+
+
+def test_tumbling_window_offset_alignment(spark):
+    """window `offset` (reference buffer_system_window.go offset field) maps
+    to F.window startTime: boundaries shift by the offset."""
+    df = clips_df(spark, 100, partitions=1)
+    plain = tumbling_windowed(df, "event_ts", "10 seconds", [], {"n": F.count(F.lit(1))})
+    shifted = tumbling_windowed(df, "event_ts", "10 seconds", [], {"n": F.count(F.lit(1))}, offset="3 seconds")
+    p0 = sorted(r.window_start for r in plain.collect())[0]
+    s0 = sorted(r.window_start for r in shifted.collect())[0]
+    assert (s0.second - p0.second) % 10 == 3
+    assert sum(r.n for r in shifted.collect()) == 100
