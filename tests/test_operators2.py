@@ -233,3 +233,38 @@ def test_ivf_topk_matches_brute_force_mostly(spark, tables):
     import numpy as np
 
     assert np.allclose(cents, cents2)
+
+
+def test_spread_by_cost_balances_partitions(spark):
+    """Skew salting (north rule): long clips scatter instead of pinning one
+    partition."""
+    from bento_spark.audio.generate import clips_df
+    from bento_spark.operators.skew import spread_by_cost
+
+    clips = clips_df(spark, 256, partitions=2)
+    spread = spread_by_cost(clips, cost_col="dur_ms", num_partitions=8)
+    sizes = spread.groupBy(F.spark_partition_id().alias("p")).agg(
+        F.sum("dur_ms").alias("cost")
+    ).collect()
+    costs = sorted(r.cost for r in sizes)
+    assert len(costs) == 8
+    # no partition carries more than ~3x the mean cost after salting
+    mean = sum(costs) / len(costs)
+    assert costs[-1] <= 3 * mean
+
+
+def test_salted_agg_matches_plain_agg(spark, tables):
+    from bento_spark.operators.skew import salted_agg
+
+    ev = tables["events"]
+    plain = {
+        (r.event_type,): (r.n, round(r.total, 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.event_type,): (r.n, round(r.total, 4))
+        for r in salted_agg(ev, ["event_type"], {"n": ("count", "value"), "total": ("sum", "value")}).collect()
+    }
+    assert plain == salted
