@@ -288,6 +288,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_fuzzy.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+def q_dedupe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: jaccard pairs -> connected components (iterative
+    min-label propagation, the `while`-processor shape) -> groups."""
+    return dedupe_fuzzy.dedupe_clusters(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (Spark xxhash64 has no DuckDB equivalent)
     return dedupe_fuzzy.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
@@ -624,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedupe_exact": q_dedupe_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedupe_clusters": q_dedupe_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
@@ -831,6 +838,30 @@ def oracle_sql() -> dict[str, str]:
                    round(n_inter * 1.0 / (size_a + size_b - n_inter), 6) AS jaccard
             FROM inter
             WHERE n_inter * 1.0 / (size_a + size_b - n_inter) >= 0.6
+        """,
+        "dedupe_clusters": f"""
+            WITH RECURSIVE
+            g AS (SELECT doc_id AS id, {grams} AS grams FROM documents),
+            ex AS (SELECT id, len(grams) AS set_size, unnest(grams) AS gm FROM g),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter,
+                     any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b
+              FROM ex a JOIN ex b ON a.gm = b.gm AND a.id < b.id
+              GROUP BY a.id, b.id),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              WHERE n_inter * 1.0 / (size_a + size_b - n_inter) >= 0.6),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(node, lab) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+            labels AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+            SELECT cluster_id, count(*) AS n_members,
+                   min(node) AS member_min, max(node) AS member_max
+            FROM labels GROUP BY cluster_id
         """,
         "ann_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

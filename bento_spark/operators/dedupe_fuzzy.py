@@ -311,3 +311,78 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cands.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into groups: (node, cluster_id) where
+    cluster_id = min node id reachable through the pair graph.
+
+    This is the endpoint of every dedupe pipeline — pairs alone can't drive
+    "keep one canonical doc per group". Implemented as iterative min-label
+    propagation (the reference's `while` processor shape,
+    /root/reference/internal/impl/pure/processor_while.go:60, driving a
+    distributed loop): each round is one join + one groupBy; converges in
+    O(graph diameter) rounds, each a bounded shuffle on node id. Labels are
+    persisted per round and the loop exits early when no label changes.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedupe_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup clusters over documents: jaccard pairs -> connected
+    components -> (cluster_id, n_members, member_min, member_max).
+    Singleton documents are excluded (no near-dup)."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    cc = connected_components(pairs)
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("member_min"),
+        F.max("node").alias("member_max"),
+    )

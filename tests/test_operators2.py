@@ -268,3 +268,15 @@ def test_salted_agg_matches_plain_agg(spark, tables):
         for r in salted_agg(ev, ["event_type"], {"n": ("count", "value"), "total": ("sum", "value")}).collect()
     }
     assert plain == salted
+
+
+def test_connected_components_basic(spark):
+    from bento_spark.operators.dedupe_fuzzy import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 1)], ["id_a", "id_b"]
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    # {1,2,3,10,11,12} form one component (bridged via 12-1), {7,8} another
+    assert cc[1] == cc[2] == cc[3] == cc[10] == cc[11] == cc[12] == 1
+    assert cc[7] == cc[8] == 7
