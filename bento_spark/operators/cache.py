@@ -105,12 +105,18 @@ class KeyValueCache:
     def get(self, df: DataFrame, on: str | None = None, broadcast: bool = True) -> DataFrame:
         """Enrich df with cache values by key (left join; misses = NULL,
         matching the reference where a miss errors the message — follow with
-        set_error_when(value.isNull()) if that routing is wanted)."""
+        set_error_when(value.isNull()) if that routing is wanted).
+
+        Raises on a never-written cache: the value columns (and therefore the
+        output schema) are unknowable before the first set/add, and a schema
+        that silently depends on cache state is worse than an error."""
         cur = self.snapshot()
         key = on or self.key_col
         if cur is None:
-            # no cache yet: all misses
-            return df.withColumn("_cache_miss", F.lit(True))
+            raise RuntimeError(
+                f"cache at {self.path} has no contents yet: call set()/add() "
+                "before get() (the enriched schema depends on the cached value columns)"
+            )
         side = cur.withColumnRenamed(self.key_col, key) if key != self.key_col else cur
         if broadcast:
             side = F.broadcast(side)

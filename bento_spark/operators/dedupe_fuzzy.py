@@ -142,7 +142,14 @@ def minhash_lsh_pairs(
     # leads), 64 per-seed min-hashes as groupBy aggregates (map-side
     # combine). The higher-order-function versions (word_ngrams +
     # transform/array_min) evaluate interpreted — measured ~4x slower.
-    shingle = shingle_table(df, id_col, text_col, n).persist()
+    #
+    # Reuse via localCheckpoint, not persist: both sides of the candidate
+    # self-join and the verification joins read the materialized table, and
+    # the context cleaner reclaims it when the DataFrame is GC'd — persist()
+    # entries live in the CacheManager until an explicit unpersist, which
+    # leaked storage across calls in long-lived driver sessions. (On a real
+    # cluster with executor churn, swap for reliable checkpoint/staging.)
+    shingle = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     sig_cols = [F.min(F.xxhash64("g", F.lit(s))).alias(f"mh{s}") for s in range(num_hashes)]
     sigs = shingle.groupBy("id").agg(*sig_cols)
     # the band rows carry ONLY (id, band, bucket) — never the gram arrays.
@@ -174,7 +181,7 @@ def minhash_lsh_pairs(
     # the self-join would otherwise recompute the 64-hash signature pipeline
     # for BOTH sides; the banded table is tiny (3 scalars x bands per doc),
     # so materialize it once (same move as Spark MLlib's LSH)
-    banded = banded.persist()
+    banded = banded.localCheckpoint(eager=False)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -275,9 +282,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
     chunks (pigeonhole: hamming<=3 guarantees one identical chunk), join on
     chunk, verify hamming distance with bit_count (JVM-side)."""
-    # persist the tiny (id, simhash) table so the candidate self-join does
-    # not recompute the signature aggregation for both sides
-    sh = simhash_table(df.select(id_col, text_col), id_col, text_col).persist()
+    # materialize the tiny (id, simhash) table once so the candidate
+    # self-join does not recompute the signature aggregation for both sides
+    # (localCheckpoint: auto-reclaimed, no CacheManager leak across calls)
+    sh = simhash_table(df.select(id_col, text_col), id_col, text_col).localCheckpoint(eager=False)
     chunks = sh.select(
         "id",
         "simhash",
@@ -330,17 +338,20 @@ def connected_components(
     O(graph diameter) rounds, each a bounded shuffle on node id. Labels are
     persisted per round and the loop exits early when no label changes.
     """
+    # localCheckpoint per round: cuts the exponentially growing join lineage
+    # AND avoids the persist/unpersist bookkeeping — checkpointed RDDs are
+    # reclaimed by the context cleaner once unreferenced, so neither the
+    # per-round labels nor the final result leak storage across calls.
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -353,7 +364,7 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -361,11 +372,9 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -67,20 +67,23 @@ def asof_join(
     """
     from pyspark.sql.window import Window
 
-    lcols = [c for c in left.columns]
+    # left_ts is carried as `_ts` (re-aliased back at the end); including it
+    # in the `_l_` passthrough too would emit TWO columns named left_ts and
+    # make any downstream name-based reference ambiguous.
+    lcols = [c for c in left.columns if c not in (key, left_ts)]
     rcols = [c for c in right.columns if c != key]
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.col(c).alias(f"_l_{c}") for c in lcols if c != key],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
     )
     r_tag = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols if c != key],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in rcols],
     )
     u = l_tag.unionByName(r_tag)
@@ -94,7 +97,7 @@ def asof_join(
     carried = [F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in rcols]
     matched_ts = F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w)
     out = (
-        u.select(key, "_ts", "_side", *[f"_l_{c}" for c in lcols if c != key], *carried,
+        u.select(key, "_ts", "_side", *[f"_l_{c}" for c in lcols], *carried,
                  matched_ts.alias("_matched_ts"))
         .filter(F.col("_side") == 1)
     )
@@ -106,12 +109,12 @@ def asof_join(
             else (F.col("_matched_ts") - F.col("_ts") <= bound)
         )
         out = out.select(
-            key, "_ts", "_matched_ts", *[f"_l_{c}" for c in lcols if c != key],
+            key, "_ts", "_matched_ts", *[f"_l_{c}" for c in lcols],
             *[F.when(in_tol, F.col(f"_r_{c}")).alias(f"_r_{c}") for c in rcols],
         )
     renames = (
         [F.col(key), F.col("_ts").alias(left_ts)]
-        + [F.col(f"_l_{c}").alias(c) for c in lcols if c != key]
+        + [F.col(f"_l_{c}").alias(c) for c in lcols]
         + [F.col(f"_r_{c}").alias(c) for c in rcols]
     )
     return out.select(*renames)

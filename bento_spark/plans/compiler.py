@@ -177,8 +177,8 @@ class Pipeline:
             # token-bucket rate limiting (processor_rate_limit.go:32,
             # rate_limit_local.go:16) maps to source-side pacing in Spark:
             # maxFilesPerTrigger/maxOffsetsPerTrigger + trigger interval.
-            # Recorded on the plan for run_stream to apply; a no-op on the
-            # already-built frame.
+            # Recorded on the plan; run_stream maps `interval` to the
+            # processingTime trigger in continuous mode (see run_stream).
             self.conf.setdefault("_rate_limit", opts or {})
             return df
         if name == "filter":
@@ -385,6 +385,16 @@ class Pipeline:
         has_window = bool(self.conf.get("window"))
         dlq_path = out.get("dlq")
 
+        def _trigger() -> dict:
+            """Trigger selection shared by the main query and the DLQ
+            side-query: availableNow in bounded mode; otherwise a
+            processingTime interval — rate_limit.interval (if the pipeline
+            declared one) takes precedence over output.trigger."""
+            if available_now:
+                return {"availableNow": True}
+            rl = self.conf.get("_rate_limit") or {}
+            return {"processingTime": rl.get("interval", out.get("trigger", "5 seconds"))}
+
         if dlq_path and has_window:
             # Errored rows must be routed BEFORE the window agg (the agg
             # output has no per-row error column — reference semantics:
@@ -403,7 +413,7 @@ class Pipeline:
                     errored.writeStream.outputMode("append")
                     .option("checkpointLocation", checkpoint.rstrip("/") + "_dlq")
                     .foreachBatch(dlq.foreach_batch())
-                    .trigger(availableNow=True)
+                    .trigger(**_trigger())
                     .start()
                 )
                 rows = rows.filter(F.col("error").isNull())
@@ -444,8 +454,7 @@ class Pipeline:
             .option("checkpointLocation", checkpoint)
             .foreachBatch(writer)
         )
-        trigger = {"availableNow": True} if available_now else {"processingTime": out.get("trigger", "5 seconds")}
-        return q.trigger(**trigger).start()
+        return q.trigger(**_trigger()).start()
 
     @property
     def sink(self) -> IdempotentParquetSink:

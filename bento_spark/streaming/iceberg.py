@@ -15,14 +15,21 @@ and `IcebergMergeSink` becomes live.
 Exactly-once recipe (standard Structured Streaming + Iceberg pattern):
 - Spark's checkpoint (offset/commit logs) guarantees each micro-batch is
   replayed with the SAME epoch_id after failure;
-- an `_epochs` bookkeeping table records committed (sink_id, epoch_id)
-  inside the same Iceberg transaction boundary as the data MERGE — a
-  replayed epoch is detected and skipped, so the MERGE applies exactly
-  once;
-- the data write is `MERGE INTO ... ON <key> WHEN MATCHED UPDATE ALL WHEN
-  NOT MATCHED INSERT ALL` keyed on (clip_id, window_start) per the north
-  rule — idempotent by construction even without the epoch guard, the
-  guard makes non-keyed (append) sinks exactly-once too.
+- an `_epochs` bookkeeping table records committed (sink_id, epoch_id) so a
+  replayed epoch is detected and skipped. NOTE the `_epochs` INSERT is a
+  SEPARATE statement from the data write (two Iceberg commits, not one
+  transaction) — the guard is an optimization, not the correctness proof;
+- keyed mode: `MERGE INTO ... ON <key> WHEN MATCHED UPDATE ALL WHEN NOT
+  MATCHED INSERT ALL` keyed on (clip_id, window_start) per the north rule —
+  the MERGE itself is idempotent, so a crash between the MERGE and the
+  `_epochs` INSERT replays harmlessly: exactly-once by idempotent replay;
+- append mode (no key): each batch carries an `_epoch_id` column and replay
+  first runs `DELETE FROM table WHERE _epoch_id = <epoch>` before
+  re-appending — the replayed epoch converges to exactly one copy. A reader
+  that races the DELETE+append window can observe the epoch missing/partial
+  (Iceberg snapshots make each statement atomic, but the pair is not); for
+  strict snapshot-atomic appends use Iceberg WAP (write-audit-publish)
+  branch commits instead.
 
 Reference parity: the reference is at-least-once via transaction acks
 (/root/reference/internal/message/transaction.go:20-38); this sink is the
@@ -77,24 +84,39 @@ class IcebergMergeSink:
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self._already_committed(epoch_id):
-            return  # replayed micro-batch: already applied exactly once
-        batch_df.createOrReplaceTempView("_bento_batch")
+            return  # replayed micro-batch: already applied (guard fast-path)
         spark = batch_df.sparkSession
-        if not spark.catalog.tableExists(self.table):
-            batch_df.writeTo(self.table).using("iceberg").create()
-        elif self.key_cols:
-            on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
+        from pyspark.sql import functions as F
+
+        if not self.key_cols:
+            batch_df = batch_df.withColumn("_epoch_id", F.lit(int(epoch_id)))
+        # materialize ONCE: the MERGE/append and the row count would
+        # otherwise each re-execute the micro-batch plan
+        batch_df = batch_df.persist()
+        try:
+            n = batch_df.count()
+            batch_df.createOrReplaceTempView("_bento_batch")
+            if not spark.catalog.tableExists(self.table):
+                batch_df.writeTo(self.table).using("iceberg").create()
+            elif self.key_cols:
+                # idempotent by construction: replay re-MERGEs the same keys
+                on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
+                spark.sql(
+                    f"MERGE INTO {self.table} t USING _bento_batch s ON {on} "
+                    "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+                )
+            else:
+                # idempotent replay for appends: remove any partial copy of
+                # this epoch first (crash between append and the guard INSERT
+                # would otherwise duplicate the batch)
+                spark.sql(f"DELETE FROM {self.table} WHERE _epoch_id = {int(epoch_id)}")
+                batch_df.writeTo(self.table).append()
             spark.sql(
-                f"MERGE INTO {self.table} t USING _bento_batch s ON {on} "
-                "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+                f"INSERT INTO {self.epochs_table} VALUES "
+                f"('{self.sink_id}', {int(epoch_id)}, {int(n)})"
             )
-        else:
-            batch_df.writeTo(self.table).append()
-        n = batch_df.count()
-        spark.sql(
-            f"INSERT INTO {self.epochs_table} VALUES "
-            f"('{self.sink_id}', {int(epoch_id)}, {int(n)})"
-        )
+        finally:
+            batch_df.unpersist()
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:
         return self.write_batch

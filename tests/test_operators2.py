@@ -156,6 +156,17 @@ def test_cache_set_get_add_delete(spark, tmp_path):
     assert sorted(r.k for r in c.snapshot().collect()) == ["a", "c"]
 
 
+def test_cache_get_on_empty_cache_raises(spark, tmp_path):
+    """get() before any set/add must fail loudly — the enriched schema
+    depends on the cached value columns, so a state-dependent fallback
+    schema would break downstream plans unpredictably."""
+    import pytest
+
+    c = KeyValueCache(spark, str(tmp_path / "empty_kv"), key_col="k")
+    with pytest.raises(RuntimeError, match="no contents"):
+        c.get(spark.createDataFrame([("a",)], ["k"]))
+
+
 def test_cached_memoization(spark, tmp_path):
     c = KeyValueCache(spark, str(tmp_path / "memo"), key_col="key")
     calls = []
@@ -190,6 +201,11 @@ def test_asof_join_backward_forward(spark):
     fwd = asof_join(trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts", direction="forward")
     got_f = {(r.key, r.t_ts): r.px for r in fwd.collect()}
     assert got_f == {("k1", 5): 1.0, ("k1", 20): 2.0, ("k1", 25): 3.0, ("k2", 100): None}
+
+    # the left timestamp must be referencable by name downstream (exactly
+    # one column named t_ts — a duplicate would raise AMBIGUOUS_REFERENCE)
+    assert back.columns.count("t_ts") == 1
+    assert back.filter(F.col("t_ts") >= 20).groupBy("t_ts").count().count() == 3
 
 
 # ---------------------------------------------------------------- bloblang wave 2

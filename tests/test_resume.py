@@ -175,3 +175,24 @@ def test_tumbling_window_offset_alignment(spark):
     s0 = sorted(r.window_start for r in shifted.collect())[0]
     assert (s0.second - p0.second) % 10 == 3
     assert sum(r.n for r in shifted.collect()) == 100
+
+
+def test_parquet_sink_append_crash_window_replay(spark, tmp_path):
+    """The append-crash window: a crash AFTER the data write but BEFORE the
+    commit marker must not duplicate rows on replay (the replayed epoch
+    overwrites its own _bid dir), and the uncommitted epoch must stay
+    invisible to read() until its marker lands."""
+    sink = IdempotentParquetSink(str(tmp_path / "crashy"))  # append mode, no keys
+    batch = spark.createDataFrame([(i, f"r{i}") for i in range(10)], ["i", "s"])
+
+    sink.write_batch(batch, 0)
+    sink.write_batch(batch, 1)
+    # simulate the crash window for epoch 1: data written, marker lost
+    os.remove(sink._marker(1))
+    assert sink.committed_ids() == [0]
+    assert sink.read(spark).count() == 10  # uncommitted epoch invisible
+
+    sink.write_batch(batch, 1)  # checkpoint replays the same epoch id
+    assert sink.committed_ids() == [0, 1]
+    assert sink.read(spark).count() == 20  # exactly one copy of each epoch
+    assert sink.output_sent() == 20
