@@ -327,20 +327,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data dedup family):
-    all pairs with cosine >= threshold, exact via broadcast self-join (the
-    LSH path is q_ann_lsh; this is the verification-grade operator). The
-    synthetic embeddings have max pairwise cosine ~0.48, so 0.4 exercises
-    a real (non-empty, selective) result."""
+    all pairs with cosine >= threshold, exact via a distributed one-pass
+    numpy matmul against the captured corpus matrix — sf-bounded by design
+    (the LSH path is q_ann_lsh; this is the verification-grade operator).
+    The synthetic embeddings have max pairwise cosine ~0.48, so 0.4
+    exercises a real (non-empty, selective) result."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = similarity.cosine(F.col("va"), F.col("vb"))
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.4)
-    )
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4)
 
 
 def q_cache_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,3 +85,15 @@ def test_text_stats_prunes_documents(spark):
     p = plan_of(em.q_text_stats(spark, SF))
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and "source" not in m.group(1) and "lang" not in m.group(1)
+
+
+def test_ann_plans_have_no_interpreted_hofs(spark):
+    """The ANN hot paths must score in vectorized numpy (mapInPandas), not
+    interpreted Column higher-order functions: zip_with/aggregate over
+    per-row arrays evaluate outside whole-stage codegen (3-8x penalty).
+    The only Python nodes allowed are Arrow-batched mapInPandas stages."""
+    for q in ("ann_cosine", "ann_lsh", "embedding_neardup"):
+        df = em.queries()[q](spark, SF)
+        p = plan_of(df)
+        assert "zip_with" not in p and "aggregate(" not in p, f"{q} uses interpreted HOFs"
+        assert "BatchEvalPython" not in p, f"{q} uses row-at-a-time Python UDFs"
