@@ -13,17 +13,11 @@ def test_entry_smoke(spark):
     assert df.columns == ["window_start_s", "codec", "n", "avg_rms", "total_samples"]
 
 
-def test_oracle_keys_subset_of_queries():
+def test_oracle_keys_cover_all_queries():
+    """Every queries() entry has an oracle: the formerly rows-only family
+    is gated through fixture-pinned oracles (fixtures/ via
+    tools/make_fixtures.py) — see oracle_sql() for the pinning contract."""
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs
-    # rows-only queries are the documented non-SQL-expressible set
-    assert qs - os_ == {
-        "minhash_lsh",
-        "simhash",
-        "ann_lsh",
-        "ann_ivf",
-        "compress_roundtrip",
-        "audio_features_window",
-        "clip_transcript_join",
-    }
+    assert qs - os_ == set()
