@@ -441,6 +441,52 @@ def q_json_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xml processor parity (internal/impl/xml/processor.go): synthesize XML
+    payloads from events, parse them back with pure-Catalyst xpath
+    expressions, aggregate. Oracle aggregates the source directly — any
+    value lost or mangled in the XML roundtrip breaks the hash match."""
+    from bento_spark.operators.codec import xml_extract
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.format_string(
+            "<event><type>%s</type><uid>%d</uid><size>%d</size></event>",
+            F.col("event_type"),
+            F.col("user_id"),
+            (F.col("event_id") % 1000).cast("int"),
+        ).alias("xml")
+    )
+    parsed = xml_extract(
+        lines,
+        "xml",
+        {"etype": ("/event/type", "string"), "uid": ("/event/uid", "long"), "size": ("/event/size", "int")},
+    )
+    return parsed.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("uid").alias("sum_uid"),
+        F.sum("size").alias("sum_size"),
+    )
+
+
+def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet_encode/decode processors (internal/impl/parquet/
+    processor_encode.go:160, processor_decode.go:66): each language's
+    documents become ONE parquet blob and back. Oracle aggregates the
+    source — a lossy codec breaks counts or character sums."""
+    from bento_spark.operators.codec import parquet_decode, parquet_encode
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    blobs = parquet_encode(docs, ["lang"], out_col="blob")
+    back = parquet_decode(blobs, "blob", "doc_id bigint, text string", keep_cols=["lang"])
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def q_workflow_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """workflow DAG of branches (processor_workflow.go:252): derived-column
     stages in dependency order over lineitem."""
@@ -669,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_log": q_parse_log,
         "jq_extract": q_jq_extract,
         "json_schema_check": q_json_schema_check,
+        "xml_extract": q_xml_extract,
+        "parquet_roundtrip": q_parquet_roundtrip,
         "workflow_dag": q_workflow_dag,
         "branch_enrich": q_branch_enrich,
         "rollup_agg": q_rollup_agg,
@@ -956,6 +1004,18 @@ def oracle_sql() -> dict[str, str]:
                          ELSE json_extract_string(props, '$.k') END) IS NOT NULL AS valid,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "xml_extract": """
+            SELECT event_type AS etype, count(*) AS n,
+                   CAST(sum(user_id) AS BIGINT) AS sum_uid,
+                   CAST(sum(event_id % 1000) AS BIGINT) AS sum_size
+            FROM events GROUP BY event_type
+        """,
+        "parquet_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM documents GROUP BY lang
         """,
         "workflow_dag": """
             WITH d AS (

@@ -204,3 +204,171 @@ def json_schema_check(
         bad = v.isNull() | ~check(v)
         df = set_error_when(df, bad, f"json_schema: {field_name} not a valid {typ}")
     return df
+
+
+# ---------------------------------------------------------------------------
+# xml — extraction via built-in xpath expressions (reference: internal/impl/
+# xml/processor.go to_json operator; Spark 4 also ships a native `xml`
+# datasource used by the compiler's xml input)
+# ---------------------------------------------------------------------------
+
+_XPATH_FNS = {
+    "string": F.xpath_string,
+    "int": F.xpath_int,
+    "long": F.xpath_long,
+    "double": F.xpath_double,
+    "boolean": F.xpath_boolean,
+}
+
+
+def xml_extract(df: DataFrame, col: str, fields: dict[str, tuple[str, str]]) -> DataFrame:
+    """Extract typed fields from an XML string column: fields[name] =
+    (xpath, type). Pure Catalyst xpath expressions — JVM-side, no Python."""
+    for name, (path, typ) in fields.items():
+        fn = _XPATH_FNS.get(typ)
+        if fn is None:
+            raise ValueError(f"unsupported xml_extract type: {typ} (one of {sorted(_XPATH_FNS)})")
+        df = df.withColumn(name, fn(F.col(col), F.lit(path)))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# parquet_encode / parquet_decode — batch <-> parquet-blob codecs
+# (reference: internal/impl/parquet/processor_encode.go:160,
+# processor_decode.go:66 — a message batch becomes ONE parquet file payload
+# and back). Spark-first: the group is a partition of rows; pyarrow writes
+# the blob inside an Arrow batch, so the codec runs at C speed and the blob
+# rows stay distributed.
+# ---------------------------------------------------------------------------
+
+
+def parquet_encode(df: DataFrame, group_cols: Sequence[str], out_col: str = "parquet_blob") -> DataFrame:
+    """Encode each group's rows as one parquet file blob:
+    (group_cols..., out_col binary, n_rows bigint). Deterministic output:
+    rows are sorted by all columns before encoding."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    group_cols = list(group_cols)
+    data_cols = [c for c in df.columns if c not in group_cols]
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in group_cols
+    )
+    out_schema = f"{key_schema}, {out_col} binary, n_rows bigint"
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        body = pdf[data_cols].sort_values(by=data_cols, kind="mergesort").reset_index(drop=True)
+        buf = io.BytesIO()
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), buf, compression="snappy")
+        row = dict(zip(group_cols, key))
+        row[out_col] = buf.getvalue()
+        row["n_rows"] = len(pdf)
+        return pd.DataFrame([row])
+
+    return df.groupBy(*group_cols).applyInPandas(encode, schema=out_schema)
+
+
+def parquet_decode(df: DataFrame, blob_col: str, schema: str, keep_cols: Sequence[str] = ()) -> DataFrame:
+    """Decode parquet blobs back into rows (one blob -> many rows). `schema`
+    is the DDL of the encoded payload; keep_cols are passthrough columns
+    replicated onto every decoded row."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    keep_cols = list(keep_cols)
+    src_fields = {f.name: f for f in df.schema.fields}
+    keep_schema = ", ".join(f"{c} {src_fields[c].dataType.simpleString()}" for c in keep_cols)
+    out_schema = f"{keep_schema}, {schema}" if keep_schema else schema
+
+    def decode(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                blob = row[blob_col]
+                if blob is None:
+                    continue
+                body = pq.read_table(io.BytesIO(bytes(blob))).to_pandas()
+                for c in keep_cols:
+                    body[c] = row[c]
+                outs.append(body[keep_cols + [c for c in body.columns if c not in keep_cols]])
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# avro / protobuf — availability-gated wrappers over Spark's built-in
+# from_avro/to_avro and from_protobuf/to_protobuf (the jars are optional
+# --packages; reference: internal/impl/avro/processor.go:21,
+# internal/impl/protobuf/processor.go). In environments without the jars
+# these raise a clear error naming the package to load.
+# ---------------------------------------------------------------------------
+
+
+def avro_available(spark) -> bool:
+    """True when the spark-avro module is on the classpath (the functions
+    exist in pyspark regardless; analysis fails without the jar)."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        probe = spark.range(1).select(to_avro(F.struct(F.col("id"))).alias("b"))
+        probe._jdf.queryExecution().analyzed()
+        return True
+    except Exception:
+        return False
+
+
+def _require(ok: bool, what: str, package: str) -> None:
+    if not ok:
+        raise RuntimeError(
+            f"{what} requires the {package} package on the Spark classpath; "
+            f"launch with --packages {package}"
+        )
+
+
+def avro_decode(df: DataFrame, col: str, avro_schema: str, out_col: str = "record") -> DataFrame:
+    """from_avro the binary column into a struct column (scanner_avro /
+    avro processor to_json parity)."""
+    from pyspark.sql.avro.functions import from_avro
+
+    _require(avro_available(df.sparkSession), "avro_decode", "org.apache.spark:spark-avro_2.13:<spark-version>")
+    return df.withColumn(out_col, from_avro(F.col(col), avro_schema))
+
+
+def avro_encode(df: DataFrame, cols: Sequence[str], avro_schema: str, out_col: str = "avro_bytes") -> DataFrame:
+    from pyspark.sql.avro.functions import to_avro
+
+    _require(avro_available(df.sparkSession), "avro_encode", "org.apache.spark:spark-avro_2.13:<spark-version>")
+    return df.withColumn(out_col, to_avro(F.struct(*[F.col(c) for c in cols]), avro_schema))
+
+
+def protobuf_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.protobuf.utils.SchemaConverters")
+        return True
+    except Exception:
+        return False
+
+
+def protobuf_decode(df: DataFrame, col: str, message_name: str, desc_file: str, out_col: str = "record") -> DataFrame:
+    """from_protobuf with a descriptor-set file (protoc --descriptor_set_out),
+    matching the reference protobuf processor's file_path schema source."""
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    _require(protobuf_available(df.sparkSession), "protobuf_decode",
+             "org.apache.spark:spark-protobuf_2.13:<spark-version>")
+    return df.withColumn(out_col, from_protobuf(F.col(col), message_name, descFilePath=desc_file))
+
+
+def protobuf_encode(df: DataFrame, cols: Sequence[str], message_name: str, desc_file: str,
+                    out_col: str = "proto_bytes") -> DataFrame:
+    from pyspark.sql.protobuf.functions import to_protobuf
+
+    _require(protobuf_available(df.sparkSession), "protobuf_encode",
+             "org.apache.spark:spark-protobuf_2.13:<spark-version>")
+    return df.withColumn(out_col, to_protobuf(F.struct(*[F.col(c) for c in cols]), message_name,
+                                              descFilePath=desc_file))

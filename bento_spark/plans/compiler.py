@@ -139,6 +139,30 @@ class Pipeline:
             opts = inp["lines"]
             rd = spark.readStream if streaming else spark.read
             return rd.text(opts["path"]).withColumnRenamed("value", opts.get("column", "line"))
+        if "xml" in inp:
+            # native XML datasource (Spark 4) — the reference's xml scanner/
+            # processor to_json path (internal/impl/xml/processor.go)
+            opts = inp["xml"]
+            rd = spark.readStream if streaming else spark.read
+            rd = rd.format("xml").option("rowTag", opts.get("row_tag", "row"))
+            if streaming or "schema" in opts:
+                rd = rd.schema(opts["schema"])
+            return rd.load(opts["path"])
+        if "kafka" in inp:
+            from bento_spark.streaming.kafka import read_kafka_stream
+
+            opts = inp["kafka"]
+            if not streaming:
+                raise ValueError("kafka input is streaming-only; use build_stream/run_stream")
+            return read_kafka_stream(
+                spark,
+                addresses=opts["addresses"],
+                topics=opts["topics"],
+                starting_offsets=opts.get("starting_offsets", "earliest"),
+                checkpoint_limit=opts.get("checkpoint_limit"),
+                value_schema=opts.get("value_schema"),
+                value_format=opts.get("value_format", "json"),
+            )
         if "broker" in inp:
             # fan-in of child inputs (input_broker.go:78) = streaming union
             children = inp["broker"]["inputs"]
@@ -305,6 +329,46 @@ class Pipeline:
                     )
                 )
             return run_workflow(df, brs)
+        if name == "xml_extract":
+            from bento_spark.operators.codec import xml_extract
+
+            o = dict(opts)
+            col = o.pop("column")
+            fields = {k: (v["xpath"], v.get("type", "string")) for k, v in o["fields"].items()}
+            return xml_extract(df, col, fields)
+        if name == "parquet_encode":
+            from bento_spark.operators.codec import parquet_encode
+
+            o = opts or {}
+            return parquet_encode(df, o["group_by"], out_col=o.get("out", "parquet_blob"))
+        if name == "parquet_decode":
+            from bento_spark.operators.codec import parquet_decode
+
+            o = opts or {}
+            return parquet_decode(df, o.get("column", "parquet_blob"), o["schema"],
+                                  keep_cols=o.get("keep", ()))
+        if name == "avro_decode":
+            from bento_spark.operators.codec import avro_decode
+
+            o = opts or {}
+            return avro_decode(df, o.get("column", "value"), o["schema"], out_col=o.get("out", "record"))
+        if name == "avro_encode":
+            from bento_spark.operators.codec import avro_encode
+
+            o = opts or {}
+            return avro_encode(df, o["columns"], o["schema"], out_col=o.get("out", "avro_bytes"))
+        if name == "protobuf_decode":
+            from bento_spark.operators.codec import protobuf_decode
+
+            o = opts or {}
+            return protobuf_decode(df, o.get("column", "value"), o["message"], o["descriptor_file"],
+                                   out_col=o.get("out", "record"))
+        if name == "protobuf_encode":
+            from bento_spark.operators.codec import protobuf_encode
+
+            o = opts or {}
+            return protobuf_encode(df, o["columns"], o["message"], o["descriptor_file"],
+                                   out_col=o.get("out", "proto_bytes"))
         if name in ("noop", "log"):
             return df  # log/metric side effects live in the metrics listener
         raise ValueError(f"unsupported processor: {name}")
@@ -378,8 +442,8 @@ class Pipeline:
         """Execute as a StreamingQuery with the exactly-once parquet sink
         (Iceberg MERGE on a real cluster) and optional DLQ routing."""
         out = self.conf.get("output") or {}
-        if "path" not in out and not (out.get("switch") or out.get("fan_out")):
-            raise ValueError("output.path (or switch/fan_out) required for run_stream")
+        if "path" not in out and not (out.get("switch") or out.get("fan_out") or out.get("kafka")):
+            raise ValueError("output.path (or switch/fan_out/kafka) required for run_stream")
         if "path" in out:
             self._sink = IdempotentParquetSink(out["path"], key_cols=out.get("keys"))
         has_window = bool(self.conf.get("window"))
@@ -434,6 +498,15 @@ class Pipeline:
                 cases.append((None, IdempotentParquetSink(out["default"])))
             self._case_sinks = [s for _, s in cases]
             writer = route_outputs(cases, mode="switch")
+        elif out.get("kafka"):
+            # keyed JSON producer (output_kafka.go); availability-gated —
+            # at-least-once into Kafka (exactly-once needs Kafka txns,
+            # out of scope like the reference)
+            from bento_spark.streaming.kafka import kafka_sink
+
+            df = self.build_stream(spark)
+            k = out["kafka"]
+            writer = kafka_sink(spark, k["addresses"], k["topic"], key_col=k.get("key"))
         elif out.get("fan_out"):
             # broker fan_out (output_broker.go:150): every sink gets the batch
             from bento_spark.streaming.sink import route_outputs
