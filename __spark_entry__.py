@@ -487,6 +487,249 @@ def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tar archive + scanner (scanner_tar.go:28, processor_archive.go tar
+    format): each language's documents become ONE deterministic tar blob and
+    are scanned back out. Oracle aggregates the source — any member lost or
+    corrupted breaks counts, char sums, or the name range."""
+    from bento_spark.operators.scanners import tar_encode, unarchive_tar
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.format_string("doc_%09d.txt", F.col("doc_id")).alias("fname"), "text"
+    )
+    blobs = tar_encode(docs, ["lang"], "fname", "text", out_col="blob")
+    back = unarchive_tar(blobs, "blob", keep_cols=["lang"])
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.col("member_bytes").cast("string"))).alias("total_chars"),
+        F.min("member_name").alias("first_doc"),
+        F.max("member_name").alias("last_doc"),
+    )
+
+
+def q_chunker_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunker scanner (scanner_chunker.go): fixed-256-char chunks via pure
+    Catalyst sequence+substr; chunk counts and char sums are closed-form."""
+    from bento_spark.operators.scanners import chunker
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ch = chunker(docs, "text", 256, out_col="chunk")
+    return ch.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk")).alias("total_chars"),
+        F.max("chunk_index").alias("max_chunk_idx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# YAML compiler parity (SURVEY §2 config surface): the same oracle-gated
+# semantics expressed THROUGH compile_yaml — reference users live in YAML
+# (internal/config/schema.go:29-40), so each section gets an oracle twin.
+# --------------------------------------------------------------------------
+
+
+def q_yaml_switch_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """switch processor section (processor_switch.go:104-111) via YAML:
+    per-case processor chains set the route. Shares switch_routing's oracle."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/events.parquet}}
+pipeline:
+  processors:
+    - switch:
+        cases:
+          - check: 'this.event_type == "error"'
+            processors:
+              - mapping: 'root.route = "dlq"'
+          - check: this.value >= 100
+            processors:
+              - mapping: 'root.route = "high"'
+          - check: this.user_id % 2 == 0
+            processors:
+              - mapping: 'root.route = "even"'
+        default:
+          - mapping: 'root.route = "rest"'
+""")
+    return p.build_batch(spark).groupBy("route").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+def q_yaml_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_by checks section (processor_group_by.go:75) via YAML.
+    Shares group_by_checks' oracle."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/events.parquet}}
+pipeline:
+  processors:
+    - group_by:
+        checks:
+          - {{name: errors, check: 'this.event_type == "error"'}}
+          - {{name: big, check: this.value > 150}}
+        default: normal
+""")
+    return p.build_batch(spark).groupBy(F.col("_group").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+
+
+def q_yaml_try_catch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try + catch-with-processors + interpolated set_error message
+    (processor_try.go:15, processor_catch.go:13, field/expression.go:19)
+    via YAML. Shares error_protocol's oracle."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/events.parquet}}
+pipeline:
+  processors:
+    - json_map:
+        column: props
+        fields:
+          k: {{path: k, type: int}}
+    - try:
+        processors:
+          - set_error: {{when: this.k > 80, message: "k out of range: ${{! this.k }}"}}
+    - catch:
+        processors:
+          - mapping: root.k = -1
+""")
+    return p.build_batch(spark).groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+
+
+def q_yaml_interp_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_by_value with an interpolated `${! expr }` key — the exact
+    reference shape (processor_group_by_value.go:21 takes an interpolated
+    string)."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/events.parquet}}
+pipeline:
+  processors:
+    - group_by_value: {{value: "${{! this.event_type }}-${{! this.user_id % 2 }}"}}
+""")
+    return p.build_batch(spark).groupBy(F.col("_group").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+
+
+def q_yaml_select_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select_parts section (processor_select_parts.go:17) via YAML.
+    Shares select_parts' oracle."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/events.parquet}}
+pipeline:
+  processors:
+    - select_parts: {{key: user_id, order_by: event_id, indexes: [0, -1]}}
+""")
+    return p.build_batch(spark).select("user_id", "event_id", "event_type")
+
+
+def q_yaml_insert_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insert_part section (processor_insert_part.go:43) via YAML: append a
+    synthesized summary row per user batch, count by type."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/events.parquet}}
+pipeline:
+  processors:
+    - insert_part:
+        key: user_id
+        order_by: event_id
+        index: -1
+        row: {{event_type: '"summary"'}}
+""")
+    return p.build_batch(spark).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_yaml_cache_set_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cache set + get sections (processor_cache.go:125) via two YAML
+    pipelines sharing a resource. Shares cache_enrichment's oracle."""
+    import tempfile
+
+    from bento_spark.plans.compiler import compile_yaml
+
+    cache_dir = tempfile.mkdtemp(prefix="bento_yaml_cache_")
+    setter = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/nation.parquet}}
+pipeline:
+  processors:
+    - mapping: |
+        root.c_nationkey = this.n_nationkey
+        root.nation_name = this.n_name
+    - cache: {{resource: {cache_dir}, operator: set, key: c_nationkey, key_col: c_nationkey, columns: [nation_name]}}
+""")
+    setter.build_batch(spark)  # cache writes are applied at build time (batch)
+    getter = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/customer.parquet}}
+pipeline:
+  processors:
+    - cache: {{resource: {cache_dir}, operator: get, key: c_nationkey, key_col: c_nationkey}}
+""")
+    return getter.build_batch(spark).groupBy("nation_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
+    )
+
+
+def q_yaml_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lookup (broadcast dimension join) section via YAML. Shares
+    lookup_join's oracle."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/lineitem.parquet}}
+pipeline:
+  processors:
+    - lookup:
+        right: {{parquet: {{path: {sf_dir}/part.parquet}}}}
+        keys: {{left: l_partkey, right: p_partkey}}
+        how: inner
+        columns: [p_brand]
+""")
+    return p.build_batch(spark).groupBy("p_brand").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_yaml_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """while loop section (processor_while.go:20) via YAML: add 13 to k
+    until no row is below 50 (closed form is SQL-expressible, so the
+    driver-side loop is oracle-verified end to end)."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/events.parquet}}
+pipeline:
+  processors:
+    - mapping: root.k = this.event_id % 97
+    - while:
+        check: this.k < 50
+        max_loops: 10
+        processors:
+          - mapping: root.k = if this.k < 50 {{ this.k + 13 }} else {{ this.k }}
+""")
+    return p.build_batch(spark).groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+
+
 def q_workflow_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """workflow DAG of branches (processor_workflow.go:252): derived-column
     stages in dependency order over lineitem."""
@@ -717,6 +960,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_check": q_json_schema_check,
         "xml_extract": q_xml_extract,
         "parquet_roundtrip": q_parquet_roundtrip,
+        "tar_roundtrip": q_tar_roundtrip,
+        "chunker_scan": q_chunker_scan,
+        "yaml_switch_routing": q_yaml_switch_routing,
+        "yaml_group_by": q_yaml_group_by,
+        "yaml_try_catch": q_yaml_try_catch,
+        "yaml_interp_group": q_yaml_interp_group,
+        "yaml_select_parts": q_yaml_select_parts,
+        "yaml_insert_part": q_yaml_insert_part,
+        "yaml_cache_set_get": q_yaml_cache_set_get,
+        "yaml_lookup": q_yaml_lookup,
+        "yaml_while": q_yaml_while,
         "workflow_dag": q_workflow_dag,
         "branch_enrich": q_branch_enrich,
         "rollup_agg": q_rollup_agg,
@@ -751,7 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         f"list_distinct(CASE WHEN len({toks}) <= 3 THEN [array_to_string({toks}, ' ')] "
         f"ELSE list_transform(generate_series(1, len({toks}) - 2), i -> array_to_string({toks}[i:i+2], ' ')) END)"
     )
-    return {
+    sql = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
@@ -1172,7 +1426,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(transcript, ' ')) AS INT) AS n_tokens
             FROM '{_FIX}/clip_meta.parquet'
         """,
+        "tar_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   min(printf('doc_%09d.txt', doc_id)) AS first_doc,
+                   max(printf('doc_%09d.txt', doc_id)) AS last_doc
+            FROM documents GROUP BY lang
+        """,
+        "chunker_scan": """
+            SELECT lang,
+                   CAST(sum(CAST(ceil(length(text) / 256.0) AS BIGINT)) AS BIGINT) AS n_chunks,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(max(ceil(length(text) / 256.0)) - 1 AS INT) AS max_chunk_idx
+            FROM documents WHERE length(text) > 0 GROUP BY lang
+        """,
+        # YAML-compiler twins with their own oracles
+        "yaml_interp_group": """
+            SELECT event_type || '-' || CAST(user_id % 2 AS VARCHAR) AS grp,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "yaml_insert_part": """
+            SELECT event_type, count(*) AS n FROM (
+              SELECT event_type FROM events
+              UNION ALL
+              SELECT 'summary' AS event_type FROM (SELECT DISTINCT user_id FROM events)
+            ) GROUP BY event_type
+        """,
+        "yaml_while": """
+            WITH d AS (
+              SELECT CASE WHEN event_id % 97 < 50
+                          THEN event_id % 97
+                               + 13 * CAST(ceil((50 - event_id % 97) / 13.0) AS BIGINT)
+                          ELSE event_id % 97 END AS k
+              FROM events)
+            SELECT k, count(*) AS n FROM d GROUP BY k ORDER BY k
+        """,
     }
+    # YAML twins that share an existing query's contract reuse its oracle
+    # verbatim — the pair (python-API query, YAML query) hashing to the same
+    # oracle is exactly the parity claim.
+    sql["yaml_switch_routing"] = sql["switch_routing"]
+    sql["yaml_group_by"] = sql["group_by_checks"]
+    sql["yaml_try_catch"] = sql["error_protocol"]
+    sql["yaml_select_parts"] = sql["select_parts"]
+    sql["yaml_cache_set_get"] = sql["cache_enrichment"]
+    sql["yaml_lookup"] = sql["lookup_join"]
+    return sql
 
 
 if __name__ == "__main__":

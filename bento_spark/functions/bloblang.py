@@ -442,6 +442,7 @@ def _apply_function(name: str, args: list[Column]) -> Column:
 _ARRAY_PRODUCERS = {
     "split", "unique", "sort", "flatten", "append", "concat_arrays", "keys",
     "values", "filter", "map_each", "find_all", "re_find_all", "zip", "enumerated",
+    "key_values",
 }
 
 
@@ -559,7 +560,119 @@ _METHODS = {
     "int32": lambda c: c.cast("int"),
     "float64": lambda c: c.cast("double"),
     "float32": lambda c: c.cast("float"),
+    # parsing (methods_strings.go parse_csv/parse_json/parse_url,
+    # bloblang_duration.go parse_duration_iso8601). Schemas are compile-time
+    # DDL literals — Spark needs the shape up front; the reference infers it
+    # per message, which a columnar engine cannot.
+    "parse_csv": lambda c, schema: F.from_csv(c, F.lit(_lit_full_str(schema))),
+    "parse_json": lambda c, schema: F.from_json(c, _lit_full_str(schema)),
+    "parse_url": lambda c: _parse_url(c),
+    "parse_duration_iso8601": lambda c: _parse_duration_iso8601(c),
+    # html escaping (methods_strings.go escape_html/unescape_html — Go
+    # html.EscapeString's 5 entities)
+    "escape_html": lambda c: _escape_html(c),
+    "unescape_html": lambda c: _unescape_html(c),
+    # crypto (methods_strings.go encrypt_aes/decrypt_aes/hmac)
+    "encrypt_aes": lambda c, mode, key, iv=None: _aes(c, mode, key, iv, encrypt=True),
+    "decrypt_aes": lambda c, mode, key, iv=None: _aes(c, mode, key, iv, encrypt=False),
+    "hmac": lambda c, alg, key: _hmac(c, alg, key),
+    # structured/map methods (methods_structured.go squash:1897,
+    # key_values:641, map_each_key, with)
+    "squash": lambda c: F.map_from_entries(F.flatten(F.transform(c, lambda m: F.map_entries(m)))),
+    "key_values": lambda c: F.map_entries(c),
+    "map_each_key": lambda c, fn: F.transform_keys(c, lambda k, v: fn(k)),
+    "with": lambda c, *keys: F.map_filter(c, lambda k, v: k.isin(*[_lit_str(x) for x in keys])),
 }
+
+
+def _parse_url(c: Column) -> Column:
+    """URL -> struct(scheme, host, port, path, query, fragment)
+    (methods_strings.go parse_url -> object). Pure Catalyst parse_url."""
+    part = lambda p: F.parse_url(c, F.lit(p))  # noqa: E731
+    return F.struct(
+        part("PROTOCOL").alias("scheme"),
+        part("HOST").alias("host"),
+        F.split(part("AUTHORITY"), ":").getItem(1).cast("int").alias("port"),
+        part("PATH").alias("path"),
+        part("QUERY").alias("query"),
+        part("REF").alias("fragment"),
+    )
+
+
+_ISO_DUR_PAT = r"^(-?)P(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+
+
+def _parse_duration_iso8601(c: Column) -> Column:
+    """ISO-8601 duration -> integer nanoseconds (reference
+    bloblang parse_duration_iso8601 contract). Unmatched input -> NULL."""
+    def g(i: int) -> Column:
+        return F.coalesce(F.nullif(F.regexp_extract(c, _ISO_DUR_PAT, i), F.lit("")).cast("double"), F.lit(0.0))
+
+    total_s = g(2) * 604800 + g(3) * 86400 + g(4) * 3600 + g(5) * 60 + g(6)
+    sign = F.when(F.regexp_extract(c, _ISO_DUR_PAT, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
+    ns = (sign * total_s * F.lit(1_000_000_000)).cast("bigint")
+    return F.when(F.regexp_like(c, F.lit(_ISO_DUR_PAT)), ns)
+
+
+_HTML_ESCAPES = [("&", "&amp;"), ("'", "&#39;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&#34;")]
+
+
+def _escape_html(c: Column) -> Column:
+    for raw, ent in _HTML_ESCAPES:  # & first so entities aren't double-escaped
+        c = F.replace(c, F.lit(raw), F.lit(ent))
+    return c
+
+
+def _unescape_html(c: Column) -> Column:
+    # common aliases first, & last (exact inverse of _escape_html ordering)
+    for ent, raw in [("&quot;", '"'), ("&apos;", "'"), ("&#34;", '"'), ("&#39;", "'"),
+                     ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")]:
+        c = F.replace(c, F.lit(ent), F.lit(raw))
+    return c
+
+
+def _aes(c: Column, mode: Column, key: Column, iv: Column | None, encrypt: bool) -> Column:
+    """AES via Spark's native aes_encrypt/aes_decrypt (JVM, codegen). Modes
+    ECB/CBC/GCM; pass a literal iv for deterministic output (GCM/CBC
+    otherwise salt with a random iv, which breaks replay identity)."""
+    m = _lit_str(mode).upper()
+    if m not in ("ECB", "CBC", "GCM"):
+        raise BloblangError(f"unsupported AES mode {m} (one of ECB, CBC, GCM)")
+    if encrypt:
+        args = [c.cast("binary"), key.cast("binary"), F.lit(m), F.lit("DEFAULT")]
+        if iv is not None:
+            args.append(iv.cast("binary"))
+        return F.aes_encrypt(*args)
+    return F.aes_decrypt(c.cast("binary"), key.cast("binary"), F.lit(m))
+
+
+def _hmac(c: Column, alg: Column, key: Column) -> Column:
+    """HMAC as a pure Catalyst expression (no UDF): the ipad/opad key blocks
+    are compile-time binary literals (key must be a literal, as in reference
+    configs), the two passes are native sha2. Returns lowercase hex."""
+    name = _lit_str(alg).lower()
+    bits = {"sha256": 256, "sha512": 512}.get(name)
+    if bits is None:
+        raise BloblangError(f"unsupported hmac algorithm {name} (sha256 or sha512)")
+    block = 64 if bits == 256 else 128
+    k = _lit_full_str(key).encode()
+    if len(k) > block:
+        import hashlib
+
+        k = hashlib.new(name, k).digest()
+    k = k.ljust(block, b"\0")
+    ipad = bytes(b ^ 0x36 for b in k)
+    opad = bytes(b ^ 0x5C for b in k)
+    inner_hex = F.sha2(F.concat(F.lit(ipad), c.cast("binary")), bits)
+    return F.lower(F.sha2(F.concat(F.lit(opad), F.unhex(inner_hex)), bits))
+
+
+def _lit_full_str(col: Column) -> str:
+    """A compile-time string literal preserved verbatim (DDL schemas, hmac
+    keys — anything where _lit_str's identifier-only extraction is lossy)."""
+    if "_bl_lit" in col.__dict__:
+        return col.__dict__["_bl_lit"]
+    raise BloblangError("expected a literal string argument")
 
 def _widen_init(init: Column) -> Column:
     """fold's init literal must match the lambda's result type; widen int
@@ -643,6 +756,30 @@ def compile_expr(src: str) -> Column:
         t = p.peek()
         raise BloblangError(f"trailing input at {t.pos}: {t.text!r}")
     return col
+
+
+_INTERP_RE = re.compile(r"\$\{!\s*(.*?)\s*\}")
+
+
+def compile_interpolated(src: str) -> Column:
+    """Compile an interpolated config string — literal text with embedded
+    `${! <expr> }` segments (reference
+    internal/bloblang/field/expression.go:19) — to ONE string Column:
+    F.concat of literal pieces and compiled expressions. A string with no
+    interpolation compiles to a plain literal, so static fields cost
+    nothing."""
+    parts: list[Column] = []
+    last = 0
+    for m in _INTERP_RE.finditer(src):
+        if m.start() > last:
+            parts.append(F.lit(src[last : m.start()]))
+        parts.append(compile_expr(m.group(1)).cast("string"))
+        last = m.end()
+    if last == 0:
+        return F.lit(src)
+    if last < len(src):
+        parts.append(F.lit(src[last:]))
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
 @dataclass

@@ -1,0 +1,140 @@
+"""Scanner wave: tar / zip / chunker / re_match / skip_bom.
+
+Reference scanners consume a raw byte stream and emit message batches
+(/root/reference/internal/impl/pure/scanner_tar.go:28, scanner_chunker.go,
+scanner_regexp.go, scanner_skip_bom.go; archive/unarchive tar+zip formats
+in processor_archive.go / processor_unarchive.go:336-354).
+
+Spark-first mapping: a "byte stream" is a binary column (usually from the
+`binaryFile` datasource — one row per file, content as binary). Scanners
+become explodes:
+- chunker / re_match / skip_bom are pure Catalyst (sequence+substr, split,
+  regexp_replace) — codegen, no Python.
+- tar/zip need the stdlib format parsers, so they run as mapInPandas over
+  Arrow batches; the blob column is consumed (never echoed back through
+  Arrow — the repo invariant for large binaries).
+
+tar_encode is the archive twin (deterministic: sorted members, zeroed
+mtime/uid/gid) so tar handling gets a DuckDB-oracle-able roundtrip query
+instead of a rows-only check.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _keep_schema(df: DataFrame, keep_cols: Sequence[str]) -> str:
+    fields = {f.name: f for f in df.schema.fields}
+    return ", ".join(f"{c} {fields[c].dataType.simpleString()}" for c in keep_cols)
+
+
+def tar_encode(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    name_col: str,
+    payload_col: str,
+    out_col: str = "tar_blob",
+) -> DataFrame:
+    """archive format=tar (processor_archive.go formats): each group's rows
+    become ONE uncompressed tar blob, member per row. Deterministic bytes:
+    members sorted by name, mtime/uid/gid zeroed."""
+    group_cols = list(group_cols)
+    out_schema = f"{_keep_schema(df, group_cols)}, {out_col} binary, n_members bigint"
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, payload in sorted(zip(pdf[name_col], pdf[payload_col])):
+                data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
+                info = tarfile.TarInfo(name=str(name))
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(bytes(data)))
+        row = dict(zip(group_cols, key))
+        row[out_col] = buf.getvalue()
+        row["n_members"] = len(pdf)
+        return pd.DataFrame([row])
+
+    return df.select(*group_cols, name_col, payload_col).groupBy(*group_cols).applyInPandas(
+        encode, schema=out_schema
+    )
+
+
+def unarchive_tar(
+    df: DataFrame,
+    blob_col: str,
+    keep_cols: Sequence[str] = (),
+    fmt: str = "tar",
+) -> DataFrame:
+    """tar/zip scanner (scanner_tar.go:28; unarchive zip
+    processor_unarchive.go): one blob row -> one row per archive member
+    (member_name string, member_bytes binary). keep_cols replicate onto
+    every member row; the blob itself is consumed."""
+    if fmt not in ("tar", "zip"):
+        raise ValueError(f"unsupported archive format: {fmt} (tar or zip)")
+    keep_cols = list(keep_cols)
+    keep = _keep_schema(df, keep_cols)
+    out_schema = (f"{keep}, " if keep else "") + "member_name string, member_bytes binary"
+    cols = keep_cols + [blob_col]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                blob = row[blob_col]
+                if blob is None:
+                    continue
+                bio = io.BytesIO(bytes(blob))
+                members: list[tuple[str, bytes]] = []
+                if fmt == "tar":
+                    with tarfile.open(fileobj=bio) as tf:
+                        for m in tf.getmembers():
+                            if m.isfile():
+                                f = tf.extractfile(m)
+                                members.append((m.name, f.read() if f else b""))
+                else:
+                    with zipfile.ZipFile(bio) as zf:
+                        for nm in zf.namelist():
+                            if not nm.endswith("/"):
+                                members.append((nm, zf.read(nm)))
+                base = {c: row[c] for c in keep_cols}
+                rows.extend({**base, "member_name": n, "member_bytes": b} for n, b in members)
+            if rows:
+                yield pd.DataFrame(rows, columns=keep_cols + ["member_name", "member_bytes"])
+
+    return df.select(*cols).mapInPandas(decode, schema=out_schema)
+
+
+def chunker(df: DataFrame, col: str, size: int, out_col: str = "chunk") -> DataFrame:
+    """Fixed-size chunk scanner (scanner_chunker.go): split a string/binary
+    payload into ceil(len/size) pieces. Pure Catalyst: posexplode over a
+    sequence + substr — codegen, works on binary and string alike. Empty
+    payloads produce zero rows (reference drops empty chunks)."""
+    if size <= 0:
+        raise ValueError("chunker size must be positive")
+    n = F.ceil(F.length(F.col(col)) / F.lit(size)).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
+    return (
+        df.withColumn("chunk_index", F.explode(idx))
+        .withColumn(out_col, F.col(col).substr(F.col("chunk_index") * size + 1, F.lit(size)))
+        .drop(col)
+    )
+
+
+def re_split(df: DataFrame, col: str, pattern: str, out_col: str = "part") -> DataFrame:
+    """re_match boundary scanner (scanner_regexp.go): explode the payload on
+    a regex delimiter. Pure Catalyst split+explode."""
+    return df.withColumn(out_col, F.explode(F.split(F.col(col), pattern))).drop(col)
+
+
+def skip_bom(df: DataFrame, col: str) -> DataFrame:
+    """Strip a UTF-8 BOM prefix (scanner_skip_bom.go)."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), "^\ufeff", ""))

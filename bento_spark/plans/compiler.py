@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 from bento_spark.audio.generate import CLIP_SCHEMA, clips_df
 from bento_spark.audio.udfs import with_audio_features, with_decoded_pcm, with_normalized_clip
-from bento_spark.functions.bloblang import compile_expr, compile_mapping
+from bento_spark.functions.bloblang import compile_expr, compile_interpolated, compile_mapping
 from bento_spark.operators import errors as err_ops
 from bento_spark.operators import grouping, mapping as map_ops, skew
 from bento_spark.streaming.sink import IdempotentParquetSink, dlq_split_writer
@@ -139,6 +139,20 @@ class Pipeline:
             opts = inp["lines"]
             rd = spark.readStream if streaming else spark.read
             return rd.text(opts["path"]).withColumnRenamed("value", opts.get("column", "line"))
+        if "binary_file" in inp:
+            # whole-file binary rows (path, modificationTime, length,
+            # content) — the byte-stream the reference's scanners consume;
+            # follow with unarchive_tar/chunker/re_split processors
+            opts = inp["binary_file"]
+            rd = spark.readStream if streaming else spark.read
+            rd = rd.format("binaryFile")
+            if "glob" in opts:
+                rd = rd.option("pathGlobFilter", opts["glob"])
+            if streaming:
+                rd = rd.schema(
+                    "path string, modificationTime timestamp, length bigint, content binary"
+                )
+            return rd.load(opts["path"])
         if "xml" in inp:
             # native XML datasource (Spark 4) — the reference's xml scanner/
             # processor to_json path (internal/impl/xml/processor.go)
@@ -182,12 +196,23 @@ class Pipeline:
     # ------------------------------------------------------------- processors
     def _apply_processors(self, df: DataFrame) -> DataFrame:
         procs = (self.conf.get("pipeline") or {}).get("processors") or []
-        for p in procs:
-            if not isinstance(p, dict) or len(p) != 1:
-                raise ValueError(f"each processor must be a single-key map, got {p!r}")
-            name, opts = next(iter(p.items()))
-            df = self._apply_one(df, name, opts)
-        return df
+        return self._chain(procs)(df)
+
+    def _chain(self, procs: list | None):
+        """Compile a processor list to a DataFrame transform — the unit of
+        composition for nested sections (switch cases, group_by groups, try
+        bodies, while loops: the reference nests processor lists the same
+        way, internal/impl/pure/processor_switch.go:104)."""
+
+        def run(df: DataFrame) -> DataFrame:
+            for p in procs or []:
+                if not isinstance(p, dict) or len(p) != 1:
+                    raise ValueError(f"each processor must be a single-key map, got {p!r}")
+                name, opts = next(iter(p.items()))
+                df = self._apply_one(df, name, opts)
+            return df
+
+        return run
 
     def _apply_one(self, df: DataFrame, name: str, opts: Any) -> DataFrame:
         if name in ("mapping", "mutation"):
@@ -231,18 +256,140 @@ class Pipeline:
             wm = tuple(o["watermark"]) if "watermark" in o else None
             return grouping.dedupe(df, o["keys"], watermark=wm)
         if name == "set_error":
-            return err_ops.set_error_when(df, compile_expr(opts["when"]), opts.get("message", "error"))
+            # message is an interpolated field (`${! expr }` segments,
+            # field/expression.go:19) so errors can carry per-row context
+            msg = compile_interpolated(str(opts.get("message", "error")))
+            return err_ops.set_error_when(df, compile_expr(opts["when"]), msg)
         if name == "catch":
-            sets = (opts or {}).get("set") or {}
+            o = opts or {}
+            sets = o.get("set") or {}
 
             def fix(d: DataFrame) -> DataFrame:
                 for colname, expr_src in sets.items():
                     d = d.withColumn(colname, compile_expr(str(expr_src)))
                 return d
 
-            return err_ops.catch_(df, fix)
+            fixes = [fix] if sets else []
+            if "processors" in o:
+                fixes.append(self._chain(o["processors"]))
+            return err_ops.catch_(df, *fixes)
+        if name == "try":
+            # try: run children, already-errored rows short-circuit
+            # (processor_try.go:15)
+            return err_ops.try_(df, self._chain(opts["processors"]))
+        if name == "switch":
+            # processor-level switch: first matching case's chain processes
+            # the row (processor_switch.go:181-184)
+            from bento_spark.operators.switch import switch_transform
+
+            o = opts or {}
+            cases = [(compile_expr(c["check"]), self._chain(c.get("processors"))) for c in o["cases"]]
+            default = self._chain(o["default"]) if "default" in o else None
+            return switch_transform(df, cases, default=default)
+        if name == "group_by":
+            # ordered checks label rows; each group gets its own processor
+            # chain (processor_group_by.go:75,130-185)
+            o = opts or {}
+            checks = [(c["name"], compile_expr(c["check"])) for c in o["checks"]]
+            df = grouping.group_by(df, checks, default=o.get("default", "default"))
+            chains = {c["name"]: self._chain(c["processors"]) for c in o["checks"] if c.get("processors")}
+            return grouping.per_group(df, chains) if chains else df
         if name == "group_by_value":
-            return grouping.group_by_value(df, compile_expr(opts["value"]))
+            # the reference's group key IS an interpolated string
+            # (processor_group_by_value.go:21)
+            v = str(opts["value"])
+            key = compile_interpolated(v) if "${!" in v else compile_expr(v)
+            return grouping.group_by_value(df, key)
+        if name == "while":
+            # driver-side loop, bounded by max_loops (processor_while.go:20):
+            # re-run children while any row matches `check`. Batch-only —
+            # iteration count is data-dependent, which a streaming plan
+            # cannot express; localCheckpoint truncates lineage per round.
+            o = opts or {}
+            if df.isStreaming:
+                raise ValueError("while is batch-only (data-dependent iteration)")
+            cond = compile_expr(o["check"])
+            body = self._chain(o["processors"])
+            for _ in range(int(o.get("max_loops", 10))):
+                if df.filter(cond).isEmpty():
+                    break
+                df = body(df).localCheckpoint()
+            return df
+        if name == "select_parts":
+            from bento_spark.operators import batching
+
+            o = opts or {}
+            return batching.select_parts(df, o["key"], o["order_by"], o["indexes"])
+        if name == "insert_part":
+            from bento_spark.operators import batching
+
+            o = opts or {}
+            row = {k: compile_expr(str(v)) for k, v in o["row"].items()}
+            return batching.insert_part(df, o["key"], o["order_by"], int(o.get("index", -1)), row)
+        if name == "cache":
+            # per-batch get/set/add/delete on a named keyed state table
+            # (processor_cache.go:125; the key field is interpolated in the
+            # reference — here `key` names the column holding it)
+            from bento_spark.operators.cache import KeyValueCache
+
+            o = opts or {}
+            cache = KeyValueCache(df.sparkSession, o["resource"], key_col=o.get("key_col", "key"))
+            op = o.get("operator", "get")
+            key = o["key"]
+            if op == "get":
+                return cache.get(df, on=key)
+            if df.isStreaming:
+                raise ValueError(f"cache {op} is batch-only in YAML pipelines; stream writes go through outputs")
+            cols = o.get("columns") or [c for c in df.columns if c != key]
+            sel = df.select(key, *cols)
+            if key != cache.key_col:
+                sel = sel.withColumnRenamed(key, cache.key_col)
+            if op == "set":
+                cache.set(sel)
+                return df
+            if op == "delete":
+                cache.delete(sel.select(cache.key_col))
+                return df
+            if op == "add":
+                # rejected keys (already present) error their rows, matching
+                # the reference's add-operator failure semantics
+                rejected = cache.add(sel).select(F.col(cache.key_col).alias(key)).withColumn(
+                    "_cache_dup", F.lit(True)
+                )
+                out = df.join(F.broadcast(rejected), key, "left")
+                out = err_ops.set_error_when(
+                    out, F.col("_cache_dup").isNotNull(), f"cache add: key exists in {o['resource']}"
+                )
+                return out.drop("_cache_dup")
+            raise ValueError(f"unsupported cache operator: {op}")
+        if name == "cached":
+            # memoize the child chain per key (processor_cached.go)
+            from bento_spark.operators.cache import KeyValueCache, cached
+
+            o = opts or {}
+            cache = KeyValueCache(df.sparkSession, o["resource"])
+            return cached(cache, o["key_cols"], self._chain(o["processors"]))(df)
+        if name == "lookup":
+            # broadcast dimension enrichment — the reference's cache-get /
+            # sql_select lookup patterns as a real join (enrich.py); works on
+            # streams too (stream-static join, dimension read per micro-batch)
+            from bento_spark.operators.enrich import lookup_join
+
+            o = opts or {}
+            dim = Pipeline({"input": o["right"]})._input(df.sparkSession, streaming=False)
+            # accept `keys:` (preferred — YAML 1.1 parses a bare `on:` key as
+            # boolean True, the classic Norway problem) but tolerate both
+            on = o.get("keys", o.get("on", o.get(True)))
+            if on is None:
+                raise ValueError("lookup needs `keys:` (join key or {left,right} pair)")
+            if isinstance(on, dict):  # differently-named keys: {left: l_k, right: r_k}
+                dim = dim.withColumnRenamed(on["right"], on["left"])
+                on = on["left"]
+            keys = on if isinstance(on, list) else [on]
+            if "columns" in o:
+                dim = dim.select(*keys, *o["columns"])
+            return lookup_join(df, dim, on=on, how=o.get("how", "left"),
+                               broadcast_dim=bool(o.get("broadcast", True)))
         if name == "spread_skew":
             o = opts or {}
             return skew.spread_by_cost(df, cost_col=o.get("cost", "dur_ms"))
@@ -369,6 +516,32 @@ class Pipeline:
             o = opts or {}
             return protobuf_encode(df, o["columns"], o["message"], o["descriptor_file"],
                                    out_col=o.get("out", "proto_bytes"))
+        if name == "unarchive_tar":
+            from bento_spark.operators.scanners import unarchive_tar
+
+            o = opts or {}
+            return unarchive_tar(df, o.get("column", "content"), keep_cols=o.get("keep", ()),
+                                 fmt=o.get("format", "tar"))
+        if name == "tar_encode":
+            from bento_spark.operators.scanners import tar_encode
+
+            o = opts or {}
+            return tar_encode(df, o["group_by"], o["name"], o["payload"],
+                              out_col=o.get("out", "tar_blob"))
+        if name == "chunker":
+            from bento_spark.operators.scanners import chunker
+
+            o = opts or {}
+            return chunker(df, o["column"], int(o["size"]), out_col=o.get("out", "chunk"))
+        if name == "re_split":
+            from bento_spark.operators.scanners import re_split
+
+            o = opts or {}
+            return re_split(df, o["column"], o["pattern"], out_col=o.get("out", "part"))
+        if name == "skip_bom":
+            from bento_spark.operators.scanners import skip_bom
+
+            return skip_bom(df, (opts or {}).get("column", "line"))
         if name in ("noop", "log"):
             return df  # log/metric side effects live in the metrics listener
         raise ValueError(f"unsupported processor: {name}")
