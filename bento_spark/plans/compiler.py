@@ -516,6 +516,22 @@ class Pipeline:
             o = opts or {}
             return protobuf_encode(df, o["columns"], o["message"], o["descriptor_file"],
                                    out_col=o.get("out", "proto_bytes"))
+        if name == "http":
+            # HTTP enrichment (processor_http.go:16): interpolated url/body,
+            # response into out (error column on failure)
+            from bento_spark.operators.http_enrich import http_enrich
+
+            o = opts or {}
+            return http_enrich(
+                df,
+                compile_interpolated(str(o["url"])),
+                out_col=o.get("out", "http_response"),
+                method=o.get("method", "GET"),
+                headers=o.get("headers"),
+                body=compile_interpolated(str(o["body"])) if "body" in o else None,
+                timeout=float(o.get("timeout", 5)),
+                retries=int(o.get("retries", 1)),
+            )
         if name == "unarchive_tar":
             from bento_spark.operators.scanners import unarchive_tar
 
@@ -615,8 +631,10 @@ class Pipeline:
         """Execute as a StreamingQuery with the exactly-once parquet sink
         (Iceberg MERGE on a real cluster) and optional DLQ routing."""
         out = self.conf.get("output") or {}
-        if "path" not in out and not (out.get("switch") or out.get("fan_out") or out.get("kafka")):
-            raise ValueError("output.path (or switch/fan_out/kafka) required for run_stream")
+        if "path" not in out and not (
+            out.get("switch") or out.get("fan_out") or out.get("kafka") or out.get("fallback")
+        ):
+            raise ValueError("output.path (or switch/fan_out/kafka/fallback) required for run_stream")
         if "path" in out:
             self._sink = IdempotentParquetSink(out["path"], key_cols=out.get("keys"))
         has_window = bool(self.conf.get("window"))
@@ -680,6 +698,14 @@ class Pipeline:
             df = self.build_stream(spark)
             k = out["kafka"]
             writer = kafka_sink(spark, k["addresses"], k["topic"], key_col=k.get("key"))
+        elif out.get("fallback"):
+            # ordered try-next-sink failover (output_fallback.go:18)
+            from bento_spark.streaming.sink import fallback_writer
+
+            df = self.build_stream(spark)
+            sinks = [IdempotentParquetSink(p) for p in out["fallback"]]
+            self._case_sinks = sinks
+            writer = fallback_writer(sinks)
         elif out.get("fan_out"):
             # broker fan_out (output_broker.go:150): every sink gets the batch
             from bento_spark.streaming.sink import route_outputs

@@ -149,6 +149,45 @@ def route_outputs(
     return _route
 
 
+def fallback_writer(
+    sinks: Sequence[IdempotentParquetSink],
+    annotate: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Ordered sink failover (output_fallback.go:18): each micro-batch is
+    tried against sinks[0], and on a write failure falls to the next tier.
+    Rows landing on a lower tier are annotated with `fallback_error` /
+    `fallback_tier` — the reference attaches the same error meta before
+    handing the message down.
+
+    Granularity is the micro-batch (the Spark unit of atomic commit), not
+    the message: a per-row failover would force row-at-a-time writes, and
+    idempotent-replay identity (same epoch -> same sink) must hold for
+    exactly-once to survive a restart mid-failover. Exactly-once holds per
+    tier: a replayed epoch that previously committed on tier i re-fails the
+    same way on tiers < i (their fault persists or the marker check
+    short-circuits) and no-ops on tier i's marker.
+    """
+    if not sinks:
+        raise ValueError("fallback needs at least one sink")
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        last_err: Exception | None = None
+        for tier, sink in enumerate(sinks):
+            df = batch_df
+            if tier > 0 and annotate and last_err is not None:
+                df = df.withColumn("fallback_error", F.lit(str(last_err)[:200])).withColumn(
+                    "fallback_tier", F.lit(tier)
+                )
+            try:
+                sink.write_batch(df, epoch_id)
+                return
+            except Exception as e:  # noqa: BLE001 — any write failure falls through
+                last_err = e
+        raise RuntimeError(f"all {len(sinks)} fallback sinks failed for epoch {epoch_id}") from last_err
+
+    return write
+
+
 def dlq_split_writer(
     main: IdempotentParquetSink,
     dlq: IdempotentParquetSink,
