@@ -185,6 +185,24 @@ class Pipeline:
             for d in dfs[1:]:
                 out = out.unionByName(d, allowMissingColumns=True)
             return out
+        if "sequence" in inp:
+            # ordered consumption: child i's rows all precede child i+1's
+            # (input_sequence.go:35 "once that input gracefully terminates
+            # starts consuming from the next"). Tables have no arrival
+            # order, so the sequence position is materialized as _seq_input
+            # — downstream order-sensitive ops sort on it. Batch-only: a
+            # stream never "gracefully terminates".
+            if streaming:
+                raise ValueError("sequence input is batch-only (streams do not terminate)")
+            children = inp["sequence"]["inputs"]
+            dfs = [
+                Pipeline({"input": c})._input(spark, streaming=False).withColumn("_seq_input", F.lit(i))
+                for i, c in enumerate(children)
+            ]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
         raise ValueError(f"unsupported input config: {list(inp)}")
 
     @staticmethod

@@ -1,0 +1,88 @@
+"""Tracing spans + OTLP-JSON export; sequence input ordering."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bento_spark.plans.compiler import compile_yaml
+from bento_spark.streaming.tracing import Tracer, otel_available, to_otel
+
+
+def test_span_nesting_and_status():
+    t = Tracer("svc")
+    with pytest.raises(RuntimeError, match="boom"):
+        with t.span("pipeline", config="p1"):
+            with t.span("stage-decode", rows=100):
+                t.event("CONSUME", source="parquet")
+            with t.span("stage-window"):
+                raise RuntimeError("boom")
+    by_name = {s.name: s for s in t.spans}
+    assert set(by_name) == {"pipeline", "stage-decode", "stage-window"}
+    root = by_name["pipeline"]
+    assert root.parent_id is None and root.status == "ERROR"  # exc propagated through it
+    for child in ("stage-decode", "stage-window"):
+        assert by_name[child].parent_id == root.span_id
+        assert by_name[child].trace_id == root.trace_id
+    assert by_name["stage-window"].status == "ERROR"
+    assert by_name["stage-decode"].events[0]["name"] == "CONSUME"
+
+
+def test_otlp_export_shape(tmp_path):
+    t = Tracer("bento-spark-test")
+    with t.span("run", n=3, ratio=0.5, ok=True, note=None):
+        pass
+    out = tmp_path / "spans.json"
+    t.export_file(str(out))
+    doc = json.loads(out.read_text())
+    rs = doc["resourceSpans"][0]
+    assert {"key": "service.name", "value": {"stringValue": "bento-spark-test"}} in rs["resource"]["attributes"]
+    span = rs["scopeSpans"][0]["spans"][0]
+    assert span["name"] == "run" and len(span["traceId"]) == 32 and len(span["spanId"]) == 16
+    kinds = {a["key"]: next(iter(a["value"])) for a in span["attributes"]}
+    assert kinds == {"n": "intValue", "ratio": "doubleValue", "ok": "boolValue", "note": "stringValue"}
+    assert span["status"] == {"code": 1}
+    assert int(span["endTimeUnixNano"]) >= int(span["startTimeUnixNano"])
+
+
+def test_otel_gated():
+    assert not otel_available()
+    with pytest.raises(RuntimeError, match="opentelemetry-sdk"):
+        to_otel(Tracer())
+
+
+def test_batch_spans_from_listener():
+    from bento_spark.streaming.metrics import BatchMetrics
+
+    class FakeListener:
+        batches = [
+            BatchMetrics(0, "t0", 10, 10, None, None, 0, 0, 1.0, 1.0,
+                         lineage=[{"source": "p", "rows": 10}]),
+            BatchMetrics(1, "t1", 5, 5, None, None, 0, 0, 1.0, 1.0),
+        ]
+
+    t = Tracer()
+    t.batch_spans_from(FakeListener())
+    names = sorted(s.name for s in t.spans)
+    assert names == ["micro-batch-0", "micro-batch-1", "streaming-query"]
+    b0 = next(s for s in t.spans if s.name == "micro-batch-0")
+    assert b0.attrs["input_received"] == 10
+    assert b0.events == [{"name": "CONSUME", "attrs": {"source": "p", "rows": 10}}]
+
+
+def test_sequence_input(spark, tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    spark.createDataFrame([(1,), (2,)], ["x"]).write.parquet(str(a))
+    spark.createDataFrame([(3,)], ["x"]).write.parquet(str(b))
+    p = compile_yaml(f"""
+input:
+  sequence:
+    inputs:
+      - parquet: {{path: {a}}}
+      - parquet: {{path: {b}}}
+""")
+    rows = sorted((r._seq_input, r.x) for r in p.build_batch(spark).collect())
+    assert rows == [(0, 1), (0, 2), (1, 3)]
+    with pytest.raises(ValueError, match="batch-only"):
+        p.build_stream(spark)
