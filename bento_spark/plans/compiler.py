@@ -162,6 +162,20 @@ class Pipeline:
             if streaming or "schema" in opts:
                 rd = rd.schema(opts["schema"])
             return rd.load(opts["path"])
+        if "socket" in inp:
+            # TCP line source (reference net input internal/impl/io/
+            # input_socket.go) — Spark's native socket source; dev/debug
+            # grade (no offset replay), like the reference's
+            o = inp["socket"]
+            if not streaming:
+                raise ValueError("socket input is streaming-only")
+            return (
+                spark.readStream.format("socket")
+                .option("host", o.get("host", "127.0.0.1"))
+                .option("port", int(o["port"]))
+                .load()
+                .withColumnRenamed("value", o.get("column", "line"))
+            )
         if "kafka" in inp:
             from bento_spark.streaming.kafka import read_kafka_stream
 
