@@ -34,6 +34,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_TMP_DIRS: dict[str, str] = {}
+
+
+def _scratch_dir(key: str, fresh: bool = False) -> str:
+    """Per-process scratch dir memo: repeated query invocations (bench /
+    oracle loops) reuse ONE directory per purpose instead of leaking a new
+    mkdtemp per call. fresh=True wipes it so stateful uses (caches) start
+    identical every invocation."""
+    import shutil
+    import tempfile
+
+    d = _TMP_DIRS.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix=f"bento_{key}_")
+        _TMP_DIRS[key] = d
+    elif fresh:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    return d
+
+
 # --------------------------------------------------------------------------
 # Relational core (mapping / filter / agg — reference processor_mapping.go,
 # Bloblang agg methods §2.8)
@@ -358,11 +379,13 @@ def q_cache_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cache processor get/set as a state table (processor_cache.go:150):
     build a keyed cache from nation, enrich customers via cache.get
     (broadcast lookup join under the hood)."""
-    import tempfile
-
     from bento_spark.operators.cache import KeyValueCache
 
-    cache = KeyValueCache(spark, tempfile.mkdtemp(prefix="bento_cache_"), key_col="c_nationkey")
+    cache = KeyValueCache(
+        spark,
+        _scratch_dir(f"cache_enrich_{os.path.basename(sf_dir.rstrip('/'))}", fresh=True),
+        key_col="c_nationkey",
+    )
     n = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation_name")
     )
@@ -658,11 +681,9 @@ pipeline:
 def q_yaml_cache_set_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cache set + get sections (processor_cache.go:125) via two YAML
     pipelines sharing a resource. Shares cache_enrichment's oracle."""
-    import tempfile
-
     from bento_spark.plans.compiler import compile_yaml
 
-    cache_dir = tempfile.mkdtemp(prefix="bento_yaml_cache_")
+    cache_dir = _scratch_dir(f"yaml_cache_{os.path.basename(sf_dir.rstrip('/'))}", fresh=True)
     setter = compile_yaml(f"""
 input:
   parquet: {{path: {sf_dir}/nation.parquet}}
@@ -893,10 +914,8 @@ def q_clip_transcript_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads must never ride through stream-stream join state (at scale
     they bloat the RocksDB store by the payload:key ratio, ~50:1 here).
     """
-    import tempfile
-
     base = clips_df(spark, _AUDIO_N)
-    staged = tempfile.mkdtemp(prefix="bento_clipjoin_")
+    staged = _scratch_dir(f"clipjoin_{_AUDIO_N}")
     base.select("clip_id", "transcript", "event_ts").write.mode("overwrite").parquet(staged)
     meta = spark.read.parquet(staged)
     clip_side = meta.select("clip_id", "event_ts")
@@ -1347,7 +1366,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.id, b.id)
             SELECT id_a, id_b,
                    round(n_inter * 1.0 / (size_a + size_b - n_inter), 6) AS jaccard
-            FROM inter WHERE n_inter * 1.0 / (size_a + size_b - n_inter) >= 0.6
+            FROM inter
+            WHERE round(n_inter * 1.0 / (size_a + size_b - n_inter), 6) >= 0.6
         """,
         "simhash": f"""
             WITH sig AS (

@@ -773,7 +773,11 @@ def compile_interpolated(src: str) -> Column:
     for m in _INTERP_RE.finditer(src):
         if m.start() > last:
             parts.append(F.lit(src[last : m.start()]))
-        parts.append(compile_expr(m.group(1)).cast("string"))
+        # NULL segments render as "null" (reference field interpolation
+        # renders null values, never nulls the whole string) — otherwise
+        # F.concat would NULL the entire field and e.g. a NULL in an error
+        # message would silently unflag the row (DLQ bypass).
+        parts.append(F.coalesce(compile_expr(m.group(1)).cast("string"), F.lit("null")))
         last = m.end()
     if last == 0:
         return F.lit(src)

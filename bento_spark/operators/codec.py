@@ -309,17 +309,26 @@ def parquet_decode(df: DataFrame, blob_col: str, schema: str, keep_cols: Sequenc
 # ---------------------------------------------------------------------------
 
 
+_AVRO_PROBES: dict[int, bool] = {}
+
+
 def avro_available(spark) -> bool:
     """True when the spark-avro module is on the classpath (the functions
-    exist in pyspark regardless; analysis fails without the jar)."""
-    try:
-        from pyspark.sql.avro.functions import to_avro
+    exist in pyspark regardless; analysis fails without the jar). Memoized
+    per session — the probe runs a real analysis."""
+    key = id(spark._jvm)
+    hit = _AVRO_PROBES.get(key)
+    if hit is None:
+        try:
+            from pyspark.sql.avro.functions import to_avro
 
-        probe = spark.range(1).select(to_avro(F.struct(F.col("id"))).alias("b"))
-        probe._jdf.queryExecution().analyzed()
-        return True
-    except Exception:
-        return False
+            probe = spark.range(1).select(to_avro(F.struct(F.col("id"))).alias("b"))
+            probe._jdf.queryExecution().analyzed()
+            hit = True
+        except Exception:
+            hit = False
+        _AVRO_PROBES[key] = hit
+    return hit
 
 
 def _require(ok: bool, what: str, package: str) -> None:
@@ -347,11 +356,9 @@ def avro_encode(df: DataFrame, cols: Sequence[str], avro_schema: str, out_col: s
 
 
 def protobuf_available(spark) -> bool:
-    try:
-        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.protobuf.utils.SchemaConverters")
-        return True
-    except Exception:
-        return False
+    from bento_spark.gating import classpath_available
+
+    return classpath_available(spark, "org.apache.spark.sql.protobuf.utils.SchemaConverters")
 
 
 def protobuf_decode(df: DataFrame, col: str, message_name: str, desc_file: str, out_col: str = "record") -> DataFrame:

@@ -71,9 +71,16 @@ def http_enrich(
 
         conns: dict[tuple[str, str, int], http.client.HTTPConnection] = {}
 
-        def request(raw_url: str, payload: str | None) -> tuple[str | None, str | None]:
-            u = urllib.parse.urlsplit(raw_url)
-            key = (u.scheme, u.hostname or "", u.port or (443 if u.scheme == "https" else 80))
+        def request(raw_url, payload: str | None) -> tuple[str | None, str | None]:
+            # URL parsing stays inside the error protocol: a NULL or
+            # malformed per-row URL errors THAT row, never the job
+            try:
+                if not isinstance(raw_url, str):
+                    raise ValueError(f"url is {type(raw_url).__name__}, not str")
+                u = urllib.parse.urlsplit(raw_url)
+                key = (u.scheme, u.hostname or "", u.port or (443 if u.scheme == "https" else 80))
+            except ValueError as e:
+                return None, f"http request failed: bad url: {e}"
             last = "no attempt"
             for attempt in range(retries + 1):
                 try:

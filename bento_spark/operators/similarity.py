@@ -198,7 +198,10 @@ def lsh_topk(
                 continue
             mat = _normalize(_as_matrix(pdf[vec_col]))
             nids = pdf["_nid"].to_numpy(dtype=np.int64)
-            buckets = _bucket_of(_as_matrix(pdf[vec_col]), planes)
+            # bucket from the already-stacked matrix: sign(v . plane) is
+            # invariant under the positive per-row scaling _normalize applies,
+            # and _as_matrix is the dominant Python-side cost per batch
+            buckets = _bucket_of(mat, planes)
             outs = []
             for b in np.unique(buckets):
                 qsel = by_bucket.get(int(b))

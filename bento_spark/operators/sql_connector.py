@@ -38,21 +38,15 @@ def _driver_for(url: str) -> str:
 
 
 def jdbc_available(spark: SparkSession, url: str) -> bool:
-    try:
-        spark._jvm.java.lang.Class.forName(_driver_for(url))
-        return True
-    except ValueError:
-        raise
-    except Exception:
-        return False
+    from bento_spark.gating import classpath_available
+
+    return classpath_available(spark, _driver_for(url))
 
 
 def _require(spark: SparkSession, url: str, what: str) -> None:
-    if not jdbc_available(spark, url):
-        raise RuntimeError(
-            f"{what} requires the {_driver_for(url)} JDBC driver on the Spark "
-            f"classpath; launch with --jars <driver jar>"
-        )
+    from bento_spark.gating import require_classpath
+
+    require_classpath(spark, _driver_for(url), f"<{_driver_for(url)} JDBC driver jar>", what)
 
 
 def sql_select(

@@ -159,7 +159,9 @@ class Pipeline:
             opts = inp["xml"]
             rd = spark.readStream if streaming else spark.read
             rd = rd.format("xml").option("rowTag", opts.get("row_tag", "row"))
-            if streaming or "schema" in opts:
+            if streaming and "schema" not in opts:
+                raise ValueError("xml streaming input requires an explicit schema")
+            if "schema" in opts:
                 rd = rd.schema(opts["schema"])
             return rd.load(opts["path"])
         if "socket" in inp:

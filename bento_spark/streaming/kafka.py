@@ -29,23 +29,18 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bento_spark.gating import classpath_available, require_classpath
+
 KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+_KAFKA_CLASS = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
 
 
 def kafka_available(spark: SparkSession) -> bool:
-    try:
-        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
-        return True
-    except Exception:
-        return False
+    return classpath_available(spark, _KAFKA_CLASS)
 
 
 def _require(spark: SparkSession, what: str) -> None:
-    if not kafka_available(spark):
-        raise RuntimeError(
-            f"{what} requires the Kafka connector on the Spark classpath; "
-            f"launch with --packages {KAFKA_PACKAGE}"
-        )
+    require_classpath(spark, _KAFKA_CLASS, KAFKA_PACKAGE, what)
 
 
 def read_kafka_stream(
@@ -85,6 +80,9 @@ def read_kafka_stream(
         "value",
         *(["headers"] if include_headers else []),
     )
+    meta_cols = ["kafka_key", "kafka_topic", "kafka_partition", "kafka_offset", "kafka_ts"] + (
+        ["headers"] if include_headers else []
+    )
     if value_schema is not None:
         if value_format == "json":
             parsed = F.from_json(F.col("value").cast("string"), value_schema)
@@ -92,13 +90,11 @@ def read_kafka_stream(
             from bento_spark.operators.codec import avro_decode  # noqa: F401
 
             return avro_decode(df, "value", value_schema, out_col="record").select(
-                "kafka_key", "kafka_topic", "kafka_partition", "kafka_offset", "kafka_ts", "record.*"
+                *meta_cols, "record.*"
             )
         else:
             raise ValueError(f"unsupported kafka value_format: {value_format}")
-        df = df.withColumn("_rec", parsed).select(
-            "kafka_key", "kafka_topic", "kafka_partition", "kafka_offset", "kafka_ts", "_rec.*"
-        )
+        df = df.withColumn("_rec", parsed).select(*meta_cols, "_rec.*")
     return df
 
 

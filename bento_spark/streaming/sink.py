@@ -50,8 +50,11 @@ class IdempotentParquetSink:
     def _marker(self, epoch_id: int) -> str:
         return f"{self.commit_dir}/{epoch_id}"
 
+    def is_committed(self, epoch_id: int) -> bool:
+        return os.path.exists(self._marker(epoch_id))
+
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.exists(self._marker(epoch_id)):
+        if self.is_committed(epoch_id):
             return  # replayed batch: already committed exactly once
         (
             batch_df.withColumn("_bid", F.lit(int(epoch_id)))
@@ -162,15 +165,18 @@ def fallback_writer(
     Granularity is the micro-batch (the Spark unit of atomic commit), not
     the message: a per-row failover would force row-at-a-time writes, and
     idempotent-replay identity (same epoch -> same sink) must hold for
-    exactly-once to survive a restart mid-failover. Exactly-once holds per
-    tier: a replayed epoch that previously committed on tier i re-fails the
-    same way on tiers < i (their fault persists or the marker check
-    short-circuits) and no-ops on tier i's marker.
+    exactly-once to survive a restart mid-failover. Exactly-once holds
+    across the CHAIN: a replayed epoch first checks every tier's commit
+    marker and no-ops if any tier already committed it — without that, a
+    transient tier-0 fault (fails, epoch lands on tier 1, crash, replay,
+    tier 0 now healthy) would duplicate the epoch across tiers.
     """
     if not sinks:
         raise ValueError("fallback needs at least one sink")
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if any(s.is_committed(epoch_id) for s in sinks):
+            return  # replay: the epoch already landed on some tier
         last_err: Exception | None = None
         for tier, sink in enumerate(sinks):
             df = batch_df

@@ -129,3 +129,45 @@ output:
     out = IdempotentParquetSink(str(t1)).read(spark)
     assert out.count() == 8
     assert set(out.columns) >= {"i", "s", "fallback_error", "fallback_tier"}
+
+
+def test_interpolation_null_segment_renders_null(spark):
+    from bento_spark.functions.bloblang import compile_interpolated
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["n", "s"])
+    got = {r.n: r.m for r in df.select(
+        "n", compile_interpolated("v=${! this.s }!").alias("m")).collect()}
+    # a NULL segment renders as "null" (reference field interpolation) —
+    # it must NOT null the whole message, which would unflag errored rows
+    assert got == {1: "v=a!", 2: "v=null!"}
+
+
+def test_http_bad_url_errors_row_not_job(spark, http_port):
+    df = spark.createDataFrame([(1,), (2,)], ["n"])
+    url = F.when(F.col("n") == 1, F.lit(None).cast("string")).otherwise(
+        F.lit(f"http://127.0.0.1:{http_port}/square?n=2"))
+    out = {r.n: (r.resp, r.error) for r in
+           http_enrich(df, url, out_col="resp", retries=0).collect()}
+    assert out[1][0] is None and "bad url" in out[1][1]
+    assert json.loads(out[2][0]) == {"sq": 4} and out[2][1] is None
+
+
+def test_fallback_replay_no_cross_tier_duplicate(spark, tmp_path):
+    calls = {"n": 0}
+
+    class FlakyOnce(IdempotentParquetSink):
+        def write_batch(self, batch_df, epoch_id):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("transient fault")
+            super().write_batch(batch_df, epoch_id)
+
+    tier0 = FlakyOnce(str(tmp_path / "t0"))
+    tier1 = IdempotentParquetSink(str(tmp_path / "t1"))
+    df = spark.createDataFrame([(1,)], ["x"])
+    w = fallback_writer([tier0, tier1])
+    w(df, 0)  # tier0 fails transiently -> lands on tier1
+    assert tier1.read(spark).count() == 1
+    w(df, 0)  # replayed epoch: tier0 is healthy now but MUST NOT rewrite
+    assert not tier0.is_committed(0)
+    assert tier1.read(spark).count() == 1
