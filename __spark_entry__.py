@@ -510,6 +510,29 @@ def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence match (streaming/cep.py): view -> click -> purchase
+    within 72h per user, first-match semantics, Flink-CEP-style `within`
+    anchored at the pattern start. Timestamps compare at ms precision on
+    BOTH sides (Spark unix_millis / DuckDB epoch_ms) so boundary events
+    cannot diverge on sub-ms digits."""
+    from bento_spark.streaming.cep import match_sequence
+
+    ev = _t(spark, sf_dir, "events")
+    return match_sequence(
+        ev,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        within="72 hours",
+        step_names=["view", "click", "purchase"],
+    )
+
+
 def q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tar archive + scanner (scanner_tar.go:28, processor_archive.go tar
     format): each language's documents become ONE deterministic tar blob and
@@ -979,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_check": q_json_schema_check,
         "xml_extract": q_xml_extract,
         "parquet_roundtrip": q_parquet_roundtrip,
+        "cep_funnel": q_cep_funnel,
         "tar_roundtrip": q_tar_roundtrip,
         "chunker_scan": q_chunker_scan,
         "yaml_switch_routing": q_yaml_switch_routing,
@@ -1445,6 +1469,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, transcript,
                    CAST(len(string_split(transcript, ' ')) AS INT) AS n_tokens
             FROM '{_FIX}/clip_meta.parquet'
+        """,
+        "cep_funnel": """
+            WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, event_type FROM events),
+            v AS (SELECT DISTINCT user_id, tms FROM e WHERE event_type = 'view'),
+            c AS (SELECT DISTINCT user_id, tms FROM e WHERE event_type = 'click'),
+            p AS (SELECT DISTINCT user_id, tms FROM e WHERE event_type = 'purchase'),
+            vc AS (
+              SELECT v.user_id, v.tms AS view_ms, min(c.tms) AS click_ms
+              FROM v JOIN c ON v.user_id = c.user_id AND c.tms > v.tms
+                            AND c.tms <= v.tms + 259200000
+              GROUP BY 1, 2),
+            vcp AS (
+              SELECT vc.user_id, view_ms, click_ms, min(p.tms) AS purchase_ms
+              FROM vc JOIN p ON vc.user_id = p.user_id AND p.tms > click_ms
+                             AND p.tms <= view_ms + 259200000
+              GROUP BY 1, 2, 3)
+            SELECT user_id, view_ms, click_ms, purchase_ms,
+                   purchase_ms - view_ms AS duration_ms
+            FROM vcp
         """,
         "tar_roundtrip": """
             SELECT lang, count(*) AS n_docs,

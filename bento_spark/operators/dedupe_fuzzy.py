@@ -256,51 +256,111 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash"
     return df.withColumn(out_col, F.when(empty, F.lit(0).cast("bigint")).otherwise(sig))
 
 
-def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash) via explode + groupBy — the fully-codegen'd relational
-    formulation. Higher-order functions (F.aggregate/zip_with) are
-    interpreted in Spark, so the array formulation in `with_simhash` runs
-    ~7x slower; exploding tokens into rows keeps every operator inside
-    whole-stage codegen and the 64 bit-vote sums combine map-side."""
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(id, simhash...) via explode + groupBy — the fully-codegen'd
+    relational formulation. Higher-order functions (F.aggregate/zip_with)
+    are interpreted in Spark, so the array formulation in `with_simhash`
+    runs ~7x slower; exploding tokens into rows keeps every operator inside
+    whole-stage codegen and the bit-vote sums combine map-side.
+
+    bits=64 (default): one `simhash bigint` column — the verified/oracle
+    contract (fixtures pin these signatures). bits=128: columns simhash_0,
+    simhash_1, where word w>0 uses the salted token hash xxhash64(t, w) —
+    word 0 is bit-identical to the 64-bit signature.
+    """
+    if bits % 64 != 0:
+        raise ValueError("bits must be a multiple of 64")
+    n_words = bits // 64
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    )
+    for w in range(n_words):
+        h = F.xxhash64("t") if w == 0 else F.xxhash64("t", F.lit(w))
+        tok = tok.withColumn(f"h{w}", h)
     votes = [
-        F.sum((F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
+        F.sum((F.shiftrightunsigned(f"h{w}", b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")).alias(f"v{w}_{b}")
+        for w in range(n_words)
+        for b in range(64)
     ]
     agg = tok.groupBy("id").agg(*votes)
-    sig = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint"))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return agg.select("id", sig.alias("simhash"))
+    sigs = []
+    for w in range(n_words):
+        sig = None
+        for b in range(64):
+            bit = F.when(F.col(f"v{w}_{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            sig = bit if sig is None else sig.bitwiseOR(bit)
+        sigs.append(sig.alias("simhash" if n_words == 1 else f"simhash_{w}"))
+    return agg.select("id", *sigs)
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
-    chunks (pigeonhole: hamming<=3 guarantees one identical chunk), join on
-    chunk, verify hamming distance with bit_count (JVM-side)."""
-    # materialize the tiny (id, simhash) table once so the candidate
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the signature into n_bands equal chunks
+    (default 4 — pigeonhole: hamming <= n_bands-1 guarantees one identical
+    chunk; a max_hamming above that bound keeps the guaranteed-recall zone
+    and adds best-effort candidates beyond it), join on chunk, verify
+    hamming with bit_count (JVM-side).
+
+    SCALE NOTE — (bits, n_bands, max_hamming) are a JOINT choice:
+    - hamming distance scales ~linearly with signature width, so the
+      64-bit h<=3 criterion corresponds to h<=7 at 128 bits etc.;
+    - band width = bits/n_bands sets random-collision volume: the
+      candidate join stays linear only while 2^band_bits >> n_docs.
+      64-bit/4 bands -> 16-bit bands saturate ~1e5 docs (the 500k probe
+      measured the join going quadratic: 4.6s at 50k -> 127s at 500k);
+      128-bit/4 bands -> 32-bit bands hold to ~1e9 docs;
+      256-bit/8 bands -> 32-bit bands with guaranteed recall to h<=7.
+    64-bit stays the default because its signatures are the fixture-pinned
+    oracle contract; it IS the small-scale twin.
+    """
+    if bits % 64 != 0:
+        raise ValueError("bits must be a multiple of 64")
+    if n_bands is None:
+        n_bands = 4
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} not divisible into {n_bands} bands")
+    band_bits = bits // n_bands
+    if band_bits > 63:
+        raise ValueError("band wider than 63 bits: raise max_hamming or lower bits")
+    n_words = bits // 64
+    sig_cols = ["simhash"] if n_words == 1 else [f"simhash_{w}" for w in range(n_words)]
+    # materialize the tiny (id, simhash...) table once so the candidate
     # self-join does not recompute the signature aggregation for both sides
     # (localCheckpoint: auto-reclaimed, no CacheManager leak across calls)
-    sh = simhash_table(df.select(id_col, text_col), id_col, text_col).localCheckpoint(eager=False)
+    sh = simhash_table(df.select(id_col, text_col), id_col, text_col, bits=bits).localCheckpoint(
+        eager=False
+    )
+
+    def chunk_expr(k: int) -> Column:
+        """Band k = bits [k*band_bits, (k+1)*band_bits) of the concatenated
+        signature; band_bits divides 64 or 64 divides band_bits, so a band
+        never straddles a word boundary for supported shapes."""
+        start = k * band_bits
+        widx, off = divmod(start, 64)
+        mask = (1 << band_bits) - 1
+        return F.shiftrightunsigned(sig_cols[widx], off).bitwiseAND(F.lit(mask))
+
     chunks = sh.select(
         "id",
-        "simhash",
+        *sig_cols,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                    )
-                    for k in range(4)
+                    F.struct(F.lit(k).alias("band"), chunk_expr(k).alias("chunk"))
+                    for k in range(n_bands)
                 ]
             )
         ).alias("c"),
-    ).select("id", "simhash", "c.band", "c.chunk")
+    ).select("id", *sig_cols, "c.band", "c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
         a.join(
@@ -312,12 +372,15 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            *[F.col(f"a.{c}").alias(f"_a_{c}") for c in sig_cols],
+            *[F.col(f"b.{c}").alias(f"_b_{c}") for c in sig_cols],
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = None
+    for c in sig_cols:
+        h = F.bit_count(F.col(f"_a_{c}").bitwiseXOR(F.col(f"_b_{c}")))
+        ham = h if ham is None else ham + h
     return cands.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 

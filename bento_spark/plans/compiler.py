@@ -550,6 +550,17 @@ class Pipeline:
             o = opts or {}
             return protobuf_encode(df, o["columns"], o["message"], o["descriptor_file"],
                                    out_col=o.get("out", "proto_bytes"))
+        if name == "match_sequence":
+            # CEP funnel: A then B ... within T per key (streaming/cep.py)
+            from bento_spark.streaming.cep import match_sequence, match_sequence_stream
+
+            o = opts or {}
+            steps = [compile_expr(str(s)) for s in o["steps"]]
+            common = dict(key=o["key"], ts_col=o.get("ts", "ts"), steps=steps,
+                          within=o["within"], step_names=o.get("names"))
+            if df.isStreaming:
+                return match_sequence_stream(df, watermark=o.get("watermark", "2 minutes"), **common)
+            return match_sequence(df, **common)
         if name == "http":
             # HTTP enrichment (processor_http.go:16): interpolated url/body,
             # response into out (error column on failure)

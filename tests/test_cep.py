@@ -1,0 +1,135 @@
+"""CEP sequence matching: batch semantics (first-match, within-from-start,
+boundaries) and the streaming twin's equivalence across micro-batches."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.plans.compiler import compile_yaml
+from bento_spark.streaming.cep import duration_ms, match_sequence, match_sequence_stream
+
+
+def _ts(s: float):
+    return datetime.utcfromtimestamp(1_700_000_000 + s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, _ts(s), t) for u, s, t in rows], ["user_id", "ts", "event_type"]
+    )
+
+
+def STEPS():  # built lazily: F.col needs an active session in classic mode
+    return [F.col("event_type") == t for t in ("A", "B", "C")]
+
+
+NAMES = ["a", "b", "c"]
+
+
+def test_duration_parser():
+    assert duration_ms("500 ms") == 500
+    assert duration_ms("60 seconds") == 60_000
+    assert duration_ms("2 minutes") == 120_000
+    assert duration_ms("72 hours") == 259_200_000
+    with pytest.raises(ValueError, match="bad duration"):
+        duration_ms("fortnight")
+
+
+def test_batch_first_match_and_boundaries(spark):
+    df = _events(spark, [
+        ("u1", 0, "A"), ("u1", 1, "B"), ("u1", 2, "B"), ("u1", 3, "C"),   # full match, first B wins
+        ("u2", 0, "A"), ("u2", 10, "B"), ("u2", 30, "C"),                  # C at exactly start+30s: inclusive
+        ("u3", 0, "A"), ("u3", 0, "B"),                                    # same-ts B: strictly-later required
+        ("u4", 0, "A"), ("u4", 5, "B"), ("u4", 31, "C"),                   # C past the window: no match
+        ("u5", 0, "B"), ("u5", 1, "C"),                                    # no opening A
+    ])
+    out = {r.user_id: (r.a_ms, r.b_ms, r.c_ms, r.duration_ms)
+           for r in match_sequence(df, "user_id", "ts", STEPS(), "30 seconds", NAMES).collect()}
+    base = 1_700_000_000_000
+    assert out == {
+        "u1": (base, base + 1000, base + 3000, 3000),
+        "u2": (base, base + 10_000, base + 30_000, 30_000),
+    }
+
+
+def test_batch_multiple_instances_per_key(spark):
+    df = _events(spark, [
+        ("u1", 0, "A"), ("u1", 1, "B"), ("u1", 2, "C"),
+        ("u1", 100, "A"), ("u1", 101, "B"), ("u1", 102, "C"),
+    ])
+    out = match_sequence(df, "user_id", "ts", STEPS(), "30 seconds", NAMES).collect()
+    assert sorted(r.duration_ms for r in out) == [2000, 2000]
+    assert len({r.a_ms for r in out}) == 2
+
+
+def test_batch_plan_no_cartesian(spark):
+    df = _events(spark, [("u1", 0, "A"), ("u1", 1, "B"), ("u1", 2, "C")])
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        match_sequence(df, "user_id", "ts", STEPS(), "30 seconds", NAMES)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_stream_matches_batch_across_microbatches(spark, tmp_path):
+    rows = [
+        ("u1", 0, "A"), ("u1", 5, "B"),                # prefix opens in file 1...
+        ("u2", 0, "A"), ("u2", 40, "B"),               # B out of window: dead prefix
+        ("u1", 12, "C"),                               # ...completes in file 2 (state carry-over)
+        ("u2", 50, "A"), ("u2", 51, "B"), ("u2", 55, "C"),
+    ]
+    # file stream sources list FILES in the dir (not nested write dirs):
+    # stage each micro-batch's rows as one flat parquet file
+    import shutil
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, chunk in enumerate([rows[:4], rows[4:]]):
+        stage = tmp_path / f"stage{i}"
+        _events(spark, chunk).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"f{i}.parquet"))
+    batch_df = _events(spark, rows)
+    expected = {tuple(r) for r in
+                match_sequence(batch_df, "user_id", "ts", STEPS(), "30 seconds", NAMES).collect()}
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    matched = match_sequence_stream(stream, "user_id", "ts", STEPS(), "30 seconds",
+                                    watermark="1 minute", step_names=NAMES)
+    got: list[tuple] = []
+    q = (
+        matched.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda df, eid: got.extend(tuple(r) for r in df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(got) == expected and len(expected) == 2
+
+
+def test_cep_yaml_batch_and_stream_paths(spark, tmp_path):
+    src = tmp_path / "ev"
+    _events(spark, [("u1", 0, "A"), ("u1", 1, "B"), ("u1", 2, "C")]).write.parquet(str(src))
+    conf = f"""
+input:
+  parquet: {{path: {src}, schema: "user_id string, ts timestamp, event_type string"}}
+pipeline:
+  processors:
+    - match_sequence:
+        key: user_id
+        ts: ts
+        within: 30 seconds
+        steps: ['this.event_type == "A"', 'this.event_type == "B"', 'this.event_type == "C"']
+        names: [a, b, c]
+"""
+    p = compile_yaml(conf)
+    assert p.build_batch(spark).count() == 1
+    assert p.build_stream(spark).isStreaming  # stateful path compiles

@@ -11,7 +11,8 @@ appends one word (true near-dups of v0 — known-positive LSH targets);
 v3..v9 salt every 3rd token, which rewrites every 3-gram shingle (distinct).
 Vector variants per base vector (25): seeded gaussian perturbation.
 
-Usage: python tools/scale_probe.py [sf_dir] [out_md]
+Usage: python tools/scale_probe.py [sf_dir] [out_md] [doc_variants] [vec_variants]
+(defaults 10 and 25 -> 50k/50k; pass 100 and 250 for the 500k probe)
 """
 
 from __future__ import annotations
@@ -40,6 +41,8 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT_MD = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "SCALE_50K.md"
 )
+DOC_VARIANTS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+VEC_VARIANTS = int(sys.argv[4]) if len(sys.argv) > 4 else 25
 BAD_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
 
@@ -47,9 +50,9 @@ def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
-def build_docs(spark, sf_dir: str):
+def build_docs(spark, sf_dir: str, n_variants: int = DOC_VARIANTS):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    v = spark.range(10).withColumnRenamed("id", "variant")
+    v = spark.range(n_variants).withColumnRenamed("id", "variant")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     salted = F.array_join(
         F.transform(toks, lambda x, i: F.when(i % 3 == 0, F.concat(x, F.lit("_v"), F.col("variant"))).otherwise(x)),
@@ -63,11 +66,11 @@ def build_docs(spark, sf_dir: str):
         .otherwise(salted)
     )
     return docs.crossJoin(v).select(
-        (F.col("doc_id") * 10 + F.col("variant")).alias("doc_id"), text.alias("text")
+        (F.col("doc_id") * n_variants + F.col("variant")).alias("doc_id"), text.alias("text")
     )
 
 
-def build_vectors(spark, sf_dir: str, n_variants: int = 25):
+def build_vectors(spark, sf_dir: str, n_variants: int = VEC_VARIANTS):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     v = spark.range(n_variants).withColumnRenamed("id", "variant")
     crossed = emb.crossJoin(v).select(
@@ -122,12 +125,21 @@ def main() -> None:
     results["minhash_lsh_pairs"] = {"sec": round(t, 2), "rows": n_pairs}
     print(f"minhash_lsh_pairs: {n_pairs} pairs in {t:.1f}s")
 
-    sh = simhash_near_pairs(docs, max_hamming=3)
-    if any(n in plan_of(sh) for n in BAD_NODES):
-        plans_bad.append("simhash: cartesian/BNLJ")
-    n_sh, t = timed(sh.count)
-    results["simhash_near_pairs"] = {"sec": round(t, 2), "rows": n_sh}
-    print(f"simhash_near_pairs: {n_sh} pairs in {t:.1f}s")
+    if n_docs <= 100_000:
+        # the 64-bit (oracle-contract) variant saturates its 16-bit band
+        # buckets past ~1e5 docs — only probe it below that knee
+        sh = simhash_near_pairs(docs, max_hamming=3)
+        if any(nd in plan_of(sh) for nd in BAD_NODES):
+            plans_bad.append("simhash64: cartesian/BNLJ")
+        n_sh, t = timed(sh.count)
+        results["simhash_near_pairs_64"] = {"sec": round(t, 2), "rows": n_sh}
+        print(f"simhash_near_pairs (64-bit): {n_sh} pairs in {t:.1f}s")
+    sh128 = simhash_near_pairs(docs, max_hamming=3, bits=128)
+    if any(nd in plan_of(sh128) for nd in BAD_NODES):
+        plans_bad.append("simhash128: cartesian/BNLJ")
+    n_sh128, t = timed(sh128.count)
+    results["simhash_near_pairs_128"] = {"sec": round(t, 2), "rows": n_sh128}
+    print(f"simhash_near_pairs (128-bit scale path): {n_sh128} pairs in {t:.1f}s")
 
     cc_pairs = minhash_lsh_pairs(docs, threshold=0.8).localCheckpoint()
     labels, t = timed(lambda: connected_components(cc_pairs))
@@ -163,10 +175,11 @@ def main() -> None:
 
     status = "PASS" if not plans_bad else f"FAIL: {plans_bad}"
     lines = [
-        "# BENCH/SCALE_50K — dedupe + ANN one notch up (10x sf0.1)\n",
+        f"# {os.path.basename(OUT_MD).removesuffix('.md')} — dedupe + ANN at "
+        f"{DOC_VARIANTS}x sf0.1\n",
         f"Derived deterministically from {SF_DIR}: {n_docs} docs "
-        f"(10 variants/doc: 2 true near-dups + 7 shingle-rewritten), "
-        f"{n_vecs} vectors (25 seeded perturbations/vector), {n_q} ANN queries. "
+        f"({DOC_VARIANTS} variants/doc: 2 true near-dups + {DOC_VARIANTS - 3} shingle-rewritten), "
+        f"{n_vecs} vectors ({VEC_VARIANTS} seeded perturbations/vector), {n_q} ANN queries. "
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}].\n",
         "| probe | wall sec | output rows |",
         "|---|---|---|",
