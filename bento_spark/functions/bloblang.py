@@ -582,7 +582,36 @@ _METHODS = {
     "key_values": lambda c: F.map_entries(c),
     "map_each_key": lambda c, fn: F.transform_keys(c, lambda k, v: fn(k)),
     "with": lambda c, *keys: F.map_filter(c, lambda k, v: k.isin(*[_lit_str(x) for x in keys])),
+    # right side wins on key clash (reference merge semantics) — expressed
+    # via map_filter so it never trips spark.sql.mapKeyDedupPolicy
+    "merge": lambda c, other: F.map_concat(
+        F.map_filter(c, lambda k, v: ~F.map_contains_key(other, k)), other
+    ),
+    "sort_by": lambda c, fn: _sort_by(c, fn),
+    "unquote": lambda c: F.regexp_replace(c, '^"(.*)"$', "$1"),
+    # application/x-www-form-urlencoded -> map (methods_strings.go parse_form_url_encoded)
+    "parse_form_url_encoded": lambda c: F.transform_values(
+        F.str_to_map(c, F.lit("&"), F.lit("=")), lambda k, v: F.url_decode(v)
+    ),
+    # timestamp +/- an ISO-8601 duration (bloblang_time.go ts_add_iso8601)
+    "ts_add_iso8601": lambda c, d: _ts_shift(c, d, 1),
+    "ts_sub_iso8601": lambda c, d: _ts_shift(c, d, -1),
 }
+
+
+def _sort_by(c: Column, fn) -> Column:
+    """sort_by(fn): sort array elements by a derived key
+    (methods_structured.go sort_by:1310). sort_array on (key, value)
+    structs orders by the leading field."""
+    keyed = F.transform(c, lambda x: F.struct(fn(x).alias("k"), x.alias("v")))
+    return F.transform(F.sort_array(keyed), lambda s: s["v"])
+
+
+def _ts_shift(c: Column, dur: Column, sign: int) -> Column:
+    ns = _parse_duration_iso8601(dur)
+    return F.timestamp_millis(
+        F.unix_millis(c.cast("timestamp")) + sign * (ns / F.lit(1_000_000)).cast("bigint")
+    )
 
 
 def _parse_url(c: Column) -> Column:

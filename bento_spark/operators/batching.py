@@ -100,6 +100,11 @@ def unarchive(
 ) -> DataFrame:
     """Explode one row into many: lines / json_array / csv
     (processor_unarchive.go:336-354)."""
+    if fmt == "json_map":
+        # one row per (key, value) of a JSON object (processor_unarchive.go
+        # json_map: member key lands in metadata — here as a column)
+        kv = F.explode(F.from_json(F.col(payload_col), "map<string,string>"))
+        return df.select("*", kv.alias(f"{out_col}_key", out_col))
     if fmt == "lines":
         parts = F.split(F.col(payload_col), "\n")
     elif fmt == "json_array":

@@ -780,8 +780,54 @@ class Pipeline:
         return self._sink
 
 
-def compile_yaml(src: str) -> Pipeline:
-    conf = yaml.safe_load(src)
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
+
+
+def interpolate_env(src: str, env: dict[str, str] | None = None) -> str:
+    """Environment-variable interpolation in raw config text, BEFORE YAML
+    parse: `${VAR}` / `${VAR:default}` (reference
+    internal/config/env_vars.go). Missing vars without a default raise —
+    the reference lints these. `${! ... }` Bloblang interpolations are a
+    different mini-language resolved per row at compile time; the leading
+    `!` keeps them out of this regex."""
+    import os as _os
+
+    env = _os.environ if env is None else env
+
+    def sub(m: re.Match) -> str:
+        val = env.get(m.group(1), m.group(2))
+        if val is None:
+            raise ValueError(f"config references unset environment variable ${{{m.group(1)}}}")
+        return val
+
+    return _ENV_RE.sub(sub, src)
+
+
+def apply_overrides(conf: dict, overrides: dict[str, Any]) -> dict:
+    """`-s field.path=value` CLI overrides (reference internal/cli/run.go
+    runFlags :97): dotted paths into the parsed config, creating
+    intermediate maps; values are YAML-parsed so `-s a.b=3` is an int."""
+    for path, val in overrides.items():
+        node = conf
+        keys = path.split(".")
+        for k in keys[:-1]:
+            nxt = node.get(k)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[k] = nxt
+            node = nxt
+        node[keys[-1]] = yaml.safe_load(val) if isinstance(val, str) else val
+    return conf
+
+
+def compile_yaml(
+    src: str,
+    overrides: dict[str, Any] | None = None,
+    env: dict[str, str] | None = None,
+) -> Pipeline:
+    conf = yaml.safe_load(interpolate_env(src, env))
     if not isinstance(conf, dict):
         raise ValueError("pipeline config must be a mapping")
+    if overrides:
+        conf = apply_overrides(conf, overrides)
     return Pipeline(conf)

@@ -1,0 +1,65 @@
+"""Config surface (env interpolation + -s overrides) and bloblang wave-3
+methods (merge/sort_by/unquote/parse_form/ts_add_iso8601); unarchive
+json_map format."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bento_spark.functions.bloblang import compile_expr
+from bento_spark.operators.batching import unarchive
+from bento_spark.plans.compiler import apply_overrides, compile_yaml, interpolate_env
+
+
+def test_env_interpolation_and_overrides(spark, tmp_path):
+    src = tmp_path / "ev"
+    spark.createDataFrame([(1.0,), (250.0,)], ["v"]).write.parquet(str(src))
+    conf = """
+input:
+  parquet: {path: ${DATA_DIR}/ev}
+pipeline:
+  processors:
+    - filter: this.v < ${MAX_V:100}
+"""
+    p = compile_yaml(conf, env={"DATA_DIR": str(tmp_path)})
+    assert [r.v for r in p.build_batch(spark).collect()] == [1.0]
+    # default applies when the var is unset; unset without default raises
+    with pytest.raises(ValueError, match="DATA_DIR"):
+        compile_yaml(conf, env={})
+    # ${! expr } row interpolation is untouched by env interpolation
+    assert interpolate_env("a ${! this.x } b", env={}) == "a ${! this.x } b"
+    # -s style override: threshold loosened, value parsed as YAML scalar
+    p2 = compile_yaml(conf, env={"DATA_DIR": str(tmp_path)},
+                      overrides={"pipeline.processors": [{"filter": "this.v < 1000"}]})
+    assert len(p2.build_batch(spark).collect()) == 2
+    assert apply_overrides({}, {"a.b.c": "7"}) == {"a": {"b": {"c": 7}}}
+
+
+def test_bloblang_wave3_methods(spark):
+    df = spark.sql(
+        "SELECT map('a',1,'b',2) AS m1, map('b',9,'c',3) AS m2, "
+        "array(3,1,2) AS arr, '\"quoted\"' AS q, 'x=a%20b&y=2' AS form, "
+        "timestamp'2024-01-01 00:00:00' AS t"
+    )
+    r = df.select(
+        compile_expr("this.m1.merge(this.m2)").alias("mg"),
+        compile_expr("this.arr.sort_by(x -> 0 - x)").alias("sb"),
+        compile_expr("this.q.unquote()").alias("uq"),
+        compile_expr("this.form.parse_form_url_encoded()").alias("pf"),
+        compile_expr('this.t.ts_add_iso8601("PT1H30M")').alias("plus"),
+        compile_expr('this.t.ts_sub_iso8601("P1D")').alias("minus"),
+    ).collect()[0]
+    assert r.mg == {"a": 1, "b": 9, "c": 3}  # right wins on clash
+    assert r.sb == [3, 2, 1]
+    assert r.uq == "quoted"
+    assert r.pf == {"x": "a b", "y": "2"}
+    assert str(r.plus) == "2024-01-01 01:30:00"
+    assert str(r.minus) == "2023-12-31 00:00:00"
+
+
+def test_unarchive_json_map(spark):
+    df = spark.createDataFrame([(1, '{"a": "x", "b": "y"}')], ["id", "payload"])
+    out = unarchive(df, "payload", fmt="json_map", out_col="val")
+    rows = sorted((r.id, r.val_key, r.val) for r in out.collect())
+    assert rows == [(1, "a", "x"), (1, "b", "y")]
