@@ -820,13 +820,25 @@ class CompiledMapping:
     assignments: list[tuple[str, Column]]  # root.<name> = expr, in order
     filter_keep: Column | None  # None = keep all
     meta: list[tuple[str, Column]]
-    full_remap: bool  # True if `root = {...}`-style (not supported yet)
+    full_remap: list[tuple[str, Column]] | None = None  # root = {...}: ordered fields
 
     def apply(self, df: DataFrame) -> DataFrame:
         if self.filter_keep is not None:
             df = df.filter(self.filter_keep)
+        if self.full_remap is not None:
+            # root = {...}: the object IS the new row (executor.go root
+            # reassignment) — a plain SELECT, so Catalyst prunes the scan
+            # down to the referenced source columns
+            df = df.select(*[col.alias(name) for name, col in self.full_remap])
         for name, col in self.assignments:
-            df = df.withColumn(name, col)
+            if "." in name:
+                # nested target root.a.b = expr -> struct-field update
+                # (assignment.go nested paths); withField handles deeper
+                # nesting via its dotted name form
+                top, _, rest = name.partition(".")
+                df = df.withColumn(top, F.col(top).withField(rest, col))
+            else:
+                df = df.withColumn(name, col)
         for k, v in self.meta:
             if "meta" in df.columns:
                 df = df.withColumn(
@@ -847,10 +859,15 @@ def compile_mapping(src: str) -> CompiledMapping:
     assignments: list[tuple[str, Column]] = []
     meta: list[tuple[str, Column]] = []
     filter_keep: Column | None = None
+    full_remap: list[tuple[str, Column]] | None = None
 
-    # join continuation lines (statement per line in our subset)
-    for raw_line in src.splitlines():
-        line = raw_line.strip()
+    # join continuation lines (statement per line in our subset, except the
+    # multi-line `root = { ... }` object form)
+    lines = list(src.splitlines())
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        i += 1
         if not line or line.startswith("#"):
             continue
         m = _DELETED_IF_RE.match(line)
@@ -860,6 +877,15 @@ def compile_mapping(src: str) -> CompiledMapping:
             keep = ~F.coalesce(drop, F.lit(False))
             filter_keep = keep if filter_keep is None else (filter_keep & keep)
             continue
+        if line.startswith("root = {"):
+            # full remap: accumulate lines until braces balance, then parse
+            # the object body as `"name": expr` pairs
+            body = line[len("root = ") :]
+            while body.count("{") > body.count("}") and i < len(lines):
+                body += "\n" + lines[i]
+                i += 1
+            full_remap = _parse_object(body)
+            continue
         if line.startswith("meta "):
             body = line[len("meta ") :]
             k, _, expr_src = body.partition("=")
@@ -868,9 +894,32 @@ def compile_mapping(src: str) -> CompiledMapping:
         if line.startswith("root."):
             target, _, expr_src = line.partition("=")
             name = target.strip()[len("root.") :]
-            if "." in name:
-                raise BloblangError(f"nested assignment targets not supported: {name}")
             assignments.append((name, compile_expr(expr_src.strip())))
             continue
         raise BloblangError(f"unsupported statement: {line!r}")
-    return CompiledMapping(assignments, filter_keep, meta, full_remap=False)
+    return CompiledMapping(assignments, filter_keep, meta, full_remap=full_remap)
+
+
+def _parse_object(src: str) -> list[tuple[str, Column]]:
+    """Parse `{ "name": expr, ... }` into ordered (name, Column) pairs."""
+    p = _Parser(src)
+    p.expect("{")
+    fields: list[tuple[str, Column]] = []
+    while p.peek().text != "}":
+        t = p.next()
+        if t.kind == "string":
+            name = _unquote(t.text)
+        elif t.kind == "name":
+            name = t.text
+        else:
+            raise BloblangError(f"object key must be a name or string, got {t.text!r} at {t.pos}")
+        p.expect(":")
+        fields.append((name, p.parse_expr()))
+        if p.peek().text == ",":
+            p.next()
+    p.expect("}")
+    if p.peek().kind != "eof":
+        raise BloblangError(f"trailing input after object at {p.peek().pos}")
+    if not fields:
+        raise BloblangError("root = {} would drop every column; use deleted() to drop rows")
+    return fields

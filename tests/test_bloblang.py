@@ -100,4 +100,4 @@ def test_unsupported_raises():
     with pytest.raises(BloblangError):
         compile_expr("this.s.explode_into_chaos()")
     with pytest.raises(BloblangError):
-        compile_mapping("root.a.b = 1")
+        compile_mapping("emit.x = 1")  # unknown statement form

@@ -63,3 +63,27 @@ def test_unarchive_json_map(spark):
     out = unarchive(df, "payload", fmt="json_map", out_col="val")
     rows = sorted((r.id, r.val_key, r.val) for r in out.collect())
     assert rows == [(1, "a", "x"), (1, "b", "y")]
+
+
+def test_mapping_full_remap_and_nested_targets(spark):
+    from bento_spark.functions.bloblang import compile_mapping
+
+    df = spark.sql(
+        "SELECT 7 AS a, 'Hi' AS s, named_struct('x', 1, 'y', named_struct('z', 2)) AS st"
+    )
+    # root = {...} full remap: the object IS the new row (projection)
+    remap = compile_mapping('''
+root = {
+  "doubled": this.a * 2,
+  "lower": this.s.lowercase(),
+}
+''').apply(df)
+    assert remap.columns == ["doubled", "lower"]
+    assert remap.collect()[0].asDict() == {"doubled": 14, "lower": "hi"}
+    # nested assignment target -> struct field update, deep path included
+    nested = compile_mapping("""
+root.st.x = this.a + 1
+root.st.y.z = 99
+""").apply(df)
+    row = nested.collect()[0]
+    assert row.st.x == 8 and row.st.y.z == 99 and row.a == 7
