@@ -92,6 +92,8 @@ class Pipeline:
     _sink: IdempotentParquetSink | None = field(default=None, init=False)
     _dlq_query: Any = field(default=None, init=False)  # StreamingQuery for window+dlq configs
     _case_sinks: list = field(default_factory=list, init=False)  # switch/fan_out sinks
+    _read_until: Any = field(default=None, init=False)  # compiled stop predicate
+    _stop_requested: bool = field(default=False, init=False)
 
     # ------------------------------------------------------------------ input
     def _input(self, spark: SparkSession, streaming: bool) -> DataFrame:
@@ -193,6 +195,15 @@ class Pipeline:
                 value_schema=opts.get("value_schema"),
                 value_format=opts.get("value_format", "json"),
             )
+        if "read_until" in inp:
+            # consume the child input until a predicate fires
+            # (input_read_until.go:34). Granularity is the micro-batch: the
+            # batch containing the first matching row is DELIVERED, later
+            # batches are discarded and the query stops (run_stream wires
+            # the monitor). The check runs on the rows reaching the output.
+            o = inp["read_until"]
+            self._read_until = compile_expr(str(o["check"]))
+            return Pipeline({"input": o["input"]})._input(spark, streaming)
         if "broker" in inp:
             # fan-in of child inputs (input_broker.go:78) = streaming union
             children = inp["broker"]["inputs"]
@@ -766,12 +777,44 @@ class Pipeline:
                 writer = dlq_split_writer(self._sink, dlq)
             else:
                 writer = self._sink.foreach_batch()
+        if self._read_until is not None:
+            writer = self._wrap_read_until(writer)
         q = (
             df.writeStream.outputMode(out.get("mode", "append"))
             .option("checkpointLocation", checkpoint)
             .foreachBatch(writer)
         )
-        return q.trigger(**_trigger()).start()
+        query = q.trigger(**_trigger()).start()
+        if self._read_until is not None:
+            import threading
+
+            def monitor() -> None:
+                while query.isActive:
+                    if self._stop_requested:
+                        query.stop()
+                        return
+                    import time
+
+                    time.sleep(0.1)
+
+            threading.Thread(target=monitor, daemon=True).start()
+        return query
+
+    def _wrap_read_until(self, inner):
+        """Wrap the sink writer with read_until semantics: the triggering
+        batch is written, subsequent batches are discarded while the stop
+        monitor tears the query down (the reference likewise drops messages
+        consumed after the predicate fires)."""
+        cond = self._read_until
+
+        def writer(batch_df, epoch_id: int) -> None:
+            if self._stop_requested:
+                return
+            inner(batch_df, epoch_id)
+            if not batch_df.filter(cond).isEmpty():
+                self._stop_requested = True
+
+        return writer
 
     @property
     def sink(self) -> IdempotentParquetSink:

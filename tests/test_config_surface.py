@@ -87,3 +87,31 @@ root.st.y.z = 99
 """).apply(df)
     row = nested.collect()[0]
     assert row.st.x == 8 and row.st.y.z == 99 and row.a == 7
+
+
+def test_read_until_stops_after_trigger_batch(spark, tmp_path):
+    import shutil
+    import time
+
+    src = tmp_path / "ru_src"
+    src.mkdir()
+    for i in range(3):  # file i carries value i*10; file 1 triggers the stop
+        stage = tmp_path / f"ru_stage{i}"
+        spark.createDataFrame([(i * 10,)], ["v"]).coalesce(1).write.parquet(str(stage))
+        shutil.move(str(next(stage.glob("part-*.parquet"))), str(src / f"f{i}.parquet"))
+    p = compile_yaml(f"""
+input:
+  read_until:
+    input: {{parquet: {{path: {src}, schema: "v bigint", max_files_per_trigger: 1}}}}
+    check: this.v >= 10
+output:
+  path: {tmp_path}/ru_out
+""")
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ru_ck"), available_now=False)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.3)
+    assert not q.isActive  # the predicate stopped the query by itself
+    got = sorted(r.v for r in p.sink.read(spark).collect())
+    # triggering batch delivered; the post-trigger file never lands
+    assert got == [0, 10]
