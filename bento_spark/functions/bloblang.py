@@ -582,21 +582,42 @@ _METHODS = {
     "key_values": lambda c: F.map_entries(c),
     "map_each_key": lambda c, fn: F.transform_keys(c, lambda k, v: fn(k)),
     "with": lambda c, *keys: F.map_filter(c, lambda k, v: k.isin(*[_lit_str(x) for x in keys])),
-    # right side wins on key clash (reference merge semantics) — expressed
-    # via map_filter so it never trips spark.sql.mapKeyDedupPolicy
+    # typed-map subset of reference merge: right side wins on key clash
+    # (the reference's untyped merge collects BOTH values into an array on
+    # collision — inexpressible in a map<K,V> column). Expressed via
+    # map_filter so it never trips spark.sql.mapKeyDedupPolicy.
     "merge": lambda c, other: F.map_concat(
         F.map_filter(c, lambda k, v: ~F.map_contains_key(other, k)), other
     ),
     "sort_by": lambda c, fn: _sort_by(c, fn),
     "unquote": lambda c: F.regexp_replace(c, '^"(.*)"$', "$1"),
-    # application/x-www-form-urlencoded -> map (methods_strings.go parse_form_url_encoded)
-    "parse_form_url_encoded": lambda c: F.transform_values(
-        F.str_to_map(c, F.lit("&"), F.lit("=")), lambda k, v: F.url_decode(v)
-    ),
+    "parse_form_url_encoded": lambda c: _parse_form(c),
     # timestamp +/- an ISO-8601 duration (bloblang_time.go ts_add_iso8601)
     "ts_add_iso8601": lambda c, d: _ts_shift(c, d, 1),
     "ts_sub_iso8601": lambda c, d: _ts_shift(c, d, -1),
 }
+
+
+def _parse_form(c: Column) -> Column:
+    """application/x-www-form-urlencoded -> map (methods_strings.go
+    parse_form_url_encoded). Keys AND values are url-decoded; repeated keys
+    keep the LAST value (typed-map subset — the reference returns arrays
+    for repeats) without tripping mapKeyDedupPolicy."""
+    entries = F.transform(
+        F.split(c, "&"),
+        lambda kv: F.struct(
+            F.url_decode(F.split_part(kv, F.lit("="), F.lit(1))).alias("k"),
+            F.url_decode(F.split_part(kv, F.lit("="), F.lit(2))).alias("v"),
+        ),
+    )
+    empty = F.expr("cast(map() as map<string,string>)")
+    return F.aggregate(
+        entries,
+        empty,
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, v: k != e["k"]), F.create_map(e["k"], e["v"])
+        ),
+    )
 
 
 def _sort_by(c: Column, fn) -> Column:
@@ -608,9 +629,10 @@ def _sort_by(c: Column, fn) -> Column:
 
 
 def _ts_shift(c: Column, dur: Column, sign: int) -> Column:
+    # micros round-trip preserves Spark's full timestamp precision
     ns = _parse_duration_iso8601(dur)
-    return F.timestamp_millis(
-        F.unix_millis(c.cast("timestamp")) + sign * (ns / F.lit(1_000_000)).cast("bigint")
+    return F.timestamp_micros(
+        F.unix_micros(c.cast("timestamp")) + sign * (ns / F.lit(1_000)).cast("bigint")
     )
 
 
@@ -817,20 +839,30 @@ def compile_interpolated(src: str) -> Column:
 
 @dataclass
 class CompiledMapping:
-    assignments: list[tuple[str, Column]]  # root.<name> = expr, in order
+    # ordered statements, executed in source order exactly like the
+    # reference executor (mapping/executor.go:115-209): each entry is
+    # ("assign", name, Column) or ("remap", [(name, Column), ...])
+    statements: list[tuple]
     filter_keep: Column | None  # None = keep all
     meta: list[tuple[str, Column]]
-    full_remap: list[tuple[str, Column]] | None = None  # root = {...}: ordered fields
+
+    @property
+    def assignments(self) -> list[tuple[str, Column]]:
+        return [(s[1], s[2]) for s in self.statements if s[0] == "assign"]
 
     def apply(self, df: DataFrame) -> DataFrame:
         if self.filter_keep is not None:
             df = df.filter(self.filter_keep)
-        if self.full_remap is not None:
-            # root = {...}: the object IS the new row (executor.go root
-            # reassignment) — a plain SELECT, so Catalyst prunes the scan
-            # down to the referenced source columns
-            df = df.select(*[col.alias(name) for name, col in self.full_remap])
-        for name, col in self.assignments:
+        for st in self.statements:
+            if st[0] == "remap":
+                # root = {...}: the object IS the new row (executor.go root
+                # reassignment) — a plain SELECT, so Catalyst prunes the
+                # scan to the referenced source columns. Assignments BEFORE
+                # it are visible inside (they ran), ones after extend it —
+                # source order, as in the reference.
+                df = df.select(*[col.alias(name) for name, col in st[1]])
+                continue
+            _, name, col = st
             if "." in name:
                 # nested target root.a.b = expr -> struct-field update
                 # (assignment.go nested paths); withField handles deeper
@@ -855,11 +887,16 @@ _DELETED_IF_RE = re.compile(r"^\s*root\s*=\s*(?:deleted\(\)\s+if|if)\s+(.*?)\s*\
 def compile_mapping(src: str) -> CompiledMapping:
     """Compile a full mapping (one statement per line) mirroring the
     executor semantics of mapping/executor.go:115-209: ordered assignments,
-    root-deletion = filter, meta assignment."""
-    assignments: list[tuple[str, Column]] = []
+    root-deletion = filter, meta assignment, root = {...} remap.
+
+    Documented deviation: after `root = {...}`, `this.` resolves against
+    the REMAPPED row (the reference keeps `this` bound to the original
+    input document for the whole mapping). In a typed columnar engine the
+    remap is a projection; keep any source fields you still need as remap
+    fields."""
+    statements: list[tuple] = []
     meta: list[tuple[str, Column]] = []
     filter_keep: Column | None = None
-    full_remap: list[tuple[str, Column]] | None = None
 
     # join continuation lines (statement per line in our subset, except the
     # multi-line `root = { ... }` object form)
@@ -884,7 +921,7 @@ def compile_mapping(src: str) -> CompiledMapping:
             while body.count("{") > body.count("}") and i < len(lines):
                 body += "\n" + lines[i]
                 i += 1
-            full_remap = _parse_object(body)
+            statements.append(("remap", _parse_object(body)))
             continue
         if line.startswith("meta "):
             body = line[len("meta ") :]
@@ -894,10 +931,10 @@ def compile_mapping(src: str) -> CompiledMapping:
         if line.startswith("root."):
             target, _, expr_src = line.partition("=")
             name = target.strip()[len("root.") :]
-            assignments.append((name, compile_expr(expr_src.strip())))
+            statements.append(("assign", name, compile_expr(expr_src.strip())))
             continue
         raise BloblangError(f"unsupported statement: {line!r}")
-    return CompiledMapping(assignments, filter_keep, meta, full_remap=full_remap)
+    return CompiledMapping(statements, filter_keep, meta)
 
 
 def _parse_object(src: str) -> list[tuple[str, Column]]:

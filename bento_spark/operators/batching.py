@@ -102,9 +102,20 @@ def unarchive(
     (processor_unarchive.go:336-354)."""
     if fmt == "json_map":
         # one row per (key, value) of a JSON object (processor_unarchive.go
-        # json_map: member key lands in metadata — here as a column)
-        kv = F.explode(F.from_json(F.col(payload_col), "map<string,string>"))
-        return df.select("*", kv.alias(f"{out_col}_key", out_col))
+        # json_map: member key lands in metadata — here as a column).
+        # Malformed/non-object payloads keep ONE row with the error column
+        # set (reference errors the message for output routing) instead of
+        # silently vanishing in the explode.
+        from bento_spark.operators.errors import set_error_when
+
+        parsed = F.from_json(F.col(payload_col), "map<string,string>")
+        df = df.withColumn("_kv_map", parsed)
+        df = set_error_when(
+            df, F.col("_kv_map").isNull() & F.col(payload_col).isNotNull(),
+            "unarchive json_map: payload is not a JSON object",
+        )
+        kv = F.explode_outer(F.col("_kv_map"))
+        return df.select("*", kv.alias(f"{out_col}_key", out_col)).drop("_kv_map")
     if fmt == "lines":
         parts = F.split(F.col(payload_col), "\n")
     elif fmt == "json_array":

@@ -201,6 +201,11 @@ class Pipeline:
             # batch containing the first matching row is DELIVERED, later
             # batches are discarded and the query stops (run_stream wires
             # the monitor). The check runs on the rows reaching the output.
+            if not streaming:
+                raise ValueError(
+                    "read_until is streaming-only: tables are unordered, so "
+                    "'until the first match' has no batch meaning"
+                )
             o = inp["read_until"]
             self._read_until = compile_expr(str(o["check"]))
             return Pipeline({"input": o["input"]})._input(spark, streaming)

@@ -38,15 +38,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _DUR_RE = re.compile(r"^\s*(\d+)\s*(ms|milliseconds?|s|seconds?|m|minutes?|h|hours?)\s*$")
-_DUR_MS = {"ms": 1, "millisecond": 1, "s": 1000, "second": 1000, "m": 60_000, "minute": 60_000,
-           "h": 3_600_000, "hour": 3_600_000}
+_DUR_MS = {"ms": 1, "millisecond": 1, "milliseconds": 1,
+           "s": 1000, "second": 1000, "seconds": 1000,
+           "m": 60_000, "minute": 60_000, "minutes": 60_000,
+           "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000}
 
 
 def duration_ms(src: str) -> int:
     m = _DUR_RE.match(src)
     if not m:
         raise ValueError(f"bad duration: {src!r} (e.g. '500 ms', '60 seconds', '2 minutes')")
-    return int(m.group(1)) * _DUR_MS[m.group(2).rstrip("s") if m.group(2) != "ms" else "ms"]
+    return int(m.group(1)) * _DUR_MS[m.group(2)]
 
 
 def _names(steps: Sequence, step_names: Sequence[str] | None) -> list[str]:
@@ -129,7 +131,10 @@ def match_sequence_stream(
         df.withWatermark(ts_col, watermark)
         .withColumn("_step", step_index_expr(steps))
         .filter(F.col("_step").isNotNull())
-        .select(key, F.unix_millis(F.col(ts_col).cast("timestamp")).alias("_ts_ms"), "_step")
+        # the watermarked column must survive into the stateful operator for
+        # event-time timeouts to resolve
+        .select(key, F.col(ts_col),
+                F.unix_millis(F.col(ts_col).cast("timestamp")).alias("_ts_ms"), "_step")
     )
     out_schema = (
         f"{key} {key_type}, "
@@ -138,28 +143,51 @@ def match_sequence_stream(
     )
 
     def fn(k: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        pending: list[list[int]] = [list(p) for p in state.get[0]] if state.exists else []
+        if state.exists:
+            pending = [list(p) for p in state.get[0]]
+            opened = set(state.get[1])
+        else:
+            pending, opened = [], set()
         completed: list[list[int]] = []
         max_ts = 0
-        frames = [p for p in batches if len(p)]
-        if frames:
-            rows = pd.concat(frames).sort_values("_ts_ms", kind="mergesort")
-            for ts, st in zip(rows["_ts_ms"].astype("int64"), rows["_step"].astype("int64")):
-                ts, st = int(ts), int(st)
-                max_ts = max(max_ts, ts)
-                if st == 0:
-                    if [ts] not in pending:  # duplicate starts collapse (batch dropDuplicates)
-                        pending.append([ts])
-                else:
-                    for p in pending:
-                        if len(p) == st and ts > p[-1] and ts <= p[0] + w_ms:
-                            p.append(ts)  # first qualifying event extends (in-order => min)
-                            if len(p) == n:
-                                completed.append(p)
-            # completed instances leave the open set; expired windows can
-            # never finish (in-order assumption within the watermark bound)
-            pending = [p for p in pending if len(p) < n and p[0] + w_ms >= max_ts]
-        state.update((pending,))
+        if not state.hasTimedOut:
+            frames = [p for p in batches if len(p)]
+            if frames:
+                rows = pd.concat(frames).sort_values("_ts_ms", kind="mergesort")
+                for ts, st in zip(rows["_ts_ms"].astype("int64"), rows["_step"].astype("int64")):
+                    ts, st = int(ts), int(st)
+                    max_ts = max(max_ts, ts)
+                    if st == 0:
+                        # `opened` remembers every start EVER opened within the
+                        # horizon — a duplicate start row in a later batch must
+                        # not re-open an instance that was already extended or
+                        # completed (the batch twin dropDuplicates-es starts)
+                        if ts not in opened:
+                            opened.add(ts)
+                            pending.append([ts])
+                    else:
+                        for p in pending:
+                            if len(p) == st and ts > p[-1] and ts <= p[0] + w_ms:
+                                p.append(ts)  # first qualifying event extends (in-order => min)
+                                if len(p) == n:
+                                    completed.append(p)
+        # expiry horizon: the watermark is the engine's promise that no
+        # older event arrives — anything whose window closed before it can
+        # never complete; max_ts tightens the bound within this batch under
+        # the in-order assumption
+        wm = max(state.getCurrentWatermarkMs(), max_ts)
+        pending = [p for p in pending if len(p) < n and p[0] + w_ms >= wm]
+        opened = {t for t in opened if t + w_ms >= wm}
+        if pending or opened:
+            state.update((pending, sorted(opened)))
+            # event-time timeout wakes the key to garbage-collect state even
+            # if it never sees another event (idle-key leak fix); must be
+            # strictly beyond the current watermark
+            timeout = max(min(p[0] for p in pending) if pending else min(opened),
+                          state.getCurrentWatermarkMs()) + w_ms + 1
+            state.setTimeoutTimestamp(timeout)
+        else:
+            state.remove()
         if completed:
             yield pd.DataFrame(
                 [[k[0], *p, p[-1] - p[0]] for p in completed],
@@ -169,7 +197,7 @@ def match_sequence_stream(
     return ev.groupBy(key).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType="pending array<array<bigint>>",
+        stateStructType="pending array<array<bigint>>, opened array<bigint>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

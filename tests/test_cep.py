@@ -133,3 +133,35 @@ pipeline:
     p = compile_yaml(conf)
     assert p.build_batch(spark).count() == 1
     assert p.build_stream(spark).isStreaming  # stateful path compiles
+
+
+def test_stream_duplicate_start_does_not_reopen(spark, tmp_path):
+    """A start event duplicated in a later micro-batch must not re-open an
+    instance that was already extended (would double-emit vs batch)."""
+    import shutil
+
+    f1 = [("u1", 0, "A"), ("u1", 5, "B")]
+    f2 = [("u1", 0, "A"), ("u1", 12, "C")]  # duplicate of the f1 start + the finisher
+    src = tmp_path / "dups"
+    src.mkdir()
+    for i, chunk in enumerate([f1, f2]):
+        stage = tmp_path / f"dstage{i}"
+        _events(spark, chunk).coalesce(1).write.parquet(str(stage))
+        shutil.move(str(next(stage.glob("part-*.parquet"))), str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    matched = match_sequence_stream(stream, "user_id", "ts", STEPS(), "30 seconds",
+                                    watermark="1 minute", step_names=NAMES)
+    got: list[tuple] = []
+    q = (
+        matched.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dck"))
+        .foreachBatch(lambda df, eid: got.extend(tuple(r) for r in df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(got) == 1  # exactly one match despite the duplicated start
