@@ -139,6 +139,29 @@ class BentoMetricsListener(StreamingQueryListener):
             )
 
 
+class _ProgressEvent:
+    def __init__(self, progress):
+        self.progress = progress
+
+
+def collect_progress(listener: BentoMetricsListener, *queries) -> BentoMetricsListener:
+    """Pull-based alternative to addListener: replay each query's
+    recentProgress through the listener AFTER the run. spark-submit jobs use
+    this instead of the py4j callback server — concurrent push callbacks
+    from multiple queries can garble the py4j channel ('Received empty
+    command'), and a listener exception escalates through
+    tryOrStopSparkContext into killing the whole job. Pulling has no
+    callback channel at all. Bounded by numRecentProgressUpdates (default
+    100 micro-batches) — plenty for bounded drains; long-lived jobs should
+    poll per-interval."""
+    for q in queries:
+        if q is None:
+            continue
+        for p in q.recentProgress:
+            listener.onQueryProgress(_ProgressEvent(p))
+    return listener
+
+
 def wait_for_batches(listener: BentoMetricsListener, n: int, timeout_s: float = 60.0) -> bool:
     t0 = time.time()
     while time.time() - t0 < timeout_s:

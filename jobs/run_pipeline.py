@@ -45,7 +45,7 @@ def main() -> int:
     spark = SparkSession.builder.getOrCreate()
 
     from bento_spark.plans.compiler import Pipeline, compile_yaml
-    from bento_spark.streaming.metrics import BentoMetricsListener
+    from bento_spark.streaming.metrics import BentoMetricsListener, collect_progress
 
     with open(args.config) as f:
         pipe = compile_yaml(f.read())
@@ -54,14 +54,16 @@ def main() -> int:
         path = pipe.conf["input"]["parquet"]["path"]
         Pipeline.stage_clips(spark, path, args.stage_clips)
 
-    listener = BentoMetricsListener()
-    spark.streams.addListener(listener)
     q = pipe.run_stream(spark, checkpoint=args.checkpoint, available_now=not args.continuous)
     q.awaitTermination(args.timeout or None)
     if args.continuous and q.isActive:
         q.stop()
     if pipe._dlq_query is not None:
         pipe._dlq_query.awaitTermination(args.timeout or None)
+    # metrics are PULLED from recentProgress after the run — a push listener
+    # over the py4j callback server can garble under concurrent-query
+    # callbacks and take the whole job down (see metrics.collect_progress)
+    listener = collect_progress(BentoMetricsListener(), q, pipe._dlq_query)
 
     import json
 
