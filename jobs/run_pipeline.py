@@ -38,11 +38,15 @@ def main() -> int:
     ap.add_argument("--timeout", type=int, default=0, help="max seconds to run (0 = no bound)")
     args = ap.parse_args()
 
-    # spark-submit provides the SparkSession; fall back to our factory when
-    # run as a plain python script.
-    from pyspark.sql import SparkSession
+    # Route through the session factory even under spark-submit: the JVM
+    # already exists (so GC flags come from jobs/submit_local.sh), but the
+    # SQL-level confs — RocksDB state store, shuffle partitions, Arrow batch
+    # size, UTC session timezone — are session confs that getOrCreate applies
+    # to the running context. A bare getOrCreate() silently dropped RocksDB
+    # (e2e ran on HDFSBackedStateStoreProvider: state capped by heap).
+    from bento_spark.session import get_spark
 
-    spark = SparkSession.builder.getOrCreate()
+    spark = get_spark(app_name="bento-pipeline")
 
     from bento_spark.plans.compiler import Pipeline, compile_yaml
     from bento_spark.streaming.metrics import BentoMetricsListener, collect_progress
