@@ -510,6 +510,26 @@ def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """msgpack processor parity (internal/impl/msgpack/processor.go): each
+    event row becomes one msgpack map blob and back via the spec-level
+    codec in operators/msgpack_codec.py (no msgpack wheel in this env).
+    Oracle aggregates the source — any value lost in the wire format breaks
+    counts or sums."""
+    from bento_spark.operators.msgpack_codec import msgpack_decode, msgpack_encode
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    blobs = msgpack_encode(ev, ["event_id", "user_id", "event_type", "value"], out_col="blob")
+    back = msgpack_decode(
+        blobs, "blob", "event_id bigint, user_id bigint, event_type string, value double"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_ids"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 def q_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP sequence match (streaming/cep.py): view -> click -> purchase
     within 72h per user, first-match semantics, Flink-CEP-style `within`
@@ -1002,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_check": q_json_schema_check,
         "xml_extract": q_xml_extract,
         "parquet_roundtrip": q_parquet_roundtrip,
+        "msgpack_roundtrip": q_msgpack_roundtrip,
         "cep_funnel": q_cep_funnel,
         "tar_roundtrip": q_tar_roundtrip,
         "chunker_scan": q_chunker_scan,
@@ -1469,6 +1490,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, transcript,
                    CAST(len(string_split(transcript, ' ')) AS INT) AS n_tokens
             FROM '{_FIX}/clip_meta.parquet'
+        """,
+        "msgpack_roundtrip": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY event_type
         """,
         "cep_funnel": """
             WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, event_type FROM events),

@@ -41,6 +41,9 @@ HEADLINE = [
     "rollup_agg",
     "workflow_dag",
     "mapping_pipeline",
+    "cep_funnel",
+    "tar_roundtrip",
+    "chunker_scan",
     "audio_features_window",
     "clip_transcript_join",
 ]

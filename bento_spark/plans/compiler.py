@@ -166,6 +166,16 @@ class Pipeline:
             if "schema" in opts:
                 rd = rd.schema(opts["schema"])
             return rd.load(opts["path"])
+        if "stdin" in inp:
+            # stdin line input (reference internal/impl/io/input_stdin.go) —
+            # inherently a single-process feed, read on the driver
+            if streaming:
+                raise ValueError("stdin input is batch-only (single-process feed)")
+            import sys as _sys
+
+            col = (inp["stdin"] or {}).get("column", "line")
+            rows = [(ln.rstrip("\n"),) for ln in _sys.stdin]
+            return spark.createDataFrame(rows, f"{col} string")
         if "socket" in inp:
             # TCP line source (reference net input internal/impl/io/
             # input_socket.go) — Spark's native socket source; dev/debug
@@ -543,6 +553,17 @@ class Pipeline:
 
             o = opts or {}
             return parquet_decode(df, o.get("column", "parquet_blob"), o["schema"],
+                                  keep_cols=o.get("keep", ()))
+        if name == "msgpack_encode":
+            from bento_spark.operators.msgpack_codec import msgpack_encode
+
+            o = opts or {}
+            return msgpack_encode(df, o["columns"], out_col=o.get("out", "msgpack_blob"))
+        if name == "msgpack_decode":
+            from bento_spark.operators.msgpack_codec import msgpack_decode
+
+            o = opts or {}
+            return msgpack_decode(df, o.get("column", "msgpack_blob"), o["schema"],
                                   keep_cols=o.get("keep", ()))
         if name == "avro_decode":
             from bento_spark.operators.codec import avro_decode
