@@ -258,7 +258,7 @@ def parquet_encode(df: DataFrame, group_cols: Sequence[str], out_col: str = "par
     )
     out_schema = f"{key_schema}, {out_col} binary, n_rows bigint"
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode(key, pdf):  # untyped: applyInPandas infers GROUPED_MAP from arity
         body = pdf[data_cols].sort_values(by=data_cols, kind="mergesort").reset_index(drop=True)
         buf = io.BytesIO()
         pq.write_table(pa.Table.from_pandas(body, preserve_index=False), buf, compression="snappy")

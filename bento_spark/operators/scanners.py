@@ -49,7 +49,7 @@ def tar_encode(
     group_cols = list(group_cols)
     out_schema = f"{_keep_schema(df, group_cols)}, {out_col} binary, n_members bigint"
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode(key, pdf):  # untyped: applyInPandas infers GROUPED_MAP from arity
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tf:
             for name, payload in sorted(zip(pdf[name_col], pdf[payload_col])):
