@@ -316,6 +316,15 @@ def q_dedupe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_fuzzy.dedupe_clusters(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+def q_dedupe_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering via large/small-star connected components (Kiveris
+    et al., SoCC'14) — O(log^2 n) rounds independent of graph diameter, the
+    scale path when pair graphs may chain. Shares the min-label oracle."""
+    return dedupe_fuzzy.dedupe_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.6, algo="star"
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle: signatures pinned by fixture (DuckDB has no xxhash64); banding,
     # candidate join and exact-Jaccard verification recomputed in SQL
@@ -1009,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_exact": q_dedupe_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedupe_clusters": q_dedupe_clusters,
+        "dedupe_clusters_star": q_dedupe_clusters_star,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
@@ -1562,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
     sql["yaml_select_parts"] = sql["select_parts"]
     sql["yaml_cache_set_get"] = sql["cache_enrichment"]
     sql["yaml_lookup"] = sql["lookup_join"]
+    sql["dedupe_clusters_star"] = sql["dedupe_clusters"]
     return sql
 
 

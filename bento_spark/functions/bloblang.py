@@ -31,8 +31,10 @@ import math
 import re
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -568,6 +570,11 @@ _METHODS = {
     "parse_json": lambda c, schema: F.from_json(c, _lit_full_str(schema)),
     "parse_url": lambda c: _parse_url(c),
     "parse_duration_iso8601": lambda c: _parse_duration_iso8601(c),
+    # yaml (methods_strings.go parse_yaml:1169/format_yaml:1201). YAML has
+    # no JVM builtin: the text<->JSON leg runs as an Arrow-batched pandas
+    # UDF (codec, not hot-path), typing stays in Catalyst via from_json.
+    "parse_yaml": lambda c, schema: F.from_json(_yaml_to_json(c), _lit_full_str(schema)),
+    "format_yaml": lambda c: _json_to_yaml(F.to_json(c)),
     # html escaping (methods_strings.go escape_html/unescape_html — Go
     # html.EscapeString's 5 entities)
     "escape_html": lambda c: _escape_html(c),
@@ -777,11 +784,23 @@ def _hash(c: Column, alg: Column) -> Column:
 
 
 def _encode(c: Column, scheme: Column) -> Column:
+    # schemes per methods_strings.go encode:93 (base64/base64url/
+    # base64rawurl/hex/ascii85). The base64 family stays pure Catalyst:
+    # URL-safe is a character translation of standard base64 (RFC 4648),
+    # raw-url additionally strips padding. ascii85 has no JVM builtin and
+    # is a codec (not a hot-path expression), so it runs as an
+    # Arrow-batched pandas UDF.
     name = _lit_str(scheme).lower()
     if name == "base64":
         return F.base64(c.cast("binary"))
+    if name == "base64url":
+        return F.translate(F.base64(c.cast("binary")), "+/", "-_")
+    if name == "base64rawurl":
+        return F.regexp_replace(F.translate(F.base64(c.cast("binary")), "+/", "-_"), "=+$", "")
     if name == "hex":
         return F.hex(c.cast("binary"))
+    if name == "ascii85":
+        return _ascii85_encode(c.cast("binary"))
     raise BloblangError(f"unsupported encode scheme {name}")
 
 
@@ -789,9 +808,69 @@ def _decode(c: Column, scheme: Column) -> Column:
     name = _lit_str(scheme).lower()
     if name == "base64":
         return F.unbase64(c)
+    if name in ("base64url", "base64rawurl"):
+        # unbase64 tolerates missing padding, so one decoder covers both
+        return F.unbase64(F.translate(c, "-_", "+/"))
     if name == "hex":
         return F.unhex(c)
+    if name == "ascii85":
+        return _ascii85_decode(c)
     raise BloblangError(f"unsupported decode scheme {name}")
+
+
+# codec pandas UDFs are created lazily (pandas_udf parses its return-type
+# DDL against the active session, so decorating at import time fails before
+# a SparkSession exists)
+
+
+def _ascii85_encode(c: Column) -> Column:
+    @pandas_udf("string")
+    def enc(s: pd.Series) -> pd.Series:
+        import base64 as _b64
+
+        return s.map(lambda b: None if b is None else _b64.a85encode(bytes(b)).decode("ascii"))
+
+    return enc(c)
+
+
+def _ascii85_decode(c: Column) -> Column:
+    @pandas_udf("binary")
+    def dec(s: pd.Series) -> pd.Series:
+        import base64 as _b64
+
+        return s.map(lambda t: None if t is None else _b64.a85decode(t))
+
+    return dec(c)
+
+
+def _yaml_to_json(c: Column) -> Column:
+    @pandas_udf("string")
+    def conv(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        import yaml as _yaml
+
+        return s.map(
+            lambda t: None if t is None else _json.dumps(_yaml.safe_load(t), sort_keys=False)
+        )
+
+    return conv(c)
+
+
+def _json_to_yaml(c: Column) -> Column:
+    @pandas_udf("string")
+    def conv(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        import yaml as _yaml
+
+        return s.map(
+            lambda t: None
+            if t is None
+            else _yaml.safe_dump(_json.loads(t), sort_keys=False, default_flow_style=False)
+        )
+
+    return conv(c)
 
 
 # ---------------------------------------------------------------------------

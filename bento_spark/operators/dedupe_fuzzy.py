@@ -441,18 +441,98 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): converges in O(log^2 n) rounds regardless
+    of graph diameter, where min-label propagation
+    (`connected_components`) needs O(diameter) rounds and silently
+    under-merges long chains past its iteration cap. Each round is two
+    groupBy shuffles on node id; edges collapse toward (node, component
+    min) star form.
+
+    large-star: per node u, link every strictly-larger neighbor to
+    min(neighbors + self). small-star: per node u over smaller-or-equal
+    neighbors, link them (and u) to the minimum. Convergence = edge set
+    stable (count + order-free hash).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    ).distinct().localCheckpoint(eager=True)
+
+    def signature(edges: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-free and overflow-free under ANSI mode (sum of
+        # xxhash64 values overflows long)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h or 0)
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # orient toward the larger endpoint so each group sees only
+        # smaller-or-equal neighbors
+        o = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        links = o.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_links = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            links.unionByName(self_links)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    sig = signature(e)
+    for _ in range(max_iters):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # star form: every edge is (node, component_min); centers label themselves
+    centers = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    return members.unionByName(centers).distinct()
+
+
 def dedupe_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
     n: int = 3,
+    algo: str = "label",
 ) -> DataFrame:
     """Near-dup clusters over documents: jaccard pairs -> connected
     components -> (cluster_id, n_members, member_min, member_max).
-    Singleton documents are excluded (no near-dup)."""
+    Singleton documents are excluded (no near-dup).
+
+    algo="label" (min-label propagation, O(diameter) rounds — fine for
+    near-dup graphs, which have small diameter) or "star" (large/small-star,
+    O(log^2 n) rounds — the scale path when the pair graph may contain long
+    chains)."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    cc = connected_components(pairs)
+    cc = {"label": connected_components, "star": connected_components_star}[algo](pairs)
     return cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("member_min"),

@@ -101,3 +101,47 @@ def test_unsupported_raises():
         compile_expr("this.s.explode_into_chaos()")
     with pytest.raises(BloblangError):
         compile_mapping("emit.x = 1")  # unknown statement form
+
+
+def test_encode_schemes(df):
+    # RFC 4648 url-safe variants + ascii85 (methods_strings.go encode:93).
+    # Vector with '+'/'/' in standard base64: bytes 0xfb 0xef 0xbe
+    import base64
+
+    bdf = df.sparkSession.createDataFrame([(bytearray(b"\xfb\xef\xbe"),)], "b binary")
+    out = bdf.select(
+        compile_expr('this.b.encode("base64")').alias("std"),
+        compile_expr('this.b.encode("base64url")').alias("url"),
+        compile_expr('this.b.encode("base64rawurl")').alias("raw"),
+    ).first()
+    assert out.std == base64.b64encode(b"\xfb\xef\xbe").decode()
+    assert out.url == base64.urlsafe_b64encode(b"\xfb\xef\xbe").decode()
+    assert out.raw == base64.urlsafe_b64encode(b"\xfb\xef\xbe").decode().rstrip("=")
+    # roundtrips
+    rt = bdf.select(
+        compile_expr('this.b.encode("base64url").decode("base64url")').alias("u"),
+        compile_expr('this.b.encode("base64rawurl").decode("base64rawurl")').alias("r"),
+        compile_expr('this.b.encode("ascii85").decode("ascii85")').alias("a"),
+    ).first()
+    assert bytes(rt.u) == b"\xfb\xef\xbe" and bytes(rt.r) == b"\xfb\xef\xbe"
+    assert bytes(rt.a) == b"\xfb\xef\xbe"
+    # ascii85 known vector (same as Go encoding/ascii85 for this input)
+    a85 = _one(df, 'this.s.encode("ascii85")')
+    assert a85[0] == base64.a85encode(b"Hello World").decode()
+
+
+def test_parse_format_yaml(df):
+    ydf = df.sparkSession.createDataFrame(
+        [("a: 1\nb: [x, y]\n",), (None,)], "y string"
+    )
+    out = ydf.select(
+        compile_expr('this.y.parse_yaml("a int, b array<string>")').alias("v")
+    ).collect()
+    assert out[0].v.a == 1 and list(out[0].v.b) == ["x", "y"]
+    assert out[1].v is None
+    rt = ydf.select(
+        compile_expr(
+            'this.y.parse_yaml("a int, b array<string>").format_yaml()'
+        ).alias("t")
+    ).first()
+    assert "a: 1" in rt.t and "- x" in rt.t

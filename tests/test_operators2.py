@@ -296,3 +296,50 @@ def test_connected_components_basic(spark):
     # {1,2,3,10,11,12} form one component (bridged via 12-1), {7,8} another
     assert cc[1] == cc[2] == cc[3] == cc[10] == cc[11] == cc[12] == 1
     assert cc[7] == cc[8] == 7
+
+
+def test_connected_components_star_matches_label(spark):
+    """large/small-star must produce the same partition as min-label
+    propagation on random graphs (including isolated pairs and merges)."""
+    import random
+
+    from bento_spark.operators.dedupe_fuzzy import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(160)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    label = {r.node: r.cluster_id for r in connected_components(pairs, max_iters=60).collect()}
+    star = {r.node: r.cluster_id for r in connected_components_star(pairs).collect()}
+    assert set(label) == set(star)
+    assert label == star  # both label with the component minimum
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 400-node path has diameter 399: min-label propagation cannot close
+    it within a 25-round cap, large/small-star converges in O(log^2 n)."""
+    from bento_spark.operators.dedupe_fuzzy import connected_components_star
+
+    chain = [(i, i + 1) for i in range(399)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    star = connected_components_star(pairs).collect()
+    assert len(star) == 400
+    assert {r.cluster_id for r in star} == {0}
+
+
+def test_dedupe_clusters_star_equals_label(spark, sf_dir):
+    from bento_spark.operators.dedupe_fuzzy import dedupe_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = lambda rows: sorted(
+        (r.cluster_id, r.n_members, r.member_min, r.member_max) for r in rows
+    )
+    label = key(dedupe_clusters(docs, threshold=0.6, algo="label").collect())
+    star = key(dedupe_clusters(docs, threshold=0.6, algo="star").collect())
+    assert label == star and len(label) > 0
