@@ -112,6 +112,22 @@ class Pipeline:
                     "a path written by clips_df (see Pipeline.stage_clips)"
                 )
             return df
+        if "http_server" in inp:
+            # push ingestion via the spool-dir bridge (input_http_server.go:44):
+            # the listener (start_http_listener) persists request bodies as
+            # spool files; the replayable file source IS the input, so the
+            # streaming guarantees (offset log, exactly-once downstream) hold
+            o = inp["http_server"]
+            if not streaming:
+                raise ValueError("http_server input is streaming-only (push source)")
+            from bento_spark.streaming.http_server import read_spool_stream
+
+            return read_spool_stream(
+                spark,
+                o["spool_dir"],
+                whole_body=bool(o.get("whole_body", True)),
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "parquet" in inp:
             opts = inp["parquet"]
             if streaming:
@@ -252,6 +268,24 @@ class Pipeline:
         """Materialize the deterministic clips table to a dir usable as a
         (file-)stream source."""
         clips_df(spark, count, **kw).write.mode("overwrite").parquet(path)
+
+    def start_http_listener(self):
+        """Start the driver-side HTTP listener for an `input.http_server`
+        pipeline and return its handle (caller owns `.stop()`; `.url` is the
+        POST endpoint). Separate from build_stream on purpose: the listener
+        is a runtime resource, the stream is a plan."""
+        o = (self.conf.get("input") or {}).get("http_server")
+        if not o:
+            raise ValueError("pipeline has no input.http_server section")
+        from bento_spark.streaming.http_server import HttpSpoolServer
+
+        host, _, port = str(o.get("address", "127.0.0.1:0")).partition(":")
+        return HttpSpoolServer(
+            spool_dir=o["spool_dir"],
+            host=host or "127.0.0.1",
+            port=int(port or 0),
+            path=o.get("path", "/post"),
+        ).start()
 
     # ------------------------------------------------------------- processors
     def _apply_processors(self, df: DataFrame) -> DataFrame:
@@ -613,6 +647,39 @@ class Pipeline:
                 body=compile_interpolated(str(o["body"])) if "body" in o else None,
                 timeout=float(o.get("timeout", 5)),
                 retries=int(o.get("retries", 1)),
+            )
+        if name == "subprocess":
+            # long-lived child per partition, lockstep line protocol
+            # (processor_subprocess.go:47-66); stderr -> error column
+            from bento_spark.operators.subprocess_proc import subprocess_map
+
+            o = opts or {}
+            return subprocess_map(
+                df,
+                o["name"],
+                args=[str(a) for a in o.get("args", [])],
+                col=o.get("column", "text"),
+                codec_send=o.get("codec_send", "lines"),
+                codec_recv=o.get("codec_recv", "lines"),
+                timeout=float(o.get("timeout", 10)),
+            )
+        if name == "command":
+            # one exec per message (processor_command.go:17); args_mapping
+            # is a Bloblang expression resolving to array<string> per row
+            from bento_spark.operators.subprocess_proc import command_map
+
+            o = opts or {}
+            args = (
+                compile_expr(str(o["args_mapping"]))
+                if "args_mapping" in o
+                else [str(a) for a in o.get("args", [])]
+            )
+            return command_map(
+                df,
+                o["name"],
+                args=args,
+                col=o.get("column", "text"),
+                timeout=float(o.get("timeout", 10)),
             )
         if name == "unarchive_tar":
             from bento_spark.operators.scanners import unarchive_tar

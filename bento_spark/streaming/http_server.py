@@ -1,0 +1,116 @@
+"""`http_server` input: push-based ingestion over HTTP, dev-grade.
+
+Reference: the http_server input exposes a POST endpoint and turns each
+request body into a message (multipart parts become a batch)
+(/root/reference/internal/impl/io/input_http_server.go:44,461-478). It is
+the reference's webhook-style push source.
+
+Spark-first mapping — the spool-directory bridge: Structured Streaming has
+no push source (sources must be replayable), so a driver-side HTTP listener
+persists each accepted request body as one spool file, and the stream is a
+plain file source over the spool directory. That keeps every streaming
+guarantee intact: the file source's offset log makes ingestion replayable
+and exactly-once downstream, which a socket-style push source can never be.
+The same pattern is how production Spark ingests webhooks without Kafka
+(HTTP -> durable object store -> file stream); at scale the listener is a
+fleet writing to S3/GCS and ONLY the spool location changes — the Spark
+side of this module is already that shape.
+
+The listener is dev-grade like the reference's (single host, no TLS/auth):
+it acknowledges with 200 only AFTER the spool file is durably renamed into
+place (write-to-temp + atomic rename, so the file source never reads a
+partial body). Responses: 200 on accept, 404 wrong path, 405 non-POST.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class HttpSpoolServer:
+    """Driver-side HTTP listener writing request bodies into a spool dir."""
+
+    spool_dir: str
+    host: str = "127.0.0.1"
+    port: int = 0  # 0 = ephemeral
+    path: str = "/post"
+    _httpd: object = field(default=None, repr=False)
+    _thread: threading.Thread | None = field(default=None, repr=False)
+
+    def start(self) -> "HttpSpoolServer":
+        import http.server
+
+        spool = Path(self.spool_dir)
+        spool.mkdir(parents=True, exist_ok=True)
+        route = self.path
+        seq = {"n": 0}
+        lock = threading.Lock()
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self) -> None:  # noqa: N802 — stdlib naming
+                if self.path != route:
+                    self.send_error(404)
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(n)
+                    with lock:
+                        seq["n"] += 1
+                        i = seq["n"]
+                    # monotonic prefix keeps arrival order sortable; uuid
+                    # disambiguates across restarts sharing a spool dir
+                    name = f"{i:012d}-{uuid.uuid4().hex}.msg"
+                    tmp = spool / f".{name}.tmp"
+                    tmp.write_bytes(body)
+                    tmp.rename(spool / name)  # atomic: never a partial file
+                except Exception as e:  # noqa: BLE001 — fault -> 500, keep serving
+                    self.send_error(500, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def do_GET(self) -> None:  # noqa: N802
+                self.send_error(405)
+
+            def log_message(self, *a) -> None:  # quiet
+                pass
+
+        self._httpd = http.server.ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}{self.path}"
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def read_spool_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    whole_body: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File stream over the spool dir: one row per request body
+    (whole_body=True, the reference's message-per-request semantics) or one
+    row per body line (False). Column: `value string`."""
+    rd = spark.readStream.format("text").option("wholetext", str(whole_body).lower())
+    if max_files_per_trigger is not None:
+        rd = rd.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    # only completed spool files (dotfiles/tmp are hidden from file sources
+    # by Spark's default path filter; the glob keeps it explicit)
+    return rd.load(f"{spool_dir}/*.msg")
