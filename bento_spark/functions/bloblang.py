@@ -422,10 +422,10 @@ def _apply_function(name: str, args: list[Column]) -> Column:
         return F.raise_error(args[0])
     if name == "pi":
         return F.lit(math.pi)
-    if name in ("nanoid", "ksuid"):
-        # unique-id generators (functions.go:875,:913); uuid is Spark's
-        # native per-row unique id — same contract (uniqueness), different
-        # format, documented deviation
+    if name in ("nanoid", "ksuid", "ulid"):
+        # unique-id generators (functions.go:875,:913; impl/lang ulid);
+        # uuid is Spark's native per-row unique id — same contract
+        # (uniqueness), different format, documented deviation
         return F.expr("uuid()")
     if name == "hostname":
         import socket
@@ -583,6 +583,18 @@ _METHODS = {
     "encrypt_aes": lambda c, mode, key, iv=None: _aes(c, mode, key, iv, encrypt=True),
     "decrypt_aes": lambda c, mode, key, iv=None: _aes(c, mode, key, iv, encrypt=False),
     "hmac": lambda c, alg, key: _hmac(c, alg, key),
+    # JWT HS-family (impl/crypto/jwt_sign.go:155, jwt_parse.go:174) — pure
+    # expressions composed from the HMAC blocks above; RS/ES need key infra
+    # (documented out)
+    "sign_jwt_hs256": lambda c, key: _sign_jwt(c, key, 256),
+    "sign_jwt_hs384": lambda c, key: _sign_jwt(c, key, 384),
+    "sign_jwt_hs512": lambda c, key: _sign_jwt(c, key, 512),
+    "parse_jwt_hs256": lambda c, key, schema: _parse_jwt(c, key, schema, 256),
+    "parse_jwt_hs384": lambda c, key, schema: _parse_jwt(c, key, schema, 384),
+    "parse_jwt_hs512": lambda c, key, schema: _parse_jwt(c, key, schema, 512),
+    # jsonpath (impl/jsonpath/bloblang_jsonpath.go:18) — Spark's native
+    # get_json_object speaks the same $.a.b[0] core syntax
+    "json_path": lambda c, p: F.get_json_object(c, _lit_str(p)),
     # structured/map methods (methods_structured.go squash:1897,
     # key_values:641, map_each_key, with)
     "squash": lambda c: F.map_from_entries(F.flatten(F.transform(c, lambda m: F.map_entries(m)))),
@@ -704,25 +716,68 @@ def _aes(c: Column, mode: Column, key: Column, iv: Column | None, encrypt: bool)
     return F.aes_decrypt(c.cast("binary"), key.cast("binary"), F.lit(m))
 
 
-def _hmac(c: Column, alg: Column, key: Column) -> Column:
+def _hmac_raw(c: Column, key: Column, bits: int) -> Column:
     """HMAC as a pure Catalyst expression (no UDF): the ipad/opad key blocks
     are compile-time binary literals (key must be a literal, as in reference
-    configs), the two passes are native sha2. Returns lowercase hex."""
-    name = _lit_str(alg).lower()
-    bits = {"sha256": 256, "sha512": 512}.get(name)
-    if bits is None:
-        raise BloblangError(f"unsupported hmac algorithm {name} (sha256 or sha512)")
+    configs), the two passes are native sha2. Returns the raw digest bytes."""
     block = 64 if bits == 256 else 128
     k = _lit_full_str(key).encode()
     if len(k) > block:
         import hashlib
 
-        k = hashlib.new(name, k).digest()
+        k = hashlib.new(f"sha{bits}", k).digest()
     k = k.ljust(block, b"\0")
     ipad = bytes(b ^ 0x36 for b in k)
     opad = bytes(b ^ 0x5C for b in k)
     inner_hex = F.sha2(F.concat(F.lit(ipad), c.cast("binary")), bits)
-    return F.lower(F.sha2(F.concat(F.lit(opad), F.unhex(inner_hex)), bits))
+    return F.unhex(F.sha2(F.concat(F.lit(opad), F.unhex(inner_hex)), bits))
+
+
+def _hmac(c: Column, alg: Column, key: Column) -> Column:
+    name = _lit_str(alg).lower()
+    bits = {"sha256": 256, "sha384": 384, "sha512": 512}.get(name)
+    if bits is None:
+        raise BloblangError(f"unsupported hmac algorithm {name} (sha256/sha384/sha512)")
+    return F.lower(F.hex(_hmac_raw(c, key, bits)))
+
+
+def _b64url(c: Column) -> Column:
+    """Unpadded URL-safe base64 of a binary column (RFC 7515 encoding)."""
+    return F.regexp_replace(F.translate(F.base64(c), "+/", "-_"), "=+$", "")
+
+
+def _sign_jwt(c: Column, key: Column, bits: int) -> Column:
+    """JWT HSxxx signing as a pure expression (crypto/jwt_sign.go:155):
+    payload JSON -> b64url(header).b64url(payload).b64url(hmac)."""
+    import base64 as _b64
+    import json as _json
+
+    header = _b64.urlsafe_b64encode(
+        _json.dumps({"alg": f"HS{bits}", "typ": "JWT"}, separators=(",", ":")).encode()
+    ).rstrip(b"=").decode("ascii")
+    signing_input = F.concat(F.lit(header + "."), _b64url(c.cast("binary")))
+    return F.concat(signing_input, F.lit("."), _b64url(_hmac_raw(signing_input, key, bits)))
+
+
+def _parse_jwt(c: Column, key: Column, schema: Column, bits: int) -> Column:
+    """Verify-and-decode a JWT HSxxx token (crypto/jwt_parse.go:174).
+    Returns the typed claims struct, or NULL when the signature or the
+    header's alg doesn't match (the reference errors the message; pair with
+    the error protocol via `.catch()`/set_error on NULL — columnar methods
+    can't raise per-row)."""
+    h = F.split_part(c, F.lit("."), F.lit(1))
+    p = F.split_part(c, F.lit("."), F.lit(2))
+    s = F.split_part(c, F.lit("."), F.lit(3))
+    signing_input = F.concat(h, F.lit("."), p)
+    expect = _b64url(_hmac_raw(signing_input, key, bits))
+    alg = F.get_json_object(
+        F.unbase64(F.translate(h, "-_", "+/")).cast("string"), "$.alg"
+    )
+    claims_json = F.unbase64(F.translate(p, "-_", "+/")).cast("string")
+    return F.when(
+        (alg == F.lit(f"HS{bits}")) & (s == expect),
+        F.from_json(claims_json, _lit_full_str(schema)),
+    )
 
 
 def _lit_full_str(col: Column) -> str:

@@ -781,9 +781,15 @@ class Pipeline:
         (Iceberg MERGE on a real cluster) and optional DLQ routing."""
         out = self.conf.get("output") or {}
         if "path" not in out and not (
-            out.get("switch") or out.get("fan_out") or out.get("kafka") or out.get("fallback")
+            out.get("switch")
+            or out.get("fan_out")
+            or out.get("round_robin")
+            or out.get("kafka")
+            or out.get("fallback")
         ):
-            raise ValueError("output.path (or switch/fan_out/kafka/fallback) required for run_stream")
+            raise ValueError(
+                "output.path (or switch/fan_out/round_robin/kafka/fallback) required for run_stream"
+            )
         if "path" in out:
             self._sink = IdempotentParquetSink(out["path"], key_cols=out.get("keys"))
         has_window = bool(self.conf.get("window"))
@@ -855,14 +861,16 @@ class Pipeline:
             sinks = [IdempotentParquetSink(p) for p in out["fallback"]]
             self._case_sinks = sinks
             writer = fallback_writer(sinks)
-        elif out.get("fan_out"):
-            # broker fan_out (output_broker.go:150): every sink gets the batch
+        elif out.get("fan_out") or out.get("round_robin"):
+            # broker patterns (output_broker.go:150): fan_out = every sink
+            # gets the batch; round_robin = deterministic row-hash spread
             from bento_spark.streaming.sink import route_outputs
 
             df = self.build_stream(spark)
-            sinks = [(None, IdempotentParquetSink(p)) for p in out["fan_out"]]
+            mode = "fan_out" if out.get("fan_out") else "round_robin"
+            sinks = [(None, IdempotentParquetSink(p)) for p in out[mode]]
             self._case_sinks = [s for _, s in sinks]
-            writer = route_outputs(sinks, mode="fan_out")
+            writer = route_outputs(sinks, mode=mode)
         else:
             df = self.build_stream(spark)
             if dlq_path:

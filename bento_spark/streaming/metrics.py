@@ -169,3 +169,27 @@ def wait_for_batches(listener: BentoMetricsListener, n: int, timeout_s: float = 
             return True
         time.sleep(0.2)
     return False
+
+
+def prometheus_text(totals: dict, prefix: str = "bento") -> str:
+    """Render listener totals in the Prometheus exposition text format
+    (the reference exports the same counters via its prometheus metrics
+    component, /root/reference/internal/impl/prometheus/metrics.go). Serve
+    this from any HTTP endpoint (e.g. HttpSpoolServer's host) or write it
+    to a textfile-collector path — the format is the public contract."""
+    lines = []
+    kinds = {
+        "input_received": "counter",
+        "output_sent": "counter",
+        "batch_created": "counter",
+        "state_rows_last": "gauge",
+        "max_watermark_lag_ms": "gauge",
+    }
+    for key, kind in kinds.items():
+        val = totals.get(key)
+        if val is None:
+            continue
+        name = f"{prefix}_{key}"
+        lines.append(f"# TYPE {name} {kind}")
+        lines.append(f"{name} {val}")
+    return "\n".join(lines) + "\n"

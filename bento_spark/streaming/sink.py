@@ -129,6 +129,10 @@ def route_outputs(
     (None predicate = catch-all) — output_switch.go:164 semantics.
     mode='fan_out': every sink receives the full batch (broker fan_out,
     output_broker.go:150).
+    mode='round_robin': rows spread across sinks by a deterministic row
+    hash (output_broker_round_robin.go:16; also the replay-safe analogue of
+    `greedy` load-spreading — a literal turn counter would assign rows
+    differently on micro-batch replay and break exactly-once).
     """
 
     def _route(batch_df: DataFrame, epoch_id: int) -> None:
@@ -137,6 +141,11 @@ def route_outputs(
             if mode == "fan_out":
                 for _, sink in sinks:
                     sink.write_batch(batch_df, epoch_id)
+                return
+            if mode == "round_robin":
+                lane = F.pmod(F.xxhash64(*batch_df.columns), F.lit(len(sinks)))
+                for i, (_, sink) in enumerate(sinks):
+                    sink.write_batch(batch_df.filter(lane == i), epoch_id)
                 return
             remaining = batch_df
             for pred, sink in sinks:

@@ -145,3 +145,62 @@ def test_parse_format_yaml(df):
         ).alias("t")
     ).first()
     assert "a: 1" in rt.t and "- x" in rt.t
+
+
+def test_jwt_hs_sign_and_parse(df):
+    """Sign with the pure-expression HMAC, verify against Python's hmac
+    (the library truth for the HS-family), and round-trip claims."""
+    import base64
+    import hashlib
+    import hmac as pyhmac
+    import json
+
+    spark = df.sparkSession
+    claims = '{"sub":"u1","n":7}'
+    jdf = spark.createDataFrame([(claims,)], "claims string")
+    tok = jdf.select(
+        compile_expr('this.claims.sign_jwt_hs256("topsecret")').alias("t")
+    ).first().t
+    h, p, s = tok.split(".")
+    # header is the canonical compact form
+    assert json.loads(base64.urlsafe_b64decode(h + "==")) == {"alg": "HS256", "typ": "JWT"}
+    expect = base64.urlsafe_b64encode(
+        pyhmac.new(b"topsecret", f"{h}.{p}".encode(), hashlib.sha256).digest()
+    ).rstrip(b"=").decode()
+    assert s == expect
+    # verified parse returns typed claims
+    tdf = spark.createDataFrame([(tok,), (tok[:-2] + "xx",)], "tok string")
+    out = tdf.select(
+        compile_expr('this.tok.parse_jwt_hs256("topsecret", "sub string, n int")').alias("c")
+    ).collect()
+    assert out[0].c.sub == "u1" and out[0].c.n == 7
+    assert out[1].c is None  # tampered signature -> NULL
+    # wrong secret -> NULL; wrong alg family -> NULL
+    bad = tdf.select(
+        compile_expr('this.tok.parse_jwt_hs256("other", "sub string, n int")').alias("c")
+    ).first()
+    assert bad.c is None
+    wrong_alg = tdf.select(
+        compile_expr('this.tok.parse_jwt_hs512("topsecret", "sub string, n int")').alias("c")
+    ).first()
+    assert wrong_alg.c is None
+    # hs512 round-trips too
+    tok512 = jdf.select(
+        compile_expr('this.claims.sign_jwt_hs512("k2")').alias("t")
+    ).first().t
+    ok512 = spark.createDataFrame([(tok512,)], "tok string").select(
+        compile_expr('this.tok.parse_jwt_hs512("k2", "sub string, n int")').alias("c")
+    ).first()
+    assert ok512.c.n == 7
+
+
+def test_json_path_method(df):
+    jdf = df.sparkSession.createDataFrame(
+        [('{"a":{"b":[10,20,30]},"name":"x"}',)], "doc string"
+    )
+    out = jdf.select(
+        compile_expr('this.doc.json_path("$.a.b[1]")').alias("v"),
+        compile_expr('this.doc.json_path("$.name")').alias("n"),
+        compile_expr('this.doc.json_path("$.missing")').alias("m"),
+    ).first()
+    assert out.v == "20" and out.n == "x" and out.m is None

@@ -176,3 +176,23 @@ output:
     src_txt = {r.clip_id: r.transcript for r in base.select("clip_id", "transcript").collect()}
     for r in got.select("clip_id", "transcript").collect():
         assert r.transcript == src_txt[r.clip_id]
+
+
+def test_output_round_robin(spark, tmp_path):
+    src = str(tmp_path / "rr_src")
+    Pipeline.stage_clips(spark, src, 40)
+    p = compile_yaml(
+        f"""
+input:
+  parquet: {{path: {src}}}
+output:
+  round_robin:
+    - {tmp_path}/lane0
+    - {tmp_path}/lane1
+"""
+    )
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "rr_ckpt"))
+    q.awaitTermination(90)
+    a = IdempotentParquetSink(str(tmp_path / "lane0")).read(spark).count()
+    b = IdempotentParquetSink(str(tmp_path / "lane1")).read(spark).count()
+    assert a + b == 40 and a > 0 and b > 0

@@ -226,3 +226,40 @@ def test_metrics_listener_and_lineage(spark, clip_dir, tmp_path):
         assert os.path.getsize(str(tmp_path / "metrics.json")) > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_round_robin_routing(spark, tmp_path):
+    """round_robin spreads rows across sinks disjointly/completely, and the
+    hash assignment is replay-stable (exactly-once on micro-batch retry)."""
+    from bento_spark.streaming.sink import IdempotentParquetSink, route_outputs
+
+    df = clips_df(spark, 60, partitions=2)
+    sinks = [IdempotentParquetSink(str(tmp_path / f"rr{i}")) for i in range(3)]
+    writer = route_outputs([(None, s) for s in sinks], mode="round_robin")
+    writer(df, 0)
+    parts = [set(r.clip_id for r in s.read(spark).select("clip_id").collect()) for s in sinks]
+    assert sum(len(p) for p in parts) == 60
+    assert set.union(*parts) == set(r.clip_id for r in df.select("clip_id").collect())
+    assert all(p for p in parts)  # hash spread hits every lane at n=60
+    # replay the same epoch: idempotent (commit marker), same assignment
+    writer(df, 0)
+    parts2 = [set(r.clip_id for r in s.read(spark).select("clip_id").collect()) for s in sinks]
+    assert parts2 == parts
+
+
+def test_prometheus_text_format():
+    from bento_spark.streaming.metrics import prometheus_text
+
+    text = prometheus_text(
+        {
+            "input_received": 100,
+            "output_sent": 90,
+            "batch_created": 3,
+            "state_rows_last": 7,
+            "max_watermark_lag_ms": None,
+        }
+    )
+    assert "# TYPE bento_input_received counter\nbento_input_received 100" in text
+    assert "# TYPE bento_state_rows_last gauge\nbento_state_rows_last 7" in text
+    assert "watermark" not in text  # None metrics are omitted, not rendered as 'None'
+    assert text.endswith("\n")
