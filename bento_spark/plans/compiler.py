@@ -791,7 +791,7 @@ class Pipeline:
                 "output.path (or switch/fan_out/round_robin/kafka/fallback) required for run_stream"
             )
         if "path" in out:
-            self._sink = IdempotentParquetSink(out["path"], key_cols=out.get("keys"))
+            self._sink = IdempotentParquetSink(out["path"], key_cols=out.get("keys"), checkpoint=checkpoint)
         has_window = bool(self.conf.get("window"))
         dlq_path = out.get("dlq")
 
@@ -817,7 +817,7 @@ class Pipeline:
             # earlier partials.)
             rows = self._apply_processors(self._input(spark, streaming=True))
             if "error" in rows.columns:
-                dlq = IdempotentParquetSink(dlq_path)
+                dlq = IdempotentParquetSink(dlq_path, checkpoint=checkpoint.rstrip("/") + "_dlq")
                 errored = rows.filter(F.col("error").isNotNull())
                 self._dlq_query = (
                     errored.writeStream.outputMode("append")
@@ -837,11 +837,11 @@ class Pipeline:
 
             df = self.build_stream(spark)
             cases = [
-                (compile_expr(c["check"]), IdempotentParquetSink(c["path"]))
+                (compile_expr(c["check"]), IdempotentParquetSink(c["path"], checkpoint=checkpoint))
                 for c in out["switch"]
             ]
             if out.get("default"):
-                cases.append((None, IdempotentParquetSink(out["default"])))
+                cases.append((None, IdempotentParquetSink(out["default"], checkpoint=checkpoint)))
             self._case_sinks = [s for _, s in cases]
             writer = route_outputs(cases, mode="switch")
         elif out.get("kafka"):
@@ -858,7 +858,7 @@ class Pipeline:
             from bento_spark.streaming.sink import fallback_writer
 
             df = self.build_stream(spark)
-            sinks = [IdempotentParquetSink(p) for p in out["fallback"]]
+            sinks = [IdempotentParquetSink(p, checkpoint=checkpoint) for p in out["fallback"]]
             self._case_sinks = sinks
             writer = fallback_writer(sinks)
         elif out.get("fan_out") or out.get("round_robin"):
@@ -868,7 +868,7 @@ class Pipeline:
 
             df = self.build_stream(spark)
             mode = "fan_out" if out.get("fan_out") else "round_robin"
-            sinks = [(None, IdempotentParquetSink(p)) for p in out[mode]]
+            sinks = [(None, IdempotentParquetSink(p, checkpoint=checkpoint)) for p in out[mode]]
             self._case_sinks = [s for _, s in sinks]
             writer = route_outputs(sinks, mode=mode)
         else:

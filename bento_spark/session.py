@@ -89,6 +89,13 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        # The idempotent sink intentionally SKIPS re-executing a micro-batch
+        # whose commit marker exists (replay after a crash between marker and
+        # Spark's commit log): state for that batch was fully committed by
+        # the first attempt, so skipping is state-consistent. Spark 4.1's
+        # per-batch commit-count validation can't see that and would kill the
+        # query on the (correct) skip.
+        .config("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

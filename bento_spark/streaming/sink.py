@@ -40,22 +40,58 @@ from pyspark.sql.window import Window
 class IdempotentParquetSink:
     """foreachBatch sink with exactly-once semantics over plain parquet."""
 
-    def __init__(self, path: str, key_cols: Sequence[str] | None = None):
+    def __init__(
+        self,
+        path: str,
+        key_cols: Sequence[str] | None = None,
+        checkpoint: str | None = None,
+    ):
         self.path = path.rstrip("/")
         self.data_dir = f"{self.path}/data"
         self.commit_dir = f"{self.path}/commits"
         self.key_cols = list(key_cols) if key_cols else None
+        # checkpoint dir binds markers to the QUERY INCARNATION: epoch ids
+        # restart at 0 with a fresh checkpoint, so a marker left by an
+        # earlier pipeline writing the same output dir must not swallow the
+        # new incarnation's batches. Spark persists the query id in
+        # <checkpoint>/metadata across restarts of the SAME checkpoint —
+        # that id is the incarnation token.
+        self.checkpoint = checkpoint.rstrip("/") if checkpoint else None
         os.makedirs(self.commit_dir, exist_ok=True)
+
+    def _qid(self) -> str | None:
+        if not self.checkpoint:
+            return None
+        try:
+            import json as _json
+
+            with open(f"{self.checkpoint}/metadata") as f:
+                return _json.load(f).get("id")
+        except (OSError, ValueError):
+            return None
 
     def _marker(self, epoch_id: int) -> str:
         return f"{self.commit_dir}/{epoch_id}"
+
+    def _marker_qid(self, epoch_id: int) -> str | None:
+        try:
+            import json as _json
+
+            with open(self._marker(epoch_id)) as f:
+                return _json.load(f).get("qid")
+        except (OSError, ValueError):
+            return None
 
     def is_committed(self, epoch_id: int) -> bool:
         return os.path.exists(self._marker(epoch_id))
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.is_committed(epoch_id):
-            return  # replayed batch: already committed exactly once
+            mq, cq = self._marker_qid(epoch_id), self._qid()
+            if mq is None or cq is None or mq == cq:
+                return  # replayed batch: already committed exactly once
+            # marker from a DIFFERENT query incarnation (fresh checkpoint,
+            # reused output dir): fall through and overwrite the epoch
         (
             batch_df.withColumn("_bid", F.lit(int(epoch_id)))
             .write.mode("overwrite")
@@ -70,7 +106,7 @@ class IdempotentParquetSink:
 
         n = self.spark_count(epoch_id)
         with open(self._marker(epoch_id) + ".tmp", "w") as f:
-            f.write(_json.dumps({"epoch": int(epoch_id), "rows": n}))
+            f.write(_json.dumps({"epoch": int(epoch_id), "rows": n, "qid": self._qid()}))
         os.replace(self._marker(epoch_id) + ".tmp", self._marker(epoch_id))
 
     def spark_count(self, epoch_id: int) -> int:

@@ -196,3 +196,31 @@ def test_parquet_sink_append_crash_window_replay(spark, tmp_path):
     assert sink.committed_ids() == [0, 1]
     assert sink.read(spark).count() == 20  # exactly one copy of each epoch
     assert sink.output_sent() == 20
+
+
+def test_stale_marker_different_incarnation_overwritten(spark, tmp_path):
+    """A commit marker left by an EARLIER pipeline incarnation (different
+    checkpoint => different query id) must not swallow the new run's
+    epoch-0 batch; within the SAME incarnation the marker still skips."""
+    import json
+
+    from bento_spark.audio.generate import clips_df
+    from bento_spark.streaming.sink import IdempotentParquetSink
+
+    out = str(tmp_path / "out")
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "new-incarnation"}))
+    # simulate the old incarnation's epoch-0 marker
+    stale = IdempotentParquetSink(out)
+    (tmp_path / "out" / "commits" / "0").write_text(
+        json.dumps({"epoch": 0, "rows": 999, "qid": "old-incarnation"})
+    )
+    sink = IdempotentParquetSink(out, checkpoint=str(ck))
+    df = clips_df(spark, 10, partitions=1)
+    sink.write_batch(df, 0)
+    assert sink.read(spark).count() == 10  # overwrote the stale epoch
+    assert sink._marker_qid(0) == "new-incarnation"
+    # same incarnation replay: skipped (marker untouched, rows unchanged)
+    sink.write_batch(df.limit(3), 0)
+    assert sink.read(spark).count() == 10
