@@ -65,7 +65,9 @@ class BentoMetricsListener(StreamingQueryListener):
             et = p.eventTime or {}
             wm = et.get("watermark")
             mx = et.get("max")
-            if wm and mx:
+            # the first batch reports the UNINITIALIZED watermark (epoch 0);
+            # max-minus-epoch is an absolute timestamp, not a lag — skip it
+            if wm and mx and not wm.startswith("1970-"):
                 from datetime import datetime
 
                 fmt = "%Y-%m-%dT%H:%M:%S.%fZ"
