@@ -741,9 +741,17 @@ def _hmac(c: Column, alg: Column, key: Column) -> Column:
     return F.lower(F.hex(_hmac_raw(c, key, bits)))
 
 
+def _b64(c: Column) -> Column:
+    """RFC 4648 base64 with NO line breaks: Spark's base64() MIME-chunks at
+    76 chars with CRLF when spark.sql.chunkBase64String.enabled is on (it's
+    off in get_spark, but strip defensively for foreign sessions —
+    translate() DELETES chars with no counterpart)."""
+    return F.translate(F.base64(c), "\r\n", "")
+
+
 def _b64url(c: Column) -> Column:
     """Unpadded URL-safe base64 of a binary column (RFC 7515 encoding)."""
-    return F.regexp_replace(F.translate(F.base64(c), "+/", "-_"), "=+$", "")
+    return F.regexp_replace(F.translate(_b64(c), "+/", "-_"), "=+$", "")
 
 
 def _sign_jwt(c: Column, key: Column, bits: int) -> Column:
@@ -770,10 +778,13 @@ def _parse_jwt(c: Column, key: Column, schema: Column, bits: int) -> Column:
     s = F.split_part(c, F.lit("."), F.lit(3))
     signing_input = F.concat(h, F.lit("."), p)
     expect = _b64url(_hmac_raw(signing_input, key, bits))
+    # try_to_binary: a garbage token (non-base64 segments) must NULL the
+    # row, never abort the job (unbase64 throws under ANSI mode)
     alg = F.get_json_object(
-        F.unbase64(F.translate(h, "-_", "+/")).cast("string"), "$.alg"
+        F.try_to_binary(F.translate(h, "-_", "+/"), F.lit("base64")).cast("string"),
+        "$.alg",
     )
-    claims_json = F.unbase64(F.translate(p, "-_", "+/")).cast("string")
+    claims_json = F.try_to_binary(F.translate(p, "-_", "+/"), F.lit("base64")).cast("string")
     return F.when(
         (alg == F.lit(f"HS{bits}")) & (s == expect),
         F.from_json(claims_json, _lit_full_str(schema)),
@@ -847,11 +858,11 @@ def _encode(c: Column, scheme: Column) -> Column:
     # Arrow-batched pandas UDF.
     name = _lit_str(scheme).lower()
     if name == "base64":
-        return F.base64(c.cast("binary"))
+        return _b64(c.cast("binary"))
     if name == "base64url":
-        return F.translate(F.base64(c.cast("binary")), "+/", "-_")
+        return F.translate(_b64(c.cast("binary")), "+/", "-_")
     if name == "base64rawurl":
-        return F.regexp_replace(F.translate(F.base64(c.cast("binary")), "+/", "-_"), "=+$", "")
+        return F.regexp_replace(F.translate(_b64(c.cast("binary")), "+/", "-_"), "=+$", "")
     if name == "hex":
         return F.hex(c.cast("binary"))
     if name == "ascii85":
@@ -860,14 +871,17 @@ def _encode(c: Column, scheme: Column) -> Column:
 
 
 def _decode(c: Column, scheme: Column) -> Column:
+    # try_to_binary, not unbase64/unhex: malformed input must NULL the row
+    # (the `.catch()` / error-protocol contract), where the strict builtins
+    # abort the whole job under ANSI mode (Spark 4 default)
     name = _lit_str(scheme).lower()
     if name == "base64":
-        return F.unbase64(c)
+        return F.try_to_binary(c, F.lit("base64"))
     if name in ("base64url", "base64rawurl"):
-        # unbase64 tolerates missing padding, so one decoder covers both
-        return F.unbase64(F.translate(c, "-_", "+/"))
+        # base64 decoding tolerates missing padding, so one decoder covers both
+        return F.try_to_binary(F.translate(c, "-_", "+/"), F.lit("base64"))
     if name == "hex":
-        return F.unhex(c)
+        return F.try_to_binary(c, F.lit("hex"))
     if name == "ascii85":
         return _ascii85_decode(c)
     raise BloblangError(f"unsupported decode scheme {name}")
@@ -891,9 +905,17 @@ def _ascii85_encode(c: Column) -> Column:
 def _ascii85_decode(c: Column) -> Column:
     @pandas_udf("binary")
     def dec(s: pd.Series) -> pd.Series:
-        import base64 as _b64
+        import base64 as _b64lib
 
-        return s.map(lambda t: None if t is None else _b64.a85decode(t))
+        def one(t):
+            if t is None:
+                return None
+            try:
+                return _b64lib.a85decode(t)
+            except ValueError:
+                return None  # malformed input NULLs the row (catch protocol)
+
+        return s.map(one)
 
     return dec(c)
 
@@ -905,9 +927,15 @@ def _yaml_to_json(c: Column) -> Column:
 
         import yaml as _yaml
 
-        return s.map(
-            lambda t: None if t is None else _json.dumps(_yaml.safe_load(t), sort_keys=False)
-        )
+        def one(t):
+            if t is None:
+                return None
+            try:
+                return _json.dumps(_yaml.safe_load(t), sort_keys=False)
+            except _yaml.YAMLError:
+                return None  # malformed YAML NULLs the row (catch protocol)
+
+        return s.map(one)
 
     return conv(c)
 

@@ -531,8 +531,11 @@ def dedupe_clusters(
     near-dup graphs, which have small diameter) or "star" (large/small-star,
     O(log^2 n) rounds — the scale path when the pair graph may contain long
     chains)."""
+    algos = {"label": connected_components, "star": connected_components_star}
+    if algo not in algos:
+        raise ValueError(f"unsupported clustering algo {algo!r} (supported: {sorted(algos)})")
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    cc = {"label": connected_components, "star": connected_components_star}[algo](pairs)
+    cc = algos[algo](pairs)
     return cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("member_min"),

@@ -204,24 +204,29 @@ def subprocess_map(
                     return value, f"subprocess timeout after {timeout}s"
             return value, "subprocess exited before responding"
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vals, errs = [], []
-            for i in range(len(pdf)):
-                prior = pdf[ERROR_COL].iloc[i]
-                if isinstance(prior, str):  # already-errored rows short-circuit
-                    vals.append(pdf[col].iloc[i])
-                    errs.append(prior)
+        # finally, not a trailing call: early generator termination (limit,
+        # task kill, downstream exception) raises GeneratorExit out of the
+        # yield, and a reused Python worker would otherwise leak the child
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
                     continue
-                new_val, err = exchange(pdf[col].iloc[i])
-                vals.append(new_val)
-                errs.append(err)
-            out = pdf[cols].copy()
-            out[col] = vals
-            out[ERROR_COL] = errs
-            yield out
-        stop()
+                vals, errs = [], []
+                for i in range(len(pdf)):
+                    prior = pdf[ERROR_COL].iloc[i]
+                    if isinstance(prior, str):  # already-errored rows short-circuit
+                        vals.append(pdf[col].iloc[i])
+                        errs.append(prior)
+                        continue
+                    new_val, err = exchange(pdf[col].iloc[i])
+                    vals.append(new_val)
+                    errs.append(err)
+                out = pdf[cols].copy()
+                out[col] = vals
+                out[ERROR_COL] = errs
+                yield out
+        finally:
+            stop()
 
     return df.mapInPandas(run, schema=out_schema)
 

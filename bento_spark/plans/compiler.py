@@ -874,7 +874,8 @@ class Pipeline:
         else:
             df = self.build_stream(spark)
             if dlq_path:
-                dlq = IdempotentParquetSink(dlq_path)
+                # same query => same checkpoint binds the DLQ's markers too
+                dlq = IdempotentParquetSink(dlq_path, checkpoint=checkpoint)
                 writer = dlq_split_writer(self._sink, dlq)
             else:
                 writer = self._sink.foreach_batch()

@@ -96,6 +96,11 @@ def get_spark(
         # per-batch commit-count validation can't see that and would kill the
         # query on the (correct) skip.
         .config("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+        # base64() otherwise MIME-chunks at 76 chars with CRLF (RFC 2045
+        # legacy) — corrupts JWTs/base64url past 57 input bytes. Codec
+        # helpers in bloblang also strip CRLF defensively for sessions not
+        # built here.
+        .config("spark.sql.chunkBase64String.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

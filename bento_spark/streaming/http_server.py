@@ -57,8 +57,13 @@ class HttpSpoolServer:
                 if self.path != route:
                     self.send_error(404)
                     return
+                if self.headers.get("Content-Length") is None:
+                    # chunked/absent length: acking 200 while dropping the
+                    # body would violate the durable-ack contract
+                    self.send_error(411)
+                    return
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
+                    n = int(self.headers["Content-Length"])
                     body = self.rfile.read(n)
                     with lock:
                         seq["n"] += 1

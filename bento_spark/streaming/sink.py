@@ -85,13 +85,33 @@ class IdempotentParquetSink:
     def is_committed(self, epoch_id: int) -> bool:
         return os.path.exists(self._marker(epoch_id))
 
+    def _purge_foreign_markers(self, cq: str) -> None:
+        """Remove every marker written by a different query incarnation —
+        not just the epoch being rewritten. A new incarnation producing
+        fewer batches than the old one would otherwise leave the old run's
+        higher epochs committed, and read() would silently mix two
+        pipelines' data. Markers without a qid (legacy / direct writer use)
+        are trusted and kept."""
+        for i in self.committed_ids():
+            mq = self._marker_qid(i)
+            if mq is not None and mq != cq:
+                try:
+                    os.remove(self._marker(i))
+                except OSError:
+                    pass
+
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # first write of this sink instance: sweep markers from other
+        # incarnations even when this epoch doesn't collide (an old RESUMED
+        # run may have committed only higher epoch ids)
+        cq = self._qid()
+        if cq is not None and not getattr(self, "_swept", False):
+            self._purge_foreign_markers(cq)
+            self._swept = True
         if self.is_committed(epoch_id):
-            mq, cq = self._marker_qid(epoch_id), self._qid()
-            if mq is None or cq is None or mq == cq:
-                return  # replayed batch: already committed exactly once
-            # marker from a DIFFERENT query incarnation (fresh checkpoint,
-            # reused output dir): fall through and overwrite the epoch
+            # after the sweep any surviving marker is ours (same qid) or
+            # legacy (no qid) — both mean this batch already committed
+            return
         (
             batch_df.withColumn("_bid", F.lit(int(epoch_id)))
             .write.mode("overwrite")

@@ -204,3 +204,71 @@ def test_json_path_method(df):
         compile_expr('this.doc.json_path("$.missing")').alias("m"),
     ).first()
     assert out.v == "20" and out.n == "x" and out.m is None
+
+
+def test_jwt_large_claims_and_garbage_tokens(df):
+    """>57-byte claims cross base64's MIME-chunk threshold (CRLF corruption
+    found in review); garbage tokens must NULL, not abort, under ANSI."""
+    import base64
+    import hashlib
+    import hmac as pyhmac
+    import json
+
+    spark = df.sparkSession
+    claims = json.dumps({"sub": "user-" + "x" * 80, "scope": ["a", "b", "c"], "n": 123})
+    assert len(claims) > 57
+    jdf = spark.createDataFrame([(claims,)], "claims string")
+    tok = jdf.select(
+        compile_expr('this.claims.sign_jwt_hs256("k")').alias("t")
+    ).first().t
+    assert "\r" not in tok and "\n" not in tok
+    h, p, s = tok.split(".")
+    expect = base64.urlsafe_b64encode(
+        pyhmac.new(b"k", f"{h}.{p}".encode(), hashlib.sha256).digest()
+    ).rstrip(b"=").decode()
+    assert s == expect  # external verifiers accept the token
+    # hs512 signatures are 88 b64 chars (> 76): externally-minted token parses
+    ext_sig = base64.urlsafe_b64encode(
+        pyhmac.new(b"k2", f"{h}.{p}".encode(), hashlib.sha512).digest()
+    ).rstrip(b"=").decode()
+    hdr512 = base64.urlsafe_b64encode(b'{"alg":"HS512","typ":"JWT"}').rstrip(b"=").decode()
+    ext_sig512 = base64.urlsafe_b64encode(
+        pyhmac.new(b"k2", f"{hdr512}.{p}".encode(), hashlib.sha512).digest()
+    ).rstrip(b"=").decode()
+    ext_tok = f"{hdr512}.{p}.{ext_sig512}"
+    got = spark.createDataFrame([(ext_tok,)], "tok string").select(
+        compile_expr('this.tok.parse_jwt_hs512("k2", "sub string, n int")').alias("c")
+    ).first()
+    assert got.c is not None and got.c.n == 123
+    # garbage tokens: NULL per row, job survives (ANSI-safe decode)
+    bad = spark.createDataFrame(
+        [("!!!not base64###",), ("a.b",), ("",), (None,)], "tok string"
+    )
+    out = bad.select(
+        compile_expr('this.tok.parse_jwt_hs256("k", "sub string, n int")').alias("c")
+    ).collect()
+    assert all(r.c is None for r in out)
+
+
+def test_encode_large_payload_and_bad_decode(df):
+    """base64 family must be single-line RFC 4648 for payloads past the
+    76-char MIME threshold; decode of malformed input NULLs the row."""
+    import base64
+
+    payload = bytes(range(200))
+    bdf = df.sparkSession.createDataFrame([(bytearray(payload),)], "b binary")
+    out = bdf.select(
+        compile_expr('this.b.encode("base64")').alias("std"),
+        compile_expr('this.b.encode("base64rawurl")').alias("raw"),
+    ).first()
+    assert out.std == base64.b64encode(payload).decode()
+    assert out.raw == base64.urlsafe_b64encode(payload).decode().rstrip("=")
+    bad = df.sparkSession.createDataFrame(
+        [("%%%not-b64%%%",), ("zz",)], "t string"
+    )
+    got = bad.select(
+        compile_expr('this.t.decode("base64")').alias("b"),
+        compile_expr('this.t.decode("hex")').alias("h"),
+        compile_expr('this.t.decode("ascii85")').alias("a"),
+    ).collect()
+    assert got[0].b is None and got[0].h is None and got[0].a is None

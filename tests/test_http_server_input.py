@@ -98,3 +98,24 @@ output:
         srv.stop()
     out = IdempotentParquetSink(str(tmp_path / "out3")).read(spark)
     assert sorted(r.value for r in out.select("value").collect()) == ["first", "second"]
+
+
+def test_http_server_requires_content_length(spark, tmp_path):
+    """No Content-Length (e.g. chunked transfer) must be refused with 411,
+    not acknowledged 200 while the body is dropped."""
+    import socket
+
+    from bento_spark.streaming.http_server import HttpSpoolServer
+
+    srv = HttpSpoolServer(spool_dir=str(tmp_path / "spool411")).start()
+    try:
+        s = socket.create_connection((srv.host, srv.port), timeout=5)
+        s.sendall(b"POST /post HTTP/1.1\r\nHost: x\r\nTransfer-Encoding: chunked\r\n\r\n")
+        status = s.recv(4096).split(b"\r\n", 1)[0]
+        s.close()
+        assert b"411" in status
+        import os
+
+        assert not any(f.endswith(".msg") for f in os.listdir(tmp_path / "spool411"))
+    finally:
+        srv.stop()

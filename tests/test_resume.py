@@ -216,11 +216,17 @@ def test_stale_marker_different_incarnation_overwritten(spark, tmp_path):
     (tmp_path / "out" / "commits" / "0").write_text(
         json.dumps({"epoch": 0, "rows": 999, "qid": "old-incarnation"})
     )
+    # ...including HIGHER epochs the new (shorter) run never reaches: they
+    # must be purged, not mixed into read()
+    (tmp_path / "out" / "commits" / "7").write_text(
+        json.dumps({"epoch": 7, "rows": 5, "qid": "old-incarnation"})
+    )
     sink = IdempotentParquetSink(out, checkpoint=str(ck))
     df = clips_df(spark, 10, partitions=1)
     sink.write_batch(df, 0)
     assert sink.read(spark).count() == 10  # overwrote the stale epoch
     assert sink._marker_qid(0) == "new-incarnation"
+    assert sink.committed_ids() == [0]  # foreign epoch 7 swept
     # same incarnation replay: skipped (marker untouched, rows unchanged)
     sink.write_batch(df.limit(3), 0)
     assert sink.read(spark).count() == 10
