@@ -659,10 +659,13 @@ def _parse_url(c: Column) -> Column:
     """URL -> struct(scheme, host, port, path, query, fragment)
     (methods_strings.go parse_url -> object). Pure Catalyst parse_url."""
     part = lambda p: F.parse_url(c, F.lit(p))  # noqa: E731
+    # port: trailing ":<digits>" of the authority — split-on-':' element 1
+    # is wrong for userinfo ('user:pw@host:8443') and IPv6 ('[::1]:8080')
+    port = F.nullif(F.regexp_extract(part("AUTHORITY"), r":(\d+)$", 1), F.lit("")).cast("int")
     return F.struct(
         part("PROTOCOL").alias("scheme"),
         part("HOST").alias("host"),
-        F.split(part("AUTHORITY"), ":").getItem(1).cast("int").alias("port"),
+        port.alias("port"),
         part("PATH").alias("path"),
         part("QUERY").alias("query"),
         part("REF").alias("fragment"),
@@ -1021,8 +1024,15 @@ class CompiledMapping:
                 # reassignment) — a plain SELECT, so Catalyst prunes the
                 # scan to the referenced source columns. Assignments BEFORE
                 # it are visible inside (they ran), ones after extend it —
-                # source order, as in the reference.
-                df = df.select(*[col.alias(name) for name, col in st[1]])
+                # source order, as in the reference. The reference keeps a
+                # message's error flag and metadata OUTSIDE the document, so
+                # a root reassignment never clears them — carry `error` and
+                # `meta` through unless the remap sets them explicitly
+                # (dropping `error` here would silently unflag errored rows
+                # past the DLQ split).
+                names = {name for name, _ in st[1]}
+                carried = [c for c in ("error", "meta") if c in df.columns and c not in names]
+                df = df.select(*[col.alias(name) for name, col in st[1]], *carried)
                 continue
             _, name, col = st
             if "." in name:

@@ -309,34 +309,17 @@ def parquet_decode(df: DataFrame, blob_col: str, schema: str, keep_cols: Sequenc
 # ---------------------------------------------------------------------------
 
 
-_AVRO_PROBES: dict[int, bool] = {}
+_AVRO_PKG = "org.apache.spark:spark-avro_2.13:<spark-version>"
+_AVRO_CLASS = "org.apache.spark.sql.avro.AvroDataToCatalyst"
 
 
 def avro_available(spark) -> bool:
-    """True when the spark-avro module is on the classpath (the functions
-    exist in pyspark regardless; analysis fails without the jar). Memoized
-    per session — the probe runs a real analysis."""
-    key = id(spark._jvm)
-    hit = _AVRO_PROBES.get(key)
-    if hit is None:
-        try:
-            from pyspark.sql.avro.functions import to_avro
+    """True when the spark-avro module is on the classpath (the pyspark
+    functions exist regardless; analysis fails without the jar). Routed
+    through the shared gating registry like every other classpath gate."""
+    from bento_spark.gating import classpath_available
 
-            probe = spark.range(1).select(to_avro(F.struct(F.col("id"))).alias("b"))
-            probe._jdf.queryExecution().analyzed()
-            hit = True
-        except Exception:
-            hit = False
-        _AVRO_PROBES[key] = hit
-    return hit
-
-
-def _require(ok: bool, what: str, package: str) -> None:
-    if not ok:
-        raise RuntimeError(
-            f"{what} requires the {package} package on the Spark classpath; "
-            f"launch with --packages {package}"
-        )
+    return classpath_available(spark, _AVRO_CLASS)
 
 
 def avro_decode(df: DataFrame, col: str, avro_schema: str, out_col: str = "record") -> DataFrame:
@@ -344,21 +327,29 @@ def avro_decode(df: DataFrame, col: str, avro_schema: str, out_col: str = "recor
     avro processor to_json parity)."""
     from pyspark.sql.avro.functions import from_avro
 
-    _require(avro_available(df.sparkSession), "avro_decode", "org.apache.spark:spark-avro_2.13:<spark-version>")
+    from bento_spark.gating import require_classpath
+
+    require_classpath(df.sparkSession, _AVRO_CLASS, _AVRO_PKG, "avro_decode")
     return df.withColumn(out_col, from_avro(F.col(col), avro_schema))
 
 
 def avro_encode(df: DataFrame, cols: Sequence[str], avro_schema: str, out_col: str = "avro_bytes") -> DataFrame:
     from pyspark.sql.avro.functions import to_avro
 
-    _require(avro_available(df.sparkSession), "avro_encode", "org.apache.spark:spark-avro_2.13:<spark-version>")
+    from bento_spark.gating import require_classpath
+
+    require_classpath(df.sparkSession, _AVRO_CLASS, _AVRO_PKG, "avro_encode")
     return df.withColumn(out_col, to_avro(F.struct(*[F.col(c) for c in cols]), avro_schema))
+
+
+_PROTOBUF_PKG = "org.apache.spark:spark-protobuf_2.13:<spark-version>"
+_PROTOBUF_CLASS = "org.apache.spark.sql.protobuf.utils.SchemaConverters"
 
 
 def protobuf_available(spark) -> bool:
     from bento_spark.gating import classpath_available
 
-    return classpath_available(spark, "org.apache.spark.sql.protobuf.utils.SchemaConverters")
+    return classpath_available(spark, _PROTOBUF_CLASS)
 
 
 def protobuf_decode(df: DataFrame, col: str, message_name: str, desc_file: str, out_col: str = "record") -> DataFrame:
@@ -366,8 +357,9 @@ def protobuf_decode(df: DataFrame, col: str, message_name: str, desc_file: str, 
     matching the reference protobuf processor's file_path schema source."""
     from pyspark.sql.protobuf.functions import from_protobuf
 
-    _require(protobuf_available(df.sparkSession), "protobuf_decode",
-             "org.apache.spark:spark-protobuf_2.13:<spark-version>")
+    from bento_spark.gating import require_classpath
+
+    require_classpath(df.sparkSession, _PROTOBUF_CLASS, _PROTOBUF_PKG, "protobuf_decode")
     return df.withColumn(out_col, from_protobuf(F.col(col), message_name, descFilePath=desc_file))
 
 
@@ -375,7 +367,8 @@ def protobuf_encode(df: DataFrame, cols: Sequence[str], message_name: str, desc_
                     out_col: str = "proto_bytes") -> DataFrame:
     from pyspark.sql.protobuf.functions import to_protobuf
 
-    _require(protobuf_available(df.sparkSession), "protobuf_encode",
-             "org.apache.spark:spark-protobuf_2.13:<spark-version>")
+    from bento_spark.gating import require_classpath
+
+    require_classpath(df.sparkSession, _PROTOBUF_CLASS, _PROTOBUF_PKG, "protobuf_encode")
     return df.withColumn(out_col, to_protobuf(F.struct(*[F.col(c) for c in cols]), message_name,
                                               descFilePath=desc_file))

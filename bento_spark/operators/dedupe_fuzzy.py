@@ -331,6 +331,17 @@ def simhash_near_pairs(
     band_bits = bits // n_bands
     if band_bits > 63:
         raise ValueError("band wider than 63 bits: raise max_hamming or lower bits")
+    if 64 % band_bits != 0:
+        # chunk_expr slices within ONE 64-bit word; a band_bits that doesn't
+        # divide 64 (e.g. bits=192, n_bands=4 -> 48-bit bands) would
+        # straddle word boundaries and silently truncate bands to the
+        # within-word remainder — collapsing effective band width and
+        # re-entering the quadratic-collision regime
+        raise ValueError(
+            f"band width {band_bits} must divide 64 (bands may not straddle "
+            f"64-bit signature words); choose n_bands so bits/n_bands is in "
+            f"(1,2,4,8,16,32,64)"
+        )
     n_words = bits // 64
     sig_cols = ["simhash"] if n_words == 1 else [f"simhash_{w}" for w in range(n_words)]
     # materialize the tiny (id, simhash...) table once so the candidate

@@ -185,9 +185,15 @@ def _dec_map(b: memoryview, i: int, n: int):
 
 
 def _py(v):
-    """numpy/pandas scalars -> plain python for the encoder."""
+    """numpy/pandas values -> plain python for the encoder. Arrays become
+    lists element-wise (ndarray.item() only works for size-1 arrays), dicts
+    recurse; scalars unwrap via .item()."""
     if v is None or (isinstance(v, float) and v != v):
         return None
+    if isinstance(v, dict):
+        return {k: _py(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)) or (hasattr(v, "tolist") and getattr(v, "ndim", 0)):
+        return [_py(x) for x in v]
     if hasattr(v, "item"):
         return v.item()
     return v
@@ -221,7 +227,12 @@ def msgpack_decode(df: DataFrame, blob_col: str, schema: str, keep_cols: Sequenc
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     keep = ", ".join(f"{c} {fields[c]}" for c in keep_cols)
     out_schema = f"{keep}, {schema}" if keep else schema
-    names = [p.strip().split()[0] for p in schema.split(",")]
+    # parse the DDL properly — a naive comma split breaks on nested types
+    # (map<string,int>, struct<a:int,b:int>) and desyncs frame columns from
+    # the Arrow output schema
+    from pyspark.sql.types import StructType
+
+    names = [f.name for f in StructType.fromDDL(schema).fields]
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

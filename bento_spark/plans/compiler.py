@@ -926,6 +926,8 @@ class Pipeline:
 
 
 _ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
+# same pattern but also matching (and preserving) the $$-escaped form
+_ENV_ESC_RE = re.compile(r"\$?\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
 
 
 def interpolate_env(src: str, env: dict[str, str] | None = None) -> str:
@@ -934,18 +936,22 @@ def interpolate_env(src: str, env: dict[str, str] | None = None) -> str:
     internal/config/env_vars.go). Missing vars without a default raise —
     the reference lints these. `${! ... }` Bloblang interpolations are a
     different mini-language resolved per row at compile time; the leading
-    `!` keeps them out of this regex."""
+    `!` keeps them out of this regex. `$${VAR}` escapes to a literal
+    `${VAR}` (the reference's env_vars interpolation supports the same
+    double-dollar escape)."""
     import os as _os
 
     env = _os.environ if env is None else env
 
     def sub(m: re.Match) -> str:
+        if m.group(0).startswith("$$"):
+            return m.group(0)[1:]  # $${VAR} -> literal ${VAR}
         val = env.get(m.group(1), m.group(2))
         if val is None:
             raise ValueError(f"config references unset environment variable ${{{m.group(1)}}}")
         return val
 
-    return _ENV_RE.sub(sub, src)
+    return _ENV_ESC_RE.sub(sub, src)
 
 
 def apply_overrides(conf: dict, overrides: dict[str, Any]) -> dict:

@@ -76,9 +76,15 @@ def match_sequence(
     # cast covers TIMESTAMP_NTZ sources (numeric no-op under the session's
     # UTC timezone, which bento_spark.session.get_spark pins)
     ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    # classify each event as its EARLIEST matching step (same CASE the
+    # streaming twin uses) — an event satisfying several step predicates
+    # must not enter multiple step frames, or batch and streaming diverge
+    staged = df.withColumn("_step", step_index_expr(steps))
     frames = [
-        df.filter(s).select(F.col(key), ts_ms.alias(f"_ts{i}")).dropDuplicates()
-        for i, s in enumerate(steps)
+        staged.filter(F.col("_step") == i)
+        .select(F.col(key), ts_ms.alias(f"_ts{i}"))
+        .dropDuplicates()
+        for i in range(len(steps))
     ]
     cur = frames[0]
     for i in range(1, len(steps)):
@@ -149,14 +155,12 @@ def match_sequence_stream(
         else:
             pending, opened = [], set()
         completed: list[list[int]] = []
-        max_ts = 0
         if not state.hasTimedOut:
             frames = [p for p in batches if len(p)]
             if frames:
                 rows = pd.concat(frames).sort_values("_ts_ms", kind="mergesort")
                 for ts, st in zip(rows["_ts_ms"].astype("int64"), rows["_step"].astype("int64")):
                     ts, st = int(ts), int(st)
-                    max_ts = max(max_ts, ts)
                     if st == 0:
                         # `opened` remembers every start EVER opened within the
                         # horizon — a duplicate start row in a later batch must
@@ -171,11 +175,13 @@ def match_sequence_stream(
                                 p.append(ts)  # first qualifying event extends (in-order => min)
                                 if len(p) == n:
                                     completed.append(p)
-        # expiry horizon: the watermark is the engine's promise that no
-        # older event arrives — anything whose window closed before it can
-        # never complete; max_ts tightens the bound within this batch under
-        # the in-order assumption
-        wm = max(state.getCurrentWatermarkMs(), max_ts)
+        # expiry horizon: the watermark ONLY. It is the engine's promise
+        # that no older event arrives — anything whose window closed before
+        # it can never complete. Tightening by this batch's max event time
+        # would expire instances that a permitted-late event (inside the
+        # watermark delay) arriving in a LATER batch could still complete —
+        # missed matches vs the batch twin.
+        wm = state.getCurrentWatermarkMs()
         pending = [p for p in pending if len(p) < n and p[0] + w_ms >= wm]
         opened = {t for t in opened if t + w_ms >= wm}
         if pending or opened:

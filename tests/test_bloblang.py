@@ -272,3 +272,36 @@ def test_encode_large_payload_and_bad_decode(df):
         compile_expr('this.t.decode("ascii85")').alias("a"),
     ).collect()
     assert got[0].b is None and got[0].h is None and got[0].a is None
+
+
+def test_remap_preserves_error_and_meta(df):
+    """root = {...} must not drop the error/meta columns — the reference
+    keeps the error flag outside the document, so a root reassignment never
+    unflags an errored message (DLQ bypass otherwise)."""
+    from pyspark.sql import functions as F
+
+    src = df.sparkSession.createDataFrame(
+        [(1, "a", None), (2, "b", "boom")], "id int, s string, error string"
+    ).withColumn("meta", F.create_map(F.lit("k"), F.lit("v")))
+    m = compile_mapping('root = {"out": this.s}')
+    got = m.apply(src).orderBy(F.col("error").asc_nulls_first()).collect()
+    assert [r.out for r in got] == ["a", "b"]
+    assert [r.error for r in got] == [None, "boom"]
+    assert got[0].meta == {"k": "v"}
+    # an explicit remap of error wins over the carry-through
+    m2 = compile_mapping('root = {"out": this.s, "error": "reset"}')
+    got2 = m2.apply(src).collect()
+    assert all(r.error == "reset" for r in got2)
+
+
+def test_parse_url_port_with_userinfo(df):
+    udf_ = df.sparkSession.createDataFrame(
+        [
+            ("https://user:pw@api.example.com:8443/x?q=1",),
+            ("http://plain.example.com/path",),
+        ],
+        "u string",
+    )
+    out = udf_.select(compile_expr("this.u.parse_url()").alias("p")).collect()
+    assert out[0].p.port == 8443 and out[0].p.host == "api.example.com"
+    assert out[1].p.port is None

@@ -165,3 +165,27 @@ def test_stream_duplicate_start_does_not_reopen(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert len(got) == 1  # exactly one match despite the duplicated start
+
+
+def test_batch_overlapping_predicates_use_earliest_step(spark):
+    """An event matching several step predicates classifies as the EARLIEST
+    step in BOTH batch and streaming (previously batch entered it into every
+    matching frame, diverging from the streaming twin)."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.streaming.cep import match_sequence
+
+    df = spark.createDataFrame(
+        [("u", "view", 0, 1000), ("u", "view", 5, 2000)],
+        "user_id string, event_type string, value int, ms bigint",
+    ).withColumn("ts", F.timestamp_millis(F.col("ms")))
+    out = match_sequence(
+        df,
+        "user_id",
+        "ts",
+        [F.col("event_type") == "view", F.col("value") > 0],
+        within="10 seconds",
+    ).collect()
+    # the t=2000 event matches BOTH predicates -> earliest step (0) wins,
+    # so it only opens an instance and the pattern never completes
+    assert out == []

@@ -220,3 +220,12 @@ pipeline:
 """)
     with pytest.raises(ValueError, match="keys"):
         p.build_batch(spark)
+
+
+def test_env_interpolation_escape():
+    from bento_spark.plans.compiler import interpolate_env
+
+    out = interpolate_env(
+        "a: ${NAME}\nb: $${NAME}\nc: $${OTHER:dflt}", env={"NAME": "v"}
+    )
+    assert out == "a: v\nb: ${NAME}\nc: ${OTHER:dflt}"

@@ -66,3 +66,20 @@ pipeline:
     assert [(r.n, r.s) for r in p.build_batch(spark).collect()] == [(5, "z")]
     with pytest.raises(ValueError, match="batch-only"):
         compile_yaml("input:\n  stdin: {}\n").build_stream(spark)
+
+
+def test_msgpack_decode_nested_type_schema(spark):
+    """DDL schemas with commas inside nested types must parse correctly
+    (previously a naive comma split desynced the output columns)."""
+    from bento_spark.operators.msgpack_codec import msgpack_decode, msgpack_encode
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], {"x": "1"})],
+        "id int, tags array<string>, attrs map<string,string>",
+    )
+    enc = msgpack_encode(df, ["tags", "attrs"])
+    dec = msgpack_decode(
+        enc, "msgpack_blob", "tags array<string>, attrs map<string,string>", keep_cols=["id"]
+    ).collect()
+    assert dec[0].id == 1 and list(dec[0].tags) == ["a", "b"]
+    assert dict(dec[0].attrs) == {"x": "1"}

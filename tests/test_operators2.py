@@ -343,3 +343,16 @@ def test_dedupe_clusters_star_equals_label(spark, sf_dir):
     label = key(dedupe_clusters(docs, threshold=0.6, algo="label").collect())
     star = key(dedupe_clusters(docs, threshold=0.6, algo="star").collect())
     assert label == star and len(label) > 0
+
+
+def test_simhash_band_straddle_rejected(spark):
+    """band widths that straddle 64-bit signature words are rejected up
+    front (a 48-bit band would silently truncate to 16 effective bits and
+    re-enter the quadratic-collision regime)."""
+    import pytest
+
+    from bento_spark.operators.dedupe_fuzzy import simhash_near_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_near_pairs(df, bits=192, n_bands=4)
