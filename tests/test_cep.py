@@ -189,3 +189,47 @@ def test_batch_overlapping_predicates_use_earliest_step(spark):
     # the t=2000 event matches BOTH predicates -> earliest step (0) wins,
     # so it only opens an instance and the pattern never completes
     assert out == []
+
+
+def test_stream_late_event_within_watermark_completes(spark, tmp_path):
+    """An instance must survive until the WATERMARK passes its window — not
+    until the batch's max event time does. A later batch may deliver a
+    permitted-late event that completes it (the old max_ts tightening
+    expired the instance and missed the match)."""
+    import shutil
+
+    # u1: A@0 opens; A@300s in the same batch drags max event time forward;
+    # B@5s and C@8s arrive in the NEXT batch (late but within the 10-minute
+    # watermark budget) and must still complete the (0,5,8) instance
+    f1 = [("u1", 0, "A"), ("u1", 300, "A")]
+    f2 = [("u1", 5, "B"), ("u1", 8, "C")]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i, chunk in enumerate([f1, f2]):
+        stage = tmp_path / f"late_stage{i}"
+        _events(spark, chunk).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"f{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    matched = match_sequence_stream(
+        stream, "user_id", "ts", STEPS(), "30 seconds",
+        watermark="10 minutes", step_names=NAMES,
+    )
+    got: list[tuple] = []
+    q = (
+        matched.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ck"))
+        .foreachBatch(lambda df, eid: got.extend(tuple(r) for r in df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch_expected = {tuple(r) for r in match_sequence(
+        _events(spark, f1 + f2), "user_id", "ts", STEPS(), "30 seconds", NAMES
+    ).collect()}
+    assert set(got) == batch_expected and len(batch_expected) == 1
