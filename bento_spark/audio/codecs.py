@@ -44,7 +44,12 @@ def encode_clip(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
 
 
 def decode_clip(raw: bytes, codec: str, sr_hz: int) -> np.ndarray:
-    """Decode `codec` bytes to float32 mono PCM in [-1, 1]."""
+    """Decode `codec` bytes to float32 mono PCM in [-1, 1]. A NULL payload
+    decodes to an empty clip — one NULL row must not kill the whole task
+    (rows arrive NULL after outer-join misses / error-branch unions; the
+    feature UDFs emit zeros for empty clips)."""
+    if raw is None:
+        return np.zeros(0, dtype=np.float32)
     if codec == "pcm_s16le":
         return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     if codec == "pcm_f32le":

@@ -112,9 +112,12 @@ def asof_join(
             key, "_ts", "_matched_ts", *[f"_l_{c}" for c in lcols],
             *[F.when(in_tol, F.col(f"_r_{c}")).alias(f"_r_{c}") for c in rcols],
         )
+    # a right column sharing a left column's name (or left_ts) would emit
+    # duplicate output names — suffix the right side like pandas merge_asof
+    taken = set(lcols) | {key, left_ts}
     renames = (
         [F.col(key), F.col("_ts").alias(left_ts)]
         + [F.col(f"_l_{c}").alias(c) for c in lcols]
-        + [F.col(f"_r_{c}").alias(c) for c in rcols]
+        + [F.col(f"_r_{c}").alias(c if c not in taken else f"{c}_right") for c in rcols]
     )
     return out.select(*renames)

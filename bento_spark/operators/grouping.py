@@ -56,8 +56,11 @@ def per_group(
     named = list(transforms.items())
     others = df
     for name, t in named:
-        parts.append(t(df.filter(F.col(group_col) == name)))
-        others = others.filter(F.col(group_col) != name)
+        # eqNullSafe: a NULL group label must land in the default slice —
+        # `== name` AND `!= name` are both NULL for it, so plain comparisons
+        # would silently drop the row from every branch
+        parts.append(t(df.filter(F.col(group_col).eqNullSafe(name))))
+        others = others.filter(~F.col(group_col).eqNullSafe(name))
     parts.append(others)
     out = parts[0]
     for p in parts[1:]:

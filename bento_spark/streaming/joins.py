@@ -40,10 +40,12 @@ def stream_stream_join(
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
+    # side-qualified refs (lw[...]/rw[...]): bare F.col would be ambiguous
+    # whenever both streams carry the same timestamp column name
     cond = (
         (lw[key] == rw[key])
-        & (F.col(right_ts) >= F.col(left_ts))
-        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_lag}"))
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_lag}"))
     )
     joined = lw.join(rw, cond, how)
     # collapse the duplicate key column

@@ -105,3 +105,16 @@ def test_codec_normalize(spark):
         expected = int(round(r.dur_ms / 1000 * 16000))
         assert abs(pcm.size - expected) <= 2
         assert 0.90 <= np.abs(pcm).max() <= 1.0
+
+
+def test_audio_features_null_bytes_row_survives(spark):
+    """A NULL payload row (outer-join miss / error-branch union) must yield
+    zero features, not kill the task."""
+    from bento_spark.audio.udfs import with_audio_features
+
+    df = spark.createDataFrame(
+        [("c1", None, 16000, 0, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    row = with_audio_features(df).collect()[0]
+    assert row.n_samples == 0 and row.rms == 0.0 and row.clip_s == 0.0

@@ -356,3 +356,80 @@ def test_simhash_band_straddle_rejected(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="divide 64"):
         simhash_near_pairs(df, bits=192, n_bands=4)
+
+
+def test_per_group_null_label_goes_to_default(spark):
+    from bento_spark.operators.grouping import GROUP_COL, group_by_value, per_group
+
+    df = group_by_value(
+        spark.createDataFrame([(1, "us"), (2, None), (3, "de")], "id int, country string"),
+        "country",
+    )
+    out = per_group(df, {"us": lambda d: d.withColumn("id", F.col("id") * 100)})
+    got = {r.id for r in out.collect()}
+    # NULL-label row must survive into the default slice, not vanish
+    assert got == {100, 2, 3}
+
+
+def test_unarchive_null_and_malformed_payloads_survive(spark):
+    from bento_spark.operators import batching
+
+    df = spark.createDataFrame(
+        [(1, "a,b"), (2, None)], "id int, payload string"
+    )
+    out = batching.unarchive(df, "payload", fmt="csv_row").collect()
+    ids = sorted(r.id for r in out)
+    assert ids == [1, 1, 2]  # NULL payload keeps its row (NULL part)
+    bad = spark.createDataFrame(
+        [(1, '["x","y"]'), (2, "not json")], "id int, payload string"
+    )
+    out2 = batching.unarchive(bad, "payload", fmt="json_array").collect()
+    errs = {r.id: r.error for r in out2}
+    assert errs[1] is None and "not a JSON array" in errs[2]
+    assert sorted(r.id for r in out2) == [1, 1, 2]
+
+
+def test_insert_part_positions_and_validation(spark):
+    from bento_spark.operators import batching
+
+    df = spark.createDataFrame(
+        [("b1", 10, "x"), ("b1", 20, "y")], "k string, ord int, v string"
+    )
+    pre = batching.insert_part(df, "k", "ord", 0, {"v": F.lit("first")})
+    rows = batching.with_batch_index(pre, "k", "ord").orderBy("_batch_index").collect()
+    assert [r.v for r in rows] == ["first", "x", "y"]  # strictly before the min
+    app = batching.insert_part(df, "k", "ord", -1, {"v": F.lit("last")})
+    rows2 = batching.with_batch_index(app, "k", "ord").orderBy("_batch_index").collect()
+    assert [r.v for r in rows2] == ["x", "y", "last"]
+    import pytest
+
+    with pytest.raises(ValueError, match="index 0 .* or -1"):
+        batching.insert_part(df, "k", "ord", 2, {"v": F.lit("mid")})
+
+
+def test_select_parts_empty_indexes(spark):
+    from bento_spark.operators import batching
+
+    df = spark.createDataFrame([("b", 1, "x")], "k string, ord int, v string")
+    assert batching.select_parts(df, "k", "ord", []).count() == 0
+
+
+def test_split_honors_chunk_size(spark):
+    from bento_spark.operators import batching
+
+    df = spark.range(1000)
+    assert batching.split(df, rows_per_partition_hint=100).rdd.getNumPartitions() == 10
+    assert batching.split(df, rows_per_partition_hint=10**9).rdd.getNumPartitions() == 1
+
+
+def test_asof_join_shared_column_names(spark):
+    left = spark.createDataFrame(
+        [("k", 100, "lv")], "key string, ts bigint, value string"
+    )
+    right = spark.createDataFrame(
+        [("k", 90, "rv")], "key string, p_ts bigint, value string"
+    )
+    out = asof_join(left, right, key="key", left_ts="ts", right_ts="p_ts")
+    assert out.columns.count("value") == 1  # left keeps the bare name
+    row = out.collect()[0]
+    assert row.value == "lv" and row.value_right == "rv" and row.p_ts == 90

@@ -263,3 +263,18 @@ def test_prometheus_text_format():
     assert "# TYPE bento_state_rows_last gauge\nbento_state_rows_last 7" in text
     assert "watermark" not in text  # None metrics are omitted, not rendered as 'None'
     assert text.endswith("\n")
+
+
+def test_stream_stream_join_same_ts_name(spark, tmp_path):
+    """Both streams carrying the same timestamp column name must analyze
+    (side-qualified refs) — bare F.col was ambiguous."""
+    src = str(tmp_path / "ss_src")
+    clips_df(spark, 10, partitions=1).write.parquet(src)
+    schema = CLIP_SCHEMA
+    l = spark.readStream.schema(schema).parquet(src)
+    r = spark.readStream.schema(schema).parquet(src)
+    out = stream_stream_join(
+        l, r.select("clip_id", F.col("event_ts"), F.col("transcript")),
+        key="clip_id", left_ts="event_ts", right_ts="event_ts",
+    )
+    assert out.isStreaming  # analysis succeeded without AMBIGUOUS_REFERENCE
