@@ -63,6 +63,7 @@ def _with_row_id(df: DataFrame) -> DataFrame:
 
 def apply_branch(df: DataFrame, br: Branch) -> DataFrame:
     """Run one branch and merge its result columns into the original frame."""
+    had_row_id = ROW_ID in df.columns
     df = _with_row_id(df)
     req = df
     if br.skip_when is not None:
@@ -72,13 +73,21 @@ def apply_branch(df: DataFrame, br: Branch) -> DataFrame:
     out = br.processors(req)
     if ROW_ID not in out.columns:
         raise ValueError(f"branch {br.name}: child must preserve {ROW_ID}")
+    # result columns that already exist in df: stage under a temp name and
+    # OVERWRITE for non-skipped rows (skipped rows keep their original
+    # value, reference: branch leaves the message untouched) — a bare join
+    # would emit two ambiguous same-named columns
     res = out.select(
-        F.col(ROW_ID), *[c.alias(n) for n, c in br.result_map.items()]
+        F.col(ROW_ID), *[c.alias(f"_res_{n}") for n, c in br.result_map.items()]
     )
-    # left join: skipped rows keep NULL results (reference: branch skipped
-    # per message when request_map deletes it)
     merged = df.join(res, ROW_ID, "left")
-    return merged
+    skipped = F.coalesce(br.skip_when, F.lit(False)) if br.skip_when is not None else F.lit(False)
+    for n in br.result_map:
+        staged = F.col(f"_res_{n}")
+        merged = merged.withColumn(
+            n, staged if n not in df.columns else F.when(skipped, F.col(n)).otherwise(staged)
+        ).drop(f"_res_{n}")
+    return merged if had_row_id else merged.drop(ROW_ID)
 
 
 def apply_branch_inline(df: DataFrame, br: Branch) -> DataFrame:
@@ -93,7 +102,13 @@ def apply_branch_inline(df: DataFrame, br: Branch) -> DataFrame:
         for n, c in br.request_map.items():
             env = env.withColumn(n, c)
     for n, c in br.result_map.items():
-        val = F.when(~F.coalesce(br.skip_when, F.lit(False)), c) if br.skip_when is not None else c
+        if br.skip_when is not None:
+            # skipped rows keep their ORIGINAL value when the target column
+            # exists (reference: untouched message), NULL only for new cols
+            keep = F.col(n) if n in df.columns else F.lit(None)
+            val = F.when(~F.coalesce(br.skip_when, F.lit(False)), c).otherwise(keep)
+        else:
+            val = c
         env = env.withColumn(n, val)
     drop = [n for n in (br.request_map or {}) if n not in br.result_map]
     return env.drop(*drop)

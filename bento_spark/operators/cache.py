@@ -123,18 +123,20 @@ class KeyValueCache:
         return df.join(side, key, "left")
 
     def compact(self) -> None:
-        """Fold all versions into one (Iceberg's rewrite_data_files analogue)."""
-        cur = self.snapshot()
-        if cur is None:
+        """Fold all versions into one (Iceberg's rewrite_data_files
+        analogue). Write-new-THEN-delete-old: persist() is not durable — a
+        lost cache block between deleting the source files and the rewrite
+        action would force recomputation from parquet paths that no longer
+        exist, losing the whole cache."""
+        old = self._versions()
+        if not old:
             return
-        cur = cur.persist()
-        cur.count()
-        for v in self._versions():
-            import shutil
+        cur = self.snapshot()
+        self._write(cur, deleted=False)  # materializes while sources exist
+        import shutil
 
+        for v in old:
             shutil.rmtree(f"{self.path}/_v={v}")
-        self._write(cur, deleted=False)
-        cur.unpersist()
 
 
 def cached(
@@ -149,7 +151,18 @@ def cached(
 
     def run(df: DataFrame) -> DataFrame:
         key = cache.key_col
-        keyed = df.withColumn(key, F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]))
+        # unambiguous composite key: each component base64-wrapped (no '|'
+        # can appear) with a distinct NULL sentinel — concat_ws alone skips
+        # NULLs and doesn't escape the delimiter, so (NULL,'x')/('x',NULL)
+        # and ('a|b','c')/('a','b|c') would collide and serve each other's
+        # memoized results
+        parts = [
+            F.coalesce(
+                F.base64(F.col(c).cast("string").cast("binary")), F.lit("~null~")
+            )
+            for c in key_cols
+        ]
+        keyed = df.withColumn(key, F.concat_ws("|", *parts))
         cur = cache.snapshot()
         if cur is not None:
             hits = keyed.join(F.broadcast(cur), key, "inner")

@@ -52,8 +52,14 @@ def tar_encode(
     def encode(key, pdf):  # untyped: applyInPandas infers GROUPED_MAP from arity
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tf:
-            for name, payload in sorted(zip(pdf[name_col], pdf[payload_col])):
-                data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
+            # sort by NAME ONLY: a tuple sort falls through to comparing
+            # payloads on name ties, which raises for bytes-vs-None and
+            # would make tie order content-dependent
+            for name, payload in sorted(zip(pdf[name_col], pdf[payload_col]), key=lambda t: str(t[0])):
+                if payload is None:
+                    data = b""  # a NULL payload is an empty member, not b'None'
+                else:
+                    data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
                 info = tarfile.TarInfo(name=str(name))
                 info.size = len(data)
                 info.mtime = 0

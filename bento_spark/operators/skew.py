@@ -35,8 +35,14 @@ def spread_by_cost(
     to land on; a 300 ms clip keeps locality.
     """
     salt_range = F.greatest(F.lit(1), (F.col(cost_col) / unit_cost).cast("int"))
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns if c != "bytes"]), salt_range)
-    key = F.xxhash64(salt, F.coalesce(F.col(cost_col).cast("string"), F.lit("")))
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns if c != "bytes"])
+    salt = F.pmod(row_hash, salt_range)
+    # the partition key MUST carry the row hash: a key of (salt, cost) alone
+    # has only sum(salt_range) distinct values, so low-cardinality cost
+    # columns (fixed-length clips -> salt_range 1) would pin the whole
+    # dataset into a handful of partitions — the exact skew this exists to
+    # prevent
+    key = F.xxhash64(row_hash, salt)
     if num_partitions:
         return df.repartition(num_partitions, key)
     return df.repartition(key)

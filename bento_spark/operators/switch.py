@@ -1,4 +1,4 @@
-"""switch / branch / workflow — routing & composition.
+"""switch — per-message routing.
 
 Reference:
 - `switch` processor: per-message case match, matched subset processed per
@@ -6,22 +6,14 @@ Reference:
   check/exec :104-111,181-184)
 - `switch` output: route each message to the first matching output
   (output_switch.go:164)
-- `branch`: request_map -> children -> result_map merged back
-  (processor_branch.go:152, fields :25-27)
-- `workflow`: DAG of branches in topological order
-  (processor_workflow.go:252; DAG resolution
-  processor_workflow_branch_map.go:59-76)
 
 Spark-first: expression cases are a single `F.when` chain; processor cases
-split/transform/union (Catalyst merges pure-projection branches); workflow
-is a topo-sorted list of stage functions — Catalyst parallelizes
-independent subtrees on its own.
+split/transform/union (Catalyst merges pure-projection branches).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
-from graphlib import TopologicalSorter
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -56,33 +48,6 @@ def switch_transform(
     return res
 
 
-def branch(
-    df: DataFrame,
-    request: Callable[[DataFrame], DataFrame],
-    result_cols: Sequence[str],
-    key: str,
-) -> DataFrame:
-    """branch: run `request` on a projected copy, join the result columns
-    back by `key` (preserving all source columns). For expression-only
-    requests prefer plain withColumns — this exists for child chains that
-    change cardinality or need isolation (processor_branch.go:152)."""
-    derived = request(df).select(key, *result_cols)
-    return df.join(derived, on=key, how="left")
-
-
-def workflow(
-    df: DataFrame,
-    stages: dict[str, tuple[Sequence[str], Callable[[DataFrame], DataFrame]]],
-) -> DataFrame:
-    """DAG of named stages: stages[name] = (dependencies, transform).
-
-    Topological order via stdlib graphlib (the reference solves the same
-    problem with its dependencysolver, processor_workflow_branch_map.go:59-76).
-    Each transform receives the frame produced so far; Catalyst handles
-    actual parallelism of independent column subtrees.
-    """
-    ts = TopologicalSorter({name: set(deps) for name, (deps, _) in stages.items()})
-    for name in ts.static_order():
-        _, t = stages[name]
-        df = t(df)
-    return df
+# branch/workflow live in bento_spark.operators.branch (Branch dataclass,
+# apply_branch, workflow with skip_when + row-id isolation + unknown-dep
+# validation) — earlier duplicates here had weaker semantics and no callers.

@@ -11,6 +11,8 @@ can verify it bit-for-bit.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,12 +53,24 @@ def punct_ratio(col: Column | str) -> Column:
     return F.round(puncts / F.greatest(F.length(c), F.lit(1)), 6)
 
 
+def _stopword_hits(c: Column, words: list[str]) -> Column:
+    """Token-exact stopword occurrence count WITHOUT interpreted HOFs
+    (CLAUDE.md bans F.filter lambdas in hot per-row paths): pad the
+    whitespace-normalized lowercase text with spaces so every token is
+    space-delimited, then regexp_count ' (w1|w2|...)(?= )' — the lookahead
+    keeps consecutive stopwords countable. Bit-identical to
+    size(filter(tokens, == w)) and to the DuckDB list_filter oracles."""
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), F.lit(" ")
+    )
+    pat = " (?:" + "|".join(re.escape(w) for w in words) + ")(?= )"
+    return F.regexp_count(padded, F.lit(pat))
+
+
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    toks = tokens(F.lower(c))
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+    hits = _stopword_hits(c, LANG_STOPWORDS[lang])
+    return F.round(hits / F.greatest(F.size(tokens(F.lower(c))), F.lit(1)), 6)
 
 
 def quality_score(col: Column | str) -> Column:
@@ -72,12 +86,7 @@ def quality_score(col: Column | str) -> Column:
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(F.lower(c))
-    out = {}
-    for lang, words in LANG_STOPWORDS.items():
-        sw = F.array(*[F.lit(w) for w in words])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return out
+    return {lang: _stopword_hits(c, words) for lang, words in LANG_STOPWORDS.items()}
 
 
 def lang_id(col: Column | str) -> Column:
@@ -105,8 +114,10 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def fingerprint_rolling(col: Column | str, base: int = 257, mod: int = 1_000_000_007) -> Column:
-    """Polynomial rolling hash over normalized bytes — pure Spark
-    higher-order aggregate (JVM-side), mirrorable in SQL via list reduce."""
+    """Polynomial rolling hash over normalized bytes — mirrorable in SQL via
+    list reduce. NOTE: F.transform/F.aggregate run INTERPRETED per
+    character; this is the demonstration/oracle variant — the hot-path
+    fingerprint is `fingerprint` (md5, codegen)."""
     c = normalize_text(col)
     # fold over code points: h = (h*base + cp) % mod
     cps = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))

@@ -98,9 +98,9 @@ def batch_policy(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            seq, pending_n, pending_bytes, pending_payload = state.get
+            seq, pending_n, pending_bytes, pending_payload, deadline = state.get
         else:
-            seq, pending_n, pending_bytes, pending_payload = 0, 0, 0, ""
+            seq, pending_n, pending_bytes, pending_payload, deadline = 0, 0, 0, "", 0
 
         flushed: list[tuple] = []
 
@@ -108,12 +108,19 @@ def batch_policy(
             if pending_n:
                 flushed.append((key[0], seq, pending_n, pending_bytes, pending_payload))
                 seq, pending_n, pending_bytes, pending_payload = seq + 1, 0, 0, ""
-            state.update((seq, pending_n, pending_bytes, pending_payload))
-            if period_ms:
-                state.setTimeoutDuration(period_ms)
+            deadline = 0
+            state.update((seq, pending_n, pending_bytes, pending_payload, deadline))
         else:
             for pdf in batches:
-                for val in pdf[payload_col].astype(str):
+                for val in pdf[payload_col]:
+                    if val is None or (isinstance(val, float) and val != val):
+                        continue  # a NULL part has no content — astype(str)
+                        # would archive the literal string 'None'
+                    val = str(val)
+                    if pending_n == 0 and period_ms:
+                        # the period measures time since the BATCH STARTED
+                        # (policy.go:127-135), not time since last arrival
+                        deadline = state.getCurrentProcessingTimeMs() + period_ms
                     pending_payload = val if not pending_n else pending_payload + "\n" + val
                     pending_n += 1
                     pending_bytes += len(val.encode())
@@ -122,9 +129,14 @@ def batch_policy(
                     if hit_count or hit_bytes:
                         flushed.append((key[0], seq, pending_n, pending_bytes, pending_payload))
                         seq, pending_n, pending_bytes, pending_payload = seq + 1, 0, 0, ""
-            state.update((seq, pending_n, pending_bytes, pending_payload))
-            if period_ms:
-                state.setTimeoutDuration(period_ms)
+                        deadline = 0
+            state.update((seq, pending_n, pending_bytes, pending_payload, deadline))
+            if period_ms and pending_n:
+                # arm to the REMAINING time, never the full period — re-arming
+                # period_ms per arrival lets a steady trickle postpone the
+                # flush forever
+                remaining = deadline - state.getCurrentProcessingTimeMs()
+                state.setTimeoutDuration(max(1, remaining))
 
         yield pd.DataFrame(
             flushed, columns=[key_col, "batch_seq", "n_parts", "n_bytes", "payload"]
@@ -133,7 +145,7 @@ def batch_policy(
     return df.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType="seq long, pending_n int, pending_bytes long, pending_payload string",
+        stateStructType="seq long, pending_n int, pending_bytes long, pending_payload string, deadline long",
         outputMode="append",
         timeoutConf=timeout,
     )

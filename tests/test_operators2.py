@@ -433,3 +433,68 @@ def test_asof_join_shared_column_names(spark):
     assert out.columns.count("value") == 1  # left keeps the bare name
     row = out.collect()[0]
     assert row.value == "lv" and row.value_right == "rv" and row.p_ts == 90
+
+
+def test_cached_null_and_delimiter_keys_do_not_collide(spark, tmp_path):
+    c = KeyValueCache(spark, str(tmp_path / "collide"), key_col="key")
+
+    def compute(d):
+        return d.withColumn("out", F.concat_ws("+", F.coalesce("a", F.lit("NA")), F.coalesce("b", F.lit("NA"))))
+
+    fn = cached(c, ["a", "b"], compute)
+    df = spark.createDataFrame(
+        [(None, "x"), ("x", None), ("a|b", "c"), ("a", "b|c")], "a string, b string"
+    )
+    out = sorted(r.out for r in fn(df).collect())
+    # all four distinct key tuples computed independently (no collisions)
+    assert out == sorted(["NA+x", "x+NA", "a|b+c", "a+b|c"])
+    # replay from cache returns identical results per tuple
+    out2 = sorted(r.out for r in fn(df).collect())
+    assert out2 == out
+
+
+def test_branch_result_map_overwrites_existing_column(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, price double")
+    br = Branch(
+        name="adjust",
+        request_map=None,
+        processors=lambda d: d,
+        result_map={"price": F.col("price") * 2},
+        skip_when=F.col("id") == 2,
+    )
+    inline = {r.id: r.price for r in apply_branch_inline(df, br).collect()}
+    joined_df = apply_branch(df, br)
+    assert joined_df.columns.count("price") == 1  # no ambiguous duplicate
+    assert "_row_id" not in joined_df.columns
+    joined = {r.id: r.price for r in joined_df.collect()}
+    # skipped row keeps its ORIGINAL value (reference: untouched message)
+    assert inline == joined == {1: 20.0, 2: 20.0}
+
+
+def test_spread_by_cost_uniform_costs_still_spread(spark):
+    from bento_spark.operators.skew import spread_by_cost
+
+    df = spark.range(1000).withColumn("dur_ms", F.lit(1000))
+    parts = (
+        spread_by_cost(df, "dur_ms", num_partitions=8)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    # uniform cost must NOT collapse into one partition
+    assert len(parts) >= 6 and max(r["count"] for r in parts) < 400
+
+
+def test_tar_encode_null_payload_empty_member(spark):
+    import io
+    import tarfile
+
+    from bento_spark.operators.scanners import tar_encode
+
+    df = spark.createDataFrame(
+        [("g", "a.txt", bytearray(b"data")), ("g", "b.txt", None)],
+        "grp string, name string, payload binary",
+    )
+    blob = tar_encode(df, ["grp"], "name", "payload").collect()[0].tar_blob
+    with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+        members = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
+    assert members == {"a.txt": b"data", "b.txt": b""}
