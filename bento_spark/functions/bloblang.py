@@ -196,7 +196,9 @@ class _Parser:
                 self.next()
                 idx = self.parse_expr()
                 self.expect("]")
-                col = F.element_at(col, idx + 1)
+                # try_element_at: out-of-bounds indexing NULLs the row
+                # instead of aborting the job under ANSI mode
+                col = F.try_element_at(col, idx + 1)
             else:
                 return col
 
@@ -366,7 +368,10 @@ class _Parser:
 
 
 def _unquote(s: str) -> str:
-    return s[1:-1].encode().decode("unicode_escape")
+    # backslashreplace -> unicode_escape: plain .encode() would feed
+    # UTF-8 bytes through a latin-1 decode and corrupt every non-ASCII
+    # character in the literal ("caf\u00e9" -> "caf\u00c3\u00a9")
+    return s[1:-1].encode("latin-1", "backslashreplace").decode("unicode_escape")
 
 
 _BOOL_EXPR_HINTS = (" > ", " >= ", " < ", " <= ", " = ", " != ", " AND ", " OR ", "NOT ", "LIKE", "RLIKE", "IN (", "IS NULL", "IS NOT NULL", "contains(", "startswith(", "endswith(", "regexp_like(")
@@ -415,9 +420,18 @@ def _apply_function(name: str, args: list[Column]) -> Column:
     if name == "content":
         return F.col("bytes")
     if name == "range":
+        # stop is EXCLUSIVE and b <= a must yield [] — a bare
+        # sequence(a, b-1) defaults to step -1 when a > b-1 and fabricates a
+        # descending range (range(5,5) -> [5,4]); typed empty comes from
+        # slicing a one-element sequence to length 0
+        a, b = args[0], args[1]
+        step = args[2] if len(args) == 3 else F.lit(1)
+        empty = F.slice(F.sequence(a, a), 1, 0)
+        asc = F.when(b <= a, empty).otherwise(F.sequence(a, b - 1, step))
         if len(args) == 2:
-            return F.sequence(args[0], args[1] - 1)
-        return F.sequence(args[0], args[1] - 1, args[2])
+            return asc
+        desc = F.when(b >= a, empty).otherwise(F.sequence(a, b + 1, step))
+        return F.when(step > 0, asc).otherwise(desc)
     if name == "throw":
         return F.raise_error(args[0])
     if name == "pi":
@@ -468,13 +482,13 @@ _METHODS = {
     "capitalize": lambda c: F.initcap(c),
     "trim": lambda c, *a: F.trim(c),
     "length": lambda c: F.length(c),
-    "slice": lambda c, lo, hi=None: F.substring(c, lo + 1, (hi - lo) if hi is not None else F.lit(1 << 30)),
+    "slice": lambda c, lo, hi=None: _slice(c, lo, hi),
     "split": lambda c, sep: F.split(c, sep),
     "join": lambda c, sep=None: F.array_join(c, sep if sep is not None else F.lit("")),
     "contains": lambda c, s: F.contains(c, s),
     "has_prefix": lambda c, s: F.startswith(c, s),
     "has_suffix": lambda c, s: F.endswith(c, s),
-    "index_of": lambda c, s: F.locate(s, c) - 1,
+    "index_of": lambda c, s: F.locate(_lit_str(s), c) - 1,
     "replace_all": lambda c, a, b: F.replace(c, a, b),
     "re_replace_all": lambda c, pat, rep: F.regexp_replace(c, pat, rep),
     "re_match": lambda c, pat: F.regexp_like(c, pat),
@@ -508,14 +522,14 @@ _METHODS = {
     "unique": lambda c: F.array_distinct(c),
     "sort": lambda c: F.sort_array(c),
     "flatten": lambda c: F.flatten(c),
-    "first": lambda c: F.element_at(c, 1),
-    "last": lambda c: F.element_at(c, -1),
+    "first": lambda c: F.try_element_at(c, F.lit(1)),
+    "last": lambda c: F.try_element_at(c, F.lit(-1)),
     "append": lambda c, *xs: F.concat(c, F.array(*xs)),
     "concat": lambda c, other: F.concat(c, other),
-    "index": lambda c, i: F.element_at(c, i + 1),
+    "index": lambda c, i: F.try_element_at(c, i + 1),
     "keys": lambda c: F.map_keys(c),
     "values": lambda c: F.map_values(c),
-    "get": lambda c, k: F.element_at(c, k),
+    "get": lambda c, k: F.try_element_at(c, k),
     "exists": lambda c, k: F.map_contains_key(c, k),
     # coercion / error handling (methods.go:14-335)
     "string": lambda c: c.cast("string"),
@@ -528,8 +542,8 @@ _METHODS = {
     "type": lambda c: F.typeof(c),
     # timestamps (internal/impl/pure/bloblang_time.go)
     "ts_unix": lambda c: F.unix_timestamp(c),
-    "ts_unix_milli": lambda c: (F.unix_timestamp(c) * 1000).cast("long"),
-    "ts_unix_micro": lambda c: (F.unix_timestamp(c) * 1_000_000).cast("long"),
+    "ts_unix_milli": lambda c: F.unix_millis(c.cast("timestamp")),
+    "ts_unix_micro": lambda c: F.unix_micros(c.cast("timestamp")),
     "ts_format": lambda c, fmt: F.date_format(c, fmt),
     "ts_strftime": lambda c, fmt: F.date_format(c, fmt),
     "ts_parse": lambda c, fmt: F.to_timestamp(c, fmt),
@@ -543,10 +557,12 @@ _METHODS = {
     "any": lambda c, fn: F.exists(c, fn),
     "all": lambda c, fn: F.forall(c, fn),
     "fold": lambda c, init, fn: F.aggregate(c, _widen_init(init), fn),
-    "find": lambda c, fn: F.element_at(F.filter(c, fn), 1),
+    "find": lambda c, fn: F.try_element_at(F.filter(c, fn), F.lit(1)),
     "find_all": lambda c, fn: F.filter(c, fn),
     "zip": lambda c, other: F.arrays_zip(c, other),
-    "enumerated": lambda c: F.arrays_zip(F.sequence(F.lit(0), F.size(c) - 1), c),
+    "enumerated": lambda c: F.arrays_zip(
+        F.slice(F.sequence(F.lit(0), F.greatest(F.size(c) - 1, F.lit(0)), F.lit(1)), 1, F.size(c)), c
+    ),
     "without": lambda c, *keys: F.map_filter(c, lambda k, v: ~k.isin(*[_lit_str(x) for x in keys])),
     "not_empty": lambda c: F.when(F.length(c.cast("string")) > 0, c),
     # format (methods_strings.go `format`): "%s-%d".format(a, b)
@@ -615,6 +631,19 @@ _METHODS = {
     "ts_add_iso8601": lambda c, d: _ts_shift(c, d, 1),
     "ts_sub_iso8601": lambda c, d: _ts_shift(c, d, -1),
 }
+
+
+def _slice(c: Column, lo, hi=None) -> Column:
+    """Bloblang slice with from-the-end negative indices (methods.go slice):
+    [lo, hi) over characters; negative values count from the length. The
+    previous substring(lo+1, hi-lo) was off by one for negatives (Spark's
+    negative substring pos has its own from-end convention)."""
+    lo = F.lit(lo) if isinstance(lo, int) else lo
+    hi = F.lit(hi) if isinstance(hi, int) else hi
+    n = F.length(c)
+    lo_i = F.when(lo >= 0, lo).otherwise(F.greatest(n + lo, F.lit(0)))
+    hi_i = n if hi is None else F.when(hi >= 0, F.least(hi, n)).otherwise(n + hi)
+    return F.substring(c, lo_i + 1, F.greatest(hi_i - lo_i, F.lit(0)))
 
 
 def _parse_form(c: Column) -> Column:

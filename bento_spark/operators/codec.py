@@ -127,13 +127,28 @@ def grok_pattern_to_regex(pattern: str) -> tuple[str, list[str]]:
 
 
 def grok(df: DataFrame, col: str, pattern: str, keep_source: bool = True) -> DataFrame:
-    """Extract grok fields into columns — pure `regexp_extract`, fully
-    codegen'd (processor_grok.go:104; parse_log presets processor_parse_log.go:105)."""
+    """Extract grok fields into columns, fully codegen'd
+    (processor_grok.go:104; parse_log presets processor_parse_log.go:105).
+
+    ONE regex pass per row: the anchored pattern packs every capture group
+    into a \\x01-separated string via regexp_replace, split once; a second
+    regexp_like flags non-matches (N regexp_extract calls would re-run the
+    same Java regex N+1 times per row — the reference matches once too).
+    Subexpression elimination shares the replace/split across the field
+    projections."""
     regex, fields = grok_pattern_to_regex(pattern)
+    sep = "\x01"
+    anchored = r"\A[\s\S]*?(?:" + regex + r")[\s\S]*\Z"
+    repl = sep.join(f"${i}" for i in range(1, len(fields) + 1))
+    matched = F.regexp_like(F.col(col), F.lit(regex))
+    packed = F.split(F.regexp_replace(F.col(col), anchored, repl), sep)
     out = df
     for i, f_name in enumerate(fields, start=1):
-        out = out.withColumn(f_name, F.regexp_extract(F.col(col), regex, i))
-    out = set_error_when(out, ~F.regexp_like(F.col(col), F.lit(regex)), "grok: no match")
+        out = out.withColumn(
+            f_name,
+            F.when(matched, F.try_element_at(packed, F.lit(i))).otherwise(F.lit("")),
+        )
+    out = set_error_when(out, ~matched, "grok: no match")
     return out if keep_source else out.drop(col)
 
 

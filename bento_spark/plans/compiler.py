@@ -805,6 +805,14 @@ class Pipeline:
             rl = self.conf.get("_rate_limit") or {}
             return {"processingTime": rl.get("interval", out.get("trigger", "5 seconds"))}
 
+        if dlq_path and has_window and self._sink is None:
+            # the window+dlq dual-query path writes the windowed output
+            # through self._sink, which only exists for output.path configs
+            raise ValueError(
+                "window + dlq requires output.path (the windowed main sink); "
+                "switch/fan_out/round_robin/kafka/fallback outputs cannot take "
+                "the pre-window DLQ split"
+            )
         if dlq_path and has_window:
             # Errored rows must be routed BEFORE the window agg (the agg
             # output has no per-row error column — reference semantics:

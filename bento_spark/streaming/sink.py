@@ -85,6 +85,17 @@ class IdempotentParquetSink:
     def is_committed(self, epoch_id: int) -> bool:
         return os.path.exists(self._marker(epoch_id))
 
+    def committed_here(self, epoch_id: int) -> bool:
+        """Marker exists AND belongs to this query incarnation (markers
+        without a qid, or sinks not bound to a checkpoint, are trusted —
+        legacy/direct-writer use). Callers deciding whether to SKIP an epoch
+        must use this, not is_committed: a marker left by a different
+        incarnation must not swallow the new run's batch."""
+        if not self.is_committed(epoch_id):
+            return False
+        mq, cq = self._marker_qid(epoch_id), self._qid()
+        return mq is None or cq is None or mq == cq
+
     def _purge_foreign_markers(self, cq: str) -> None:
         """Remove every marker written by a different query incarnation —
         not just the epoch being rewritten. A new incarnation producing
@@ -240,7 +251,10 @@ def fallback_writer(
         raise ValueError("fallback needs at least one sink")
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        if any(s.is_committed(epoch_id) for s in sinks):
+        # committed_here, not is_committed: a marker from a FOREIGN query
+        # incarnation (fresh checkpoint, reused output dirs) must not
+        # swallow the new run's epoch
+        if any(s.committed_here(epoch_id) for s in sinks):
             return  # replay: the epoch already landed on some tier
         last_err: Exception | None = None
         for tier, sink in enumerate(sinks):

@@ -305,3 +305,38 @@ def test_parse_url_port_with_userinfo(df):
     out = udf_.select(compile_expr("this.u.parse_url()").alias("p")).collect()
     assert out[0].p.port == 8443 and out[0].p.host == "api.example.com"
     assert out[1].p.port is None
+
+
+def test_element_access_null_safe_and_fixed_methods(df):
+    """Empty/no-match element access NULLs the row (ANSI would abort);
+    index_of, ts_unix_milli, range, enumerated, slice fixed semantics."""
+    from datetime import datetime, timezone
+
+    spark = df.sparkSession
+    adf = spark.createDataFrame([([1, 2, 3],), ([],)], "arr array<int>")
+    out = adf.select(
+        compile_expr("this.arr.find(x -> x > 99)").alias("f"),
+        compile_expr("this.arr.first()").alias("fi"),
+        compile_expr("this.arr.last()").alias("la"),
+        compile_expr("this.arr[9]").alias("oob"),
+        compile_expr("this.arr.enumerated()").alias("en"),
+    ).collect()
+    assert out[0].f is None and out[0].oob is None
+    assert out[0].fi == 1 and out[0].la == 3
+    assert [tuple(e) for e in out[0].en] == [(0, 1), (1, 2), (2, 3)]
+    assert out[1].fi is None and out[1].la is None and list(out[1].en) == []
+    # index_of: 0-based, -1 when absent (F.locate takes a python substr)
+    assert _one(df, 'this.s.index_of("World")') == [6, -1, None]
+    # ts_unix_milli preserves sub-second precision
+    ts = datetime(2024, 1, 1, 0, 0, 0, 123000, tzinfo=timezone.utc)
+    tdf = spark.createDataFrame([(ts,)], "t timestamp")
+    assert tdf.select(compile_expr("this.t.ts_unix_milli()").alias("m")).first().m == 1704067200123
+    # range: exclusive stop, empty when b <= a, negative step excludes stop
+    assert _one(df, "range(2, 5)")[0] == [2, 3, 4]
+    assert _one(df, "range(5, 5)")[0] == []
+    assert _one(df, "range(10, 0, 0 - 2)")[0] == [10, 8, 6, 4, 2]
+    # slice: negative indices count from the end
+    assert _one(df, "this.s.slice(0 - 5)") == ["World", "spark", None]
+    assert _one(df, "this.s.slice(1, 0 - 1)") == ["ello Worl", "par", None]
+    # non-ASCII literals survive unquoting
+    assert _one(df, '"café"')[0] == "café"

@@ -196,3 +196,25 @@ output:
     a = IdempotentParquetSink(str(tmp_path / "lane0")).read(spark).count()
     b = IdempotentParquetSink(str(tmp_path / "lane1")).read(spark).count()
     assert a + b == 40 and a > 0 and b > 0
+
+
+def test_window_dlq_requires_path_output(spark, tmp_path):
+    src = str(tmp_path / "wd_src")
+    Pipeline.stage_clips(spark, src, 10)
+    p = compile_yaml(
+        f"""
+input:
+  parquet: {{path: {src}}}
+window:
+  type: tumbling
+  size: 10 seconds
+  keys: [codec]
+  aggs: {{n: "count()"}}
+output:
+  switch:
+    - {{check: "this.n > 0", path: {tmp_path}/w_out}}
+  dlq: {tmp_path}/w_dlq
+"""
+    )
+    with pytest.raises(ValueError, match="window \\+ dlq requires output.path"):
+        p.run_stream(spark, checkpoint=str(tmp_path / "wd_ck"))

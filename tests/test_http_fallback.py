@@ -171,3 +171,28 @@ def test_fallback_replay_no_cross_tier_duplicate(spark, tmp_path):
     w(df, 0)  # replayed epoch: tier0 is healthy now but MUST NOT rewrite
     assert not tier0.is_committed(0)
     assert tier1.read(spark).count() == 1
+
+
+def test_fallback_ignores_foreign_incarnation_markers(spark, tmp_path):
+    """A marker left by an earlier pipeline incarnation must not make the
+    fallback chain skip the new run's epoch."""
+    import json
+
+    from bento_spark.audio.generate import clips_df
+    from bento_spark.streaming.sink import IdempotentParquetSink, fallback_writer
+
+    ck = tmp_path / "fb_ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "new-run"}))
+    t0 = str(tmp_path / "tier0")
+    IdempotentParquetSink(t0)  # creates commit dir
+    (tmp_path / "tier0" / "commits" / "0").write_text(
+        json.dumps({"epoch": 0, "rows": 5, "qid": "old-run"})
+    )
+    sinks = [
+        IdempotentParquetSink(t0, checkpoint=str(ck)),
+        IdempotentParquetSink(str(tmp_path / "tier1"), checkpoint=str(ck)),
+    ]
+    fallback_writer(sinks)(clips_df(spark, 6, partitions=1), 0)
+    assert sinks[0].read(spark).count() == 6  # foreign epoch-0 overwritten
+    assert sinks[0]._marker_qid(0) == "new-run"
