@@ -1,11 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 `queries()` exposes one entry per implemented operator family from
-SURVEY.md §2; `oracle_sql()` carries the DuckDB-equivalent ANSI SQL. Audio
-pipeline queries (decode/window/stream-join over the synthetic clips table)
-have no DuckDB oracle (binary audio + Spark-specific hashes) and get the
-rows-only check; their strong per-row invariants (SNR>=30 dB, transcript
-equality, exactly-once identity) are enforced in tests/.
+SURVEY.md §2; `oracle_sql()` carries the DuckDB-equivalent ANSI SQL — for
+EVERY query. Non-SQL inputs (xxhash64 signatures, LSH hyperplanes, k-means
+centroids, audio scalar features) are pinned as parquet fixtures under
+fixtures/ that the oracle reads; REGENERATE via tools/make_fixtures.py
+whenever the corresponding kernels change (CLAUDE.md invariant), or those
+oracles go stale and the gate fails. The audio queries' per-row invariants
+(SNR>=30 dB, transcript equality, exactly-once identity) are additionally
+enforced in tests/.
 """
 
 from __future__ import annotations
@@ -13,6 +16,8 @@ from __future__ import annotations
 import os
 import sys
 from collections.abc import Callable
+
+import pandas as pd  # pandas_udf kernels in query bodies
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -408,13 +413,25 @@ def q_cache_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via an Arrow-vectorized numpy kernel — F.aggregate would run
+    INTERPRETED per row (CLAUDE.md HOF invariant) and this query sits in the
+    bench headline set. 6-dp rounding absorbs pairwise-vs-sequential
+    summation differences vs the DuckDB oracle."""
+    from pyspark.sql.functions import pandas_udf
+
     emb = _t(spark, sf_dir, "embeddings")
-    dot_d = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
-    return emb.select("vec_id", "label", F.round(F.sqrt(dot_d), 6).alias("l2_norm"))
+
+    @pandas_udf("double")
+    def l2(vecs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        def norm(v):
+            a = _np.asarray(v, dtype=_np.float64)
+            return float(_np.sqrt(_np.dot(a, a)))
+
+        return vecs.map(norm)
+
+    return emb.select("vec_id", "label", F.round(l2("embedding"), 6).alias("l2_norm"))
 
 
 # --------------------------------------------------------------------------
@@ -1245,7 +1262,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(n_inter * 1.0 / (size_a + size_b - n_inter), 6) AS jaccard
             FROM inter
-            WHERE n_inter * 1.0 / (size_a + size_b - n_inter) >= 0.6
+            WHERE round(n_inter * 1.0 / (size_a + size_b - n_inter), 6) >= 0.6
         """,
         "dedupe_clusters": f"""
             WITH RECURSIVE
@@ -1258,7 +1275,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.id, b.id),
             pairs AS (
               SELECT id_a, id_b FROM inter
-              WHERE n_inter * 1.0 / (size_a + size_b - n_inter) >= 0.6),
+              WHERE round(n_inter * 1.0 / (size_a + size_b - n_inter), 6) >= 0.6),
             edges AS (
               SELECT id_a AS s, id_b AS d FROM pairs
               UNION SELECT id_b, id_a FROM pairs),

@@ -135,11 +135,18 @@ def resample_linear(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
 
 
 def snr_db(reference: np.ndarray, candidate: np.ndarray) -> float:
-    """Signal-to-noise ratio of candidate vs reference, in dB."""
+    """Signal-to-noise ratio of candidate vs reference, in dB. A length
+    mismatch beyond 1 sample (resampling rounding) scores -inf — silently
+    truncating to the shorter signal would let a decoder that drops samples
+    (or returns nothing) pass the SNR gate as 'perfect'."""
     reference = np.asarray(reference, dtype=np.float64)
     candidate = np.asarray(candidate, dtype=np.float64)
+    if abs(int(reference.size) - int(candidate.size)) > 1:
+        return float("-inf")
     n = min(reference.size, candidate.size)
     if n == 0:
+        # both (near-)empty: identical; reference-with-content vs empty
+        # candidate is caught by the length check above
         return float("inf")
     ref, cand = reference[:n], candidate[:n]
     noise = float(np.sum((ref - cand) ** 2))

@@ -30,7 +30,7 @@ from bento_spark.audio.codecs import decode_clip, encode_clip, resample_linear
 
 def _decode_series(raw: pd.Series, codec: pd.Series, sr: pd.Series) -> list[np.ndarray]:
     return [
-        decode_clip(r, c, int(s)) if r is not None else np.zeros(0, dtype=np.float32)
+        decode_clip(r, c, _sr_int(s)) if r is not None else np.zeros(0, dtype=np.float32)
         for r, c, s in zip(raw, codec, sr)
     ]
 
@@ -45,17 +45,30 @@ def with_decoded_pcm(df: DataFrame, out_col: str = "pcm") -> DataFrame:
     return df.withColumn(out_col, _decode_udf(F.col("bytes"), F.col("codec"), F.col("sr_hz")))
 
 
+def _sr_int(sr) -> int:
+    """NULL/NaN sample rate -> 0: a NULL row (outer-join miss) must not
+    kill the task via int(NaN); 0 skips resampling and yields 0 duration."""
+    try:
+        if sr is None or sr != sr:
+            return 0
+        return int(sr)
+    except (TypeError, ValueError):
+        return 0
+
+
 def with_resampled_pcm(df: DataFrame, target_sr: int, out_col: str = "pcm_rs") -> DataFrame:
     """Resample decoded pcm to a fixed target sample rate (array<float>)."""
 
     @F.pandas_udf(ArrayType(FloatType()))
     def rs(pcm: pd.Series, sr: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                resample_linear(np.asarray(p, dtype=np.float32), int(s), target_sr)
-                for p, s in zip(pcm, sr)
-            ]
-        )
+        out = []
+        for p, s in zip(pcm, sr):
+            si = _sr_int(s)
+            if p is None or si == 0:
+                out.append(np.zeros(0, dtype=np.float32))
+            else:
+                out.append(resample_linear(np.asarray(p, dtype=np.float32), si, target_sr))
+        return pd.Series(out)
 
     return df.withColumn(out_col, rs(F.col("pcm"), F.col("sr_hz")))
 
@@ -89,8 +102,9 @@ def with_normalized_clip(
             outs = []
             n_s, rms, peak_l, zcr, dur = [], [], [], [], []
             for raw, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
-                pcm = decode_clip(raw, codec, int(sr))
-                pcm = resample_linear(pcm, int(sr), target_sr)
+                sr_i = _sr_int(sr)
+                pcm = decode_clip(raw, codec, sr_i)
+                pcm = resample_linear(pcm, sr_i, target_sr) if sr_i else pcm
                 peak = float(np.abs(pcm).max()) if pcm.size else 0.0
                 if peak > 0:
                     pcm = (pcm / peak * 0.95).astype(np.float32)
@@ -140,13 +154,14 @@ def with_audio_features(df: DataFrame, keep_payload: bool = False) -> DataFrame:
         for pdf in batches:
             n_s, rms, peak, zcr, dur = [], [], [], [], []
             for raw, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
-                pcm = decode_clip(raw, codec, int(sr))
+                sr_i = _sr_int(sr)
+                pcm = decode_clip(raw, codec, sr_i)
                 n = pcm.size
                 n_s.append(n)
                 rms.append(float(np.sqrt(np.mean(pcm**2))) if n else 0.0)
                 peak.append(float(np.abs(pcm).max()) if n else 0.0)
                 zcr.append(float(np.mean(np.abs(np.diff(np.signbit(pcm)).astype(np.float32)))) if n > 1 else 0.0)
-                dur.append(n / int(sr) if sr else 0.0)
+                dur.append(n / sr_i if sr_i else 0.0)
             out = pdf[keep_cols].copy()
             out["n_samples"] = pd.array(n_s, dtype="int64")
             out["rms"] = rms
@@ -204,8 +219,9 @@ def with_spectrogram_features(
         for pdf in batches:
             n_s, rms, nfr, bm, bs = [], [], [], [], []
             for raw, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
-                pcm = decode_clip(raw, codec, int(sr))
-                pcm = resample_linear(pcm, int(sr), target_sr)
+                sr_i = _sr_int(sr)
+                pcm = decode_clip(raw, codec, sr_i)
+                pcm = resample_linear(pcm, sr_i, target_sr) if sr_i else pcm
                 peak = float(np.abs(pcm).max()) if pcm.size else 0.0
                 if peak > 0:
                     pcm = (pcm / peak * 0.95).astype(np.float32)

@@ -93,16 +93,23 @@ class IcebergMergeSink:
         # materialize ONCE: the MERGE/append and the row count would
         # otherwise each re-execute the micro-batch plan
         batch_df = batch_df.persist()
+        # per-sink/per-epoch view name: a FIXED name would let concurrent
+        # write_batch calls in one session (main + DLQ sinks, per-case
+        # sinks) replace each other's source between registration and the
+        # MERGE, merging sink B's rows into sink A's table
+        import re as _re
+
+        view = f"_bento_batch_{_re.sub(r'[^A-Za-z0-9_]', '_', self.table)}_{int(epoch_id)}"
         try:
             n = batch_df.count()
-            batch_df.createOrReplaceTempView("_bento_batch")
+            batch_df.createOrReplaceTempView(view)
             if not spark.catalog.tableExists(self.table):
                 batch_df.writeTo(self.table).using("iceberg").create()
             elif self.key_cols:
                 # idempotent by construction: replay re-MERGEs the same keys
                 on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
                 spark.sql(
-                    f"MERGE INTO {self.table} t USING _bento_batch s ON {on} "
+                    f"MERGE INTO {self.table} t USING {view} s ON {on} "
                     "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
                 )
             else:
@@ -142,5 +149,7 @@ def read_clips_stream(spark: SparkSession, table: str, stream_from: str | None =
     """
     r = spark.readStream.format("iceberg")
     if stream_from:
-        r = r.option("stream-from-timestamp", stream_from)
+        # snapshot id, per the docstring — 'stream-from-timestamp' would
+        # read the id as epoch-ms and silently start past every snapshot
+        r = r.option("start-snapshot-id", stream_from)
     return r.load(table)

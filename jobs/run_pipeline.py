@@ -62,6 +62,11 @@ def main() -> int:
     q.awaitTermination(args.timeout or None)
     if args.continuous and q.isActive:
         q.stop()
+        # stop the DLQ side-query too: in continuous mode it runs a
+        # processingTime trigger nobody else terminates, so awaiting it
+        # below would block a SECOND full --timeout
+        if pipe._dlq_query is not None and pipe._dlq_query.isActive:
+            pipe._dlq_query.stop()
     if pipe._dlq_query is not None:
         pipe._dlq_query.awaitTermination(args.timeout or None)
     # metrics are PULLED from recentProgress after the run — a push listener

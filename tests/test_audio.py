@@ -118,3 +118,29 @@ def test_audio_features_null_bytes_row_survives(spark):
     )
     row = with_audio_features(df).collect()[0]
     assert row.n_samples == 0 and row.rms == 0.0 and row.clip_s == 0.0
+
+
+def test_snr_db_length_mismatch_penalized():
+    import numpy as np
+
+    from bento_spark.audio.codecs import snr_db
+
+    ref = np.ones(1000, dtype=np.float32)
+    assert snr_db(ref, ref.copy()) == float("inf")
+    assert snr_db(ref, ref[:500]) == float("-inf")  # dropped samples != perfect
+    assert snr_db(ref, np.zeros(0, dtype=np.float32)) == float("-inf")
+    assert snr_db(ref, ref[:999]) > 100  # 1-sample resample rounding tolerated
+
+
+def test_audio_udfs_null_sample_rate_survives(spark):
+    """Outer-join misses NULL sr_hz too: int(NaN) must not kill the task."""
+    from bento_spark.audio.udfs import with_audio_features, with_normalized_clip
+
+    df = spark.createDataFrame(
+        [("c1", None, None, None, None)],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    row = with_audio_features(df).collect()[0]
+    assert row.n_samples == 0 and row.clip_s == 0.0
+    row2 = with_normalized_clip(df).collect()[0]
+    assert row2 is not None

@@ -54,6 +54,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not silently filter everything out and print
+        # 'ALL OK' having checked nothing
+        print(f"FAIL  unknown query name(s): {sorted(unknown)} (known: {sorted(qs)})")
+        return 2
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
