@@ -144,3 +144,37 @@ def re_split(df: DataFrame, col: str, pattern: str, out_col: str = "part") -> Da
 def skip_bom(df: DataFrame, col: str) -> DataFrame:
     """Strip a UTF-8 BOM prefix (scanner_skip_bom.go)."""
     return df.withColumn(col, F.regexp_replace(F.col(col), "^\ufeff", ""))
+
+
+def scanner_switch(
+    df: DataFrame,
+    cases: Sequence[tuple[str | None, "Callable[[DataFrame], DataFrame]"]],
+    path_col: str = "path",
+) -> DataFrame:
+    """scanner `switch` (scanner_switch.go:20): pick the child scanner per
+    SOURCE by filename pattern — first matching re_pattern wins, a None
+    pattern is the catch-all, unmatched sources are errored (the reference
+    rejects them).
+
+    Spark-first: the slice for each case is a filter on the path column
+    (binaryFile/file sources carry `path`), the child transform runs on its
+    slice, results union back — Catalyst prunes each branch's scan to the
+    matching files when the pattern is a prefix/glob-friendly predicate."""
+    from bento_spark.operators.errors import set_error_when
+
+    parts = []
+    remaining = df
+    for pattern, transform in cases:
+        if pattern is None:
+            parts.append(transform(remaining))
+            remaining = remaining.filter(F.lit(False))
+        else:
+            matched = remaining.filter(F.regexp_like(F.col(path_col), F.lit(pattern)))
+            parts.append(transform(matched))
+            remaining = remaining.filter(~F.regexp_like(F.col(path_col), F.lit(pattern)))
+    # unmatched sources -> errored rows (reference: error + reject)
+    parts.append(set_error_when(remaining, F.lit(True), "scanner_switch: no candidate matched"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

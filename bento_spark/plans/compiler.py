@@ -155,8 +155,14 @@ class Pipeline:
             return rd.json(opts["path"])
         if "lines" in inp:
             opts = inp["lines"]
-            rd = spark.readStream if streaming else spark.read
-            return rd.text(opts["path"]).withColumnRenamed("value", opts.get("column", "line"))
+            rd = (spark.readStream if streaming else spark.read).format("text")
+            if opts.get("whole"):
+                # to_the_end scanner (scanner_to_the_end.go): the whole file
+                # is ONE message — Spark's wholetext option is exactly that.
+                # format+load, not .text(): text()'s wholetext KEYWORD
+                # (default False) overrides a reader-level option
+                rd = rd.option("wholetext", "true")
+            return rd.load(opts["path"]).withColumnRenamed("value", opts.get("column", "line"))
         if "binary_file" in inp:
             # whole-file binary rows (path, modificationTime, length,
             # content) — the byte-stream the reference's scanners consume;

@@ -91,3 +91,54 @@ def test_re_split_and_skip_bom(spark):
     out = skip_bom(df, "line")
     parts = [r.part for r in re_split(out, "line", "[;|]").collect()]
     assert parts == ["rec1", "rec2", "rec3"]
+
+
+def test_scanner_switch_routes_by_filename(spark):
+    from bento_spark.operators.scanners import scanner_switch
+
+    df = spark.createDataFrame(
+        [("/d/a.csv", "1,2"), ("/d/b.jsonl", '{"x":1}'), ("/d/c.bin", "??")],
+        "path string, content string",
+    )
+    out = scanner_switch(
+        df,
+        [
+            (r"\.csv$", lambda d: d.withColumn("kind", F.lit("csv"))),
+            (r"\.jsonl$", lambda d: d.withColumn("kind", F.lit("json"))),
+        ],
+    ).collect()
+    kinds = {r.path.split("/")[-1]: r.kind for r in out}
+    assert kinds["a.csv"] == "csv" and kinds["b.jsonl"] == "json"
+    errs = {r.path.split("/")[-1]: r.error for r in out}
+    assert errs["c.bin"] and "no candidate matched" in errs["c.bin"]
+    assert errs["a.csv"] is None
+
+
+def test_scanner_switch_catch_all(spark):
+    from bento_spark.operators.scanners import scanner_switch
+
+    df = spark.createDataFrame(
+        [("/d/a.csv", "1"), ("/d/z.other", "2")], "path string, content string"
+    )
+    out = scanner_switch(
+        df,
+        [
+            (r"\.csv$", lambda d: d.withColumn("kind", F.lit("csv"))),
+            (None, lambda d: d.withColumn("kind", F.lit("raw"))),
+        ],
+    ).collect()
+    kinds = {r.path.split("/")[-1]: r.kind for r in out}
+    assert kinds == {"a.csv": "csv", "z.other": "raw"}
+    assert all(r.error is None for r in out if hasattr(r, "error"))
+
+
+def test_lines_whole_reads_file_as_one_message(spark, tmp_path):
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = tmp_path / "whole.txt"
+    p.write_text("line1\nline2\nline3\n")
+    df = compile_yaml(
+        f"input:\n  lines: {{path: {tmp_path}, whole: true, column: body}}\n"
+    ).build_batch(spark)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].body == "line1\nline2\nline3\n"
