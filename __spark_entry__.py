@@ -330,6 +330,28 @@ def q_dedupe_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_generate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General `generate` input (input_generate.go:22): Bloblang mapping
+    over a generated sequence, aggregated — the reference's test-data tool."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(
+        """
+input:
+  generate:
+    count: 200
+    mapping: |
+        root.k = this.id % 7
+        root.v = this.id * this.id
+"""
+    )
+    return (
+        p.build_batch(spark)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle: signatures pinned by fixture (DuckDB has no xxhash64); banding,
     # candidate join and exact-Jaccard verification recomputed in SQL
@@ -1036,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedupe_clusters": q_dedupe_clusters,
         "dedupe_clusters_star": q_dedupe_clusters_star,
+        "generate_rows": q_generate_rows,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
@@ -1590,6 +1613,10 @@ def oracle_sql() -> dict[str, str]:
     sql["yaml_cache_set_get"] = sql["cache_enrichment"]
     sql["yaml_lookup"] = sql["lookup_join"]
     sql["dedupe_clusters_star"] = sql["dedupe_clusters"]
+    sql["generate_rows"] = """
+        SELECT id % 7 AS k, count(*) AS n, CAST(sum(id * id) AS BIGINT) AS sum_v
+        FROM (SELECT range AS id FROM range(200)) GROUP BY id % 7
+    """
     return sql
 
 

@@ -112,6 +112,29 @@ class Pipeline:
                     "a path written by clips_df (see Pipeline.stage_clips)"
                 )
             return df
+        if "generate" in inp:
+            # general generate input (input_generate.go:22): a Bloblang
+            # mapping over a generated sequence. Batch = spark.range(count)
+            # (the `id` column is the 0-based message index, usable as
+            # this.id for deterministic rows); streaming = the rate source
+            # paced by `interval` (rows/sec = 1/interval), value -> id.
+            o = inp["generate"] or {}
+            if streaming:
+                from bento_spark.streaming.cep import duration_ms
+
+                iv = str(o.get("interval", "1s")) or "1s"
+                rps = max(1, int(round(1000.0 / max(duration_ms(iv), 1))))
+                src = (
+                    spark.readStream.format("rate")
+                    .option("rowsPerSecond", rps)
+                    .load()
+                    .withColumnRenamed("value", "id")
+                )
+            else:
+                src = spark.range(int(o.get("count", 100)))
+            if o.get("mapping"):
+                src = compile_mapping(str(o["mapping"])).apply(src)
+            return src
         if "http_server" in inp:
             # push ingestion via the spool-dir bridge (input_http_server.go:44):
             # the listener (start_http_listener) persists request bodies as

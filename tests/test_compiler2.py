@@ -218,3 +218,22 @@ output:
     )
     with pytest.raises(ValueError, match="window \\+ dlq requires output.path"):
         p.run_stream(spark, checkpoint=str(tmp_path / "wd_ck"))
+
+
+def test_generate_input_batch_and_stream(spark):
+    p = compile_yaml(
+        """
+input:
+  generate:
+    count: 10
+    mapping: |
+        root.k = this.id % 3
+        root.msg = "n-%d".format(this.id)
+"""
+    )
+    rows = p.build_batch(spark).orderBy("id").collect()
+    assert len(rows) == 10 and rows[4].k == 1 and rows[4].msg == "n-4"
+    s = compile_yaml(
+        "input:\n  generate: {interval: 100ms, mapping: 'root.k = this.id % 2'}\n"
+    ).build_stream(spark)
+    assert s.isStreaming and "k" in s.columns
