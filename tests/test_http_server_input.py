@@ -119,3 +119,39 @@ def test_http_server_requires_content_length(spark, tmp_path):
         assert not any(f.endswith(".msg") for f in os.listdir(tmp_path / "spool411"))
     finally:
         srv.stop()
+
+
+def test_webhook_subprocess_pipeline_end_to_end(spark, tmp_path):
+    """The webhook_subprocess example shape: live POSTs -> spool stream ->
+    long-lived child per partition -> exactly-once sink (+DLQ)."""
+    import sys
+
+    spool = str(tmp_path / "ws_spool")
+    upper = "import sys\nfor line in sys.stdin:\n    sys.stdout.write(line.upper()); sys.stdout.flush()\n"
+    cfg = f"""
+input:
+  http_server:
+    spool_dir: {spool}
+    path: /ingest
+pipeline:
+  processors:
+    - subprocess:
+        name: {sys.executable}
+        args: ["-u", "-c", "{upper.replace(chr(10), chr(92) + 'n')}"]
+        column: value
+output:
+  path: {tmp_path}/ws_out
+  dlq: {tmp_path}/ws_dlq
+"""
+    p = compile_yaml(cfg)
+    srv = p.start_http_listener()
+    try:
+        for body in (b"hello webhook", b"second event"):
+            assert _post(srv.host, srv.port, "/ingest", body) == 200
+        q = p.run_stream(spark, checkpoint=str(tmp_path / "ws_ck"))
+        q.awaitTermination(120)
+    finally:
+        srv.stop()
+    out = IdempotentParquetSink(str(tmp_path / "ws_out")).read(spark)
+    got = sorted(r.value for r in out.select("value").collect())
+    assert got == ["HELLO WEBHOOK", "SECOND EVENT"]

@@ -95,3 +95,42 @@ def test_html_escape_roundtrip_model(s):
                      ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")]:
         back = back.replace(ent, raw)
     assert back == s
+
+
+@given(
+    st.binary(max_size=500),
+    st.sampled_from(["lines", "length_prefixed_uint32_be", "netstring"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_subprocess_framing_roundtrip(payload, codec):
+    """frame_payload -> read_framed is the identity for every codec (the
+    lockstep pipe protocol depends on exact framing)."""
+    import io
+
+    from bento_spark.operators.subprocess_proc import frame_payload, read_framed
+
+    if codec == "lines" and b"\n" in payload:
+        return  # lines framing cannot carry embedded newlines by design
+    framed = frame_payload(payload, codec)
+    buf = io.BytesIO(framed + b"trailing-noise")
+    assert read_framed(buf, codec) == payload
+    # stream position is exactly past the frame (lockstep invariant)
+    assert buf.tell() == len(framed)
+
+
+@given(
+    st.text(max_size=60),
+    st.integers(min_value=-70, max_value=70),
+    st.one_of(st.none(), st.integers(min_value=-70, max_value=70)),
+)
+@settings(max_examples=200, deadline=None)
+def test_slice_model_matches_python(s, lo, hi):
+    """Bloblang slice == Python's s[lo:hi] with clamped indices (the model
+    the _slice Column expression implements)."""
+    n = len(s)
+    lo_i = lo if lo >= 0 else max(n + lo, 0)
+    hi_i = n if hi is None else (min(hi, n) if hi >= 0 else n + hi)
+    expect = s[lo_i:hi_i] if hi_i > lo_i else ""
+    # mirror of the Column arithmetic in functions/bloblang._slice
+    got = s[lo_i : lo_i + max(hi_i - lo_i, 0)]
+    assert got == expect
