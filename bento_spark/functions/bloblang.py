@@ -153,6 +153,14 @@ class _Parser:
         if op == "|":
             return F.coalesce(a, b)
         if op == "+":
+            # Bloblang + concatenates strings (arithmetic.go Add). Column
+            # types are unknown at compile time, but a string LITERAL on
+            # either side is a reliable signal; col+col strings still need
+            # format()/concat methods (documented).
+            if isinstance(a.__dict__.get("_bl_lit"), str) or isinstance(
+                b.__dict__.get("_bl_lit"), str
+            ):
+                return F.concat(a.cast("string"), b.cast("string"))
             return a + b
         if op == "-":
             return a - b

@@ -340,3 +340,12 @@ def test_element_access_null_safe_and_fixed_methods(df):
     assert _one(df, "this.s.slice(1, 0 - 1)") == ["ello Worl", "par", None]
     # non-ASCII literals survive unquoting
     assert _one(df, '"café"')[0] == "café"
+
+
+def test_string_plus_concatenation(df):
+    """+ with a string literal on either side concatenates (arithmetic.go
+    Add on strings); numeric + stays numeric."""
+    assert _one(df, '"id-" + this.id') == ["id-1", "id-2", "id-3"]
+    assert _one(df, 'this.id + "-tail"') == ["1-tail", "2-tail", "3-tail"]
+    assert _one(df, '"a" + "b" + "c"') == ["abc", "abc", "abc"]
+    assert _one(df, "this.id + 1") == [2, 3, 4]
