@@ -736,8 +736,32 @@ class Pipeline:
             from bento_spark.operators.scanners import skip_bom
 
             return skip_bom(df, (opts or {}).get("column", "line"))
+        if name == "metric":
+            # custom metrics (processor_metric.go:22): counter / counter_by /
+            # gauge over message fields. Spark-first: df.observe() — the
+            # native Observation API evaluates the aggregate DURING the
+            # existing pass (no extra job) and surfaces per-micro-batch
+            # values in QueryProgress.observedMetrics, which the metrics
+            # listener collects (observed_totals()).
+            o = opts or {}
+            mtype = o.get("type", "counter")
+            val = compile_expr(str(o["value"])) if "value" in o else None
+            cond = compile_expr(str(o["check"])) if "check" in o else None
+            if mtype == "counter":
+                agg = F.count(F.when(cond, 1)) if cond is not None else F.count(F.lit(1))
+            elif mtype == "counter_by":
+                if val is None:
+                    raise ValueError("metric counter_by requires `value`")
+                agg = F.sum(F.when(cond, val) if cond is not None else val)
+            elif mtype == "gauge":
+                if val is None:
+                    raise ValueError("metric gauge requires `value`")
+                agg = F.last(val, ignorenulls=True)
+            else:
+                raise ValueError(f"unsupported metric type {mtype!r} (counter/counter_by/gauge)")
+            return df.observe(str(o["name"]), agg.alias(mtype))
         if name in ("noop", "log"):
-            return df  # log/metric side effects live in the metrics listener
+            return df  # log side effects live in the metrics listener
         raise ValueError(f"unsupported processor: {name}")
 
     # ------------------------------------------------------------------- join

@@ -39,6 +39,7 @@ class BatchMetrics:
     input_rows_per_sec: float
     process_rows_per_sec: float
     lineage: list[dict] = field(default_factory=list)
+    observed: dict = field(default_factory=dict)  # df.observe() custom metrics
 
 
 class BentoMetricsListener(StreamingQueryListener):
@@ -87,6 +88,12 @@ class BentoMetricsListener(StreamingQueryListener):
                 )
         except Exception:
             pass
+        observed = {}
+        try:
+            for mname, row in (p.observedMetrics or {}).items():
+                observed[mname] = row.asDict() if hasattr(row, "asDict") else dict(row)
+        except Exception:  # noqa: BLE001 — custom metrics are best-effort
+            pass
         m = BatchMetrics(
             batch_id=p.batchId,
             ts=p.timestamp,
@@ -99,6 +106,7 @@ class BentoMetricsListener(StreamingQueryListener):
             input_rows_per_sec=p.inputRowsPerSecond or 0.0,
             process_rows_per_sec=p.processedRowsPerSecond or 0.0,
             lineage=lineage,
+            observed=observed,
         )
         with self._lock:
             self.batches.append(m)
@@ -124,6 +132,21 @@ class BentoMetricsListener(StreamingQueryListener):
                     default=None,
                 ),
             }
+
+    def observed_totals(self) -> dict:
+        """Custom `metric:` processor values across batches: counters sum,
+        gauges keep the last value (processor_metric.go type semantics)."""
+        out: dict[str, dict] = {}
+        with self._lock:
+            for b in self.batches:
+                for mname, vals in b.observed.items():
+                    slot = out.setdefault(mname, {})
+                    for k, v in vals.items():
+                        if k == "gauge":
+                            slot[k] = v if v is not None else slot.get(k)
+                        else:
+                            slot[k] = (slot.get(k) or 0) + (v or 0)
+        return out
 
     def lineage_rows(self) -> list[dict]:
         with self._lock:

@@ -278,3 +278,34 @@ def test_stream_stream_join_same_ts_name(spark, tmp_path):
         key="clip_id", left_ts="event_ts", right_ts="event_ts",
     )
     assert out.isStreaming  # analysis succeeded without AMBIGUOUS_REFERENCE
+
+
+def test_metric_processor_observe(spark, tmp_path):
+    """metric: sections ride Spark's Observation API — values appear in
+    query progress and aggregate via observed_totals()."""
+    from bento_spark.plans.compiler import Pipeline, compile_yaml
+    from bento_spark.streaming.metrics import BentoMetricsListener, collect_progress
+
+    src = str(tmp_path / "m_src")
+    Pipeline.stage_clips(spark, src, 40)
+    p = compile_yaml(
+        f"""
+input:
+  parquet: {{path: {src}}}
+pipeline:
+  processors:
+    - metric: {{type: counter, name: all_clips}}
+    - metric: {{type: counter, name: wav_clips, check: 'this.codec == "wav"'}}
+    - metric: {{type: counter_by, name: total_ms, value: this.dur_ms}}
+output:
+  path: {tmp_path}/m_out
+"""
+    )
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "m_ck"))
+    q.awaitTermination(90)
+    listener = collect_progress(BentoMetricsListener(), q)
+    obs = listener.observed_totals()
+    assert obs["all_clips"]["counter"] == 40
+    assert 0 < obs["wav_clips"]["counter"] < 40
+    batch = spark.read.parquet(src)
+    assert obs["total_ms"]["counter_by"] == batch.agg(F.sum("dur_ms")).first()[0]
