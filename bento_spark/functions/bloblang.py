@@ -160,7 +160,13 @@ class _Parser:
             if isinstance(a.__dict__.get("_bl_lit"), str) or isinstance(
                 b.__dict__.get("_bl_lit"), str
             ):
-                return F.concat(a.cast("string"), b.cast("string"))
+                # NULL operands render as 'null' (the compile_interpolated
+                # precedent) — a bare concat would NULL the whole result and
+                # silently blank the field
+                null = F.lit("null")
+                return F.concat(
+                    F.coalesce(a.cast("string"), null), F.coalesce(b.cast("string"), null)
+                )
             return a + b
         if op == "-":
             return a - b

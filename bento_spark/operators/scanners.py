@@ -169,9 +169,12 @@ def scanner_switch(
             parts.append(transform(remaining))
             remaining = remaining.filter(F.lit(False))
         else:
-            matched = remaining.filter(F.regexp_like(F.col(path_col), F.lit(pattern)))
-            parts.append(transform(matched))
-            remaining = remaining.filter(~F.regexp_like(F.col(path_col), F.lit(pattern)))
+            # coalesce: a NULL path makes both the filter and its negation
+            # NULL, silently dropping the row from every branch — NULL-path
+            # sources must fall through to the errored remainder
+            hit = F.coalesce(F.regexp_like(F.col(path_col), F.lit(pattern)), F.lit(False))
+            parts.append(transform(remaining.filter(hit)))
+            remaining = remaining.filter(~hit)
     # unmatched sources -> errored rows (reference: error + reject)
     parts.append(set_error_when(remaining, F.lit(True), "scanner_switch: no candidate matched"))
     out = parts[0]

@@ -123,13 +123,27 @@ class Pipeline:
                 from bento_spark.streaming.cep import duration_ms
 
                 iv = str(o.get("interval", "1s")) or "1s"
-                rps = max(1, int(round(1000.0 / max(duration_ms(iv), 1))))
+                ms = max(duration_ms(iv), 1)
+                if ms <= 1000:
+                    rps, every = int(round(1000.0 / ms)), 1
+                else:
+                    # rate source floors at 1 row/sec: pace longer intervals
+                    # by keeping every Nth row (interval 1m = every 60th)
+                    rps, every = 1, int(round(ms / 1000.0))
                 src = (
                     spark.readStream.format("rate")
                     .option("rowsPerSecond", rps)
                     .load()
-                    .withColumnRenamed("value", "id")
+                    .filter((F.col("value") % every) == 0)
+                    .select((F.col("value") / every).cast("long").alias("id"))
+                    # timestamp dropped: wall-clock in the data path breaks
+                    # determinism AND batch/stream schema parity
                 )
+                if "count" in o:
+                    # bounded generate: emit exactly `count` rows then
+                    # nothing (the reference stops its input; a Spark rate
+                    # stream stays alive — pair with read_until to stop)
+                    src = src.filter(F.col("id") < int(o["count"]))
             else:
                 src = spark.range(int(o.get("count", 100)))
             if o.get("mapping"):
@@ -744,6 +758,8 @@ class Pipeline:
             # values in QueryProgress.observedMetrics, which the metrics
             # listener collects (observed_totals()).
             o = opts or {}
+            if "name" not in o:
+                raise ValueError("metric requires `name`")
             mtype = o.get("type", "counter")
             val = compile_expr(str(o["value"])) if "value" in o else None
             cond = compile_expr(str(o["check"])) if "check" in o else None
@@ -756,7 +772,15 @@ class Pipeline:
             elif mtype == "gauge":
                 if val is None:
                     raise ValueError("metric gauge requires `value`")
-                agg = F.last(val, ignorenulls=True)
+                if "order_by" in o:
+                    # deterministic gauge: value of the max-order row
+                    agg = F.max_by(val, compile_expr(str(o["order_by"])))
+                else:
+                    # no total order exists inside a distributed micro-batch
+                    # (the reference processes sequentially): F.last is
+                    # partition-merge-order dependent — pass `order_by`
+                    # (e.g. the event-time column) for a deterministic gauge
+                    agg = F.last(val, ignorenulls=True)
             else:
                 raise ValueError(f"unsupported metric type {mtype!r} (counter/counter_by/gauge)")
             return df.observe(str(o["name"]), agg.alias(mtype))

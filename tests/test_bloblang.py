@@ -349,3 +349,9 @@ def test_string_plus_concatenation(df):
     assert _one(df, 'this.id + "-tail"') == ["1-tail", "2-tail", "3-tail"]
     assert _one(df, '"a" + "b" + "c"') == ["abc", "abc", "abc"]
     assert _one(df, "this.id + 1") == [2, 3, 4]
+
+
+def test_string_plus_null_renders_null_literal(df):
+    """NULL operands render 'null' (compile_interpolated precedent) — a
+    bare concat would silently blank the whole field."""
+    assert _one(df, '"v: " + this.s') == ["v: Hello World", "v: spark", "v: null"]

@@ -237,3 +237,14 @@ input:
         "input:\n  generate: {interval: 100ms, mapping: 'root.k = this.id % 2'}\n"
     ).build_stream(spark)
     assert s.isStreaming and "k" in s.columns
+
+
+def test_generate_stream_schema_parity_and_pacing(spark):
+    """Streaming generate: schema matches batch (id only + mapped cols, no
+    rate timestamp), count bounds rows, long intervals pace by Nth-row."""
+    s = compile_yaml(
+        "input:\n  generate: {interval: 2s, count: 5, mapping: 'root.k = this.id % 2'}\n"
+    ).build_stream(spark)
+    assert s.isStreaming and sorted(s.columns) == ["id", "k"]
+    plan = s._sc._jvm.PythonSQLUtils.explainString(s._jdf.queryExecution(), "formatted")
+    assert "% 2)" in plan or "% 2L" in plan or "pmod" in plan.lower() or "%" in plan

@@ -118,19 +118,26 @@ def test_subprocess_framing_roundtrip(payload, codec):
     assert buf.tell() == len(framed)
 
 
-@given(
-    st.text(max_size=60),
-    st.integers(min_value=-70, max_value=70),
-    st.one_of(st.none(), st.integers(min_value=-70, max_value=70)),
-)
-@settings(max_examples=200, deadline=None)
-def test_slice_model_matches_python(s, lo, hi):
-    """Bloblang slice == Python's s[lo:hi] with clamped indices (the model
-    the _slice Column expression implements)."""
-    n = len(s)
-    lo_i = lo if lo >= 0 else max(n + lo, 0)
-    hi_i = n if hi is None else (min(hi, n) if hi >= 0 else n + hi)
-    expect = s[lo_i:hi_i] if hi_i > lo_i else ""
-    # mirror of the Column arithmetic in functions/bloblang._slice
-    got = s[lo_i : lo_i + max(hi_i - lo_i, 0)]
-    assert got == expect
+def test_slice_column_matches_python(spark):
+    """Drive the REAL _slice Column expression through Spark over a grid of
+    (lo, hi) pairs and compare to Python slicing (ASCII strings; Spark
+    substring is code-point based so multibyte agrees too)."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.functions.bloblang import _slice
+
+    strings = ["", "a", "hello world", "0123456789"]
+    pairs = [(0, None), (3, None), (-3, None), (-99, None), (2, 5), (5, 2),
+             (0, 0), (-5, -2), (-2, -5), (1, -1), (-4, 3), (0, 99), (-99, 99)]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    exprs = [
+        _slice(F.col("s"), lo, hi).alias(f"c{i}") for i, (lo, hi) in enumerate(pairs)
+    ]
+    rows = df.select("s", *exprs).collect()
+    for r in rows:
+        n = len(r.s)
+        for i, (lo, hi) in enumerate(pairs):
+            lo_i = lo if lo >= 0 else max(n + lo, 0)
+            hi_i = n if hi is None else (min(hi, n) if hi >= 0 else n + hi)
+            expect = r.s[lo_i:hi_i] if hi_i > lo_i else ""
+            assert r[f"c{i}"] == expect, (r.s, lo, hi, r[f"c{i}"], expect)

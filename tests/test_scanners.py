@@ -142,3 +142,17 @@ def test_lines_whole_reads_file_as_one_message(spark, tmp_path):
     ).build_batch(spark)
     rows = df.collect()
     assert len(rows) == 1 and rows[0].body == "line1\nline2\nline3\n"
+
+
+def test_scanner_switch_null_path_errored_not_dropped(spark):
+    from bento_spark.operators.scanners import scanner_switch
+
+    df = spark.createDataFrame(
+        [("/d/a.csv", "1"), (None, "2")], "path string, content string"
+    )
+    out = scanner_switch(
+        df, [(r"\.csv$", lambda d: d.withColumn("kind", F.lit("csv")))]
+    ).collect()
+    assert len(out) == 2  # NULL-path row survives...
+    null_row = next(r for r in out if r.path is None)
+    assert "no candidate matched" in null_row.error  # ...as an errored row
