@@ -65,10 +65,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warm the JVM (codegen, AQE, parquet reader) and python workers once so
-    # per-query numbers measure the engine, not first-call compilation
+    # warm the JVM (codegen, AQE, parquet reader) AND the Python workers
+    # (daemon fork + numpy/pandas import) so per-query numbers measure the
+    # engine, not first-call compilation — embedding_norms is the cheapest
+    # Arrow/pandas-UDF query, multi_join/text_stats cover the JVM paths
     _force(qs["multi_join"](spark, sf_dir))
     _force(qs["text_stats"](spark, sf_dir))
+    _force(qs["embedding_norms"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     audio_secs = 0.0

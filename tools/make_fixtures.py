@@ -59,7 +59,9 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf
 DKEY_SQL = "CAST(sum(doc_id * length(text)) AS BIGINT)"
 EKEY_SQL = "CAST(sum(vec_id * CAST(floor(embedding[1] * 1000) AS BIGINT)) AS BIGINT)"
 
-CLIP_FIXTURE_N = 512  # must cover __spark_entry__._AUDIO_N at correctness scale
+CLIP_FIXTURE_N = 512  # must EQUAL __spark_entry__._AUDIO_N: the audio
+# oracles aggregate ALL clip_meta rows (no LIMIT), so a larger fixture
+# would mismatch counts/sums and fail the gate
 
 
 def content_keys(sf_dir: str) -> tuple[int, int]:

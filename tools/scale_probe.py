@@ -54,6 +54,10 @@ def build_docs(spark, sf_dir: str, n_variants: int = DOC_VARIANTS):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     v = spark.range(n_variants).withColumnRenamed("id", "variant")
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    # NOTE: F.transform is interpreted — acceptable ONLY because this is
+    # one-off STAGING of synthetic variants (t_docs is reported as staging
+    # cost, not as an operator timing); hot paths use explode+agg per the
+    # CLAUDE.md invariant
     salted = F.array_join(
         F.transform(toks, lambda x, i: F.when(i % 3 == 0, F.concat(x, F.lit("_v"), F.col("variant"))).otherwise(x)),
         " ",
@@ -101,7 +105,11 @@ def timed(fn):
 def main() -> None:
     spark = get_spark(app_name="scale-probe", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
                       shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    tmp = os.path.join(os.path.dirname(OUT_MD), "_scale_probe_stage")
+    # stage under /tmp, never inside the committed BENCH/ evidence dir —
+    # a failed probe must not leave parquet junk next to tracked files
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="scale_probe_stage_")
     results: dict[str, dict] = {}
     plans_bad: list[str] = []
 
@@ -112,12 +120,18 @@ def main() -> None:
     docs = spark.read.parquet(docs_path)
     vecs = spark.read.parquet(vecs_path)
     n_docs, n_vecs = docs.count(), vecs.count()
-    queries = vecs.filter(F.col("vec_id") % 500 == 0).withColumnRenamed("vec_id", "query_id").limit(100)
+    # orderBy before limit: an unordered LIMIT may pick different rows per
+    # job execution, and each topk consumer re-collects the query set —
+    # recall-vs-exact would then compare different query ids
+    queries = (vecs.filter(F.col("vec_id") % 500 == 0)
+               .withColumnRenamed("vec_id", "query_id").orderBy("query_id").limit(100))
     n_q = queries.count()
     print(f"staged: {n_docs} docs ({t_docs:.1f}s), {n_vecs} vectors ({t_vecs:.1f}s), {n_q} queries")
 
     # --- dedupe family ------------------------------------------------------
-    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    # localCheckpoint: ONE minhash execution feeds both the pair-count
+    # probe and connected components (it is the longest dedupe stage)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8).localCheckpoint(eager=False)
     for node in BAD_NODES:
         if node in plan_of(pairs):
             plans_bad.append(f"minhash_lsh: {node}")
@@ -145,8 +159,7 @@ def main() -> None:
     results["simhash_near_pairs_128_h7"] = {"sec": round(t, 2), "rows": n_sh128}
     print(f"simhash_near_pairs (128-bit h<=7, 64/h3-equivalent): {n_sh128} pairs in {t:.1f}s")
 
-    cc_pairs = minhash_lsh_pairs(docs, threshold=0.8).localCheckpoint()
-    labels, t = timed(lambda: connected_components(cc_pairs))
+    labels, t = timed(lambda: connected_components(pairs))
     n_clusters = labels.select("cluster_id").distinct().count()
     results["connected_components"] = {"sec": round(t, 2), "rows": n_clusters}
     print(f"connected_components: {n_clusters} clusters in {t:.1f}s")
