@@ -172,7 +172,13 @@ def cached(
         computed = compute(misses)
         new_entries = computed.select(key, *[c for c in computed.columns if c not in keyed.columns]).dropDuplicates([key])
         cache.set(new_entries)
-        out = computed if hits is None else hits.unionByName(computed, allowMissingColumns=True)
+        # every miss row takes its key's CANONICAL cached value (the one
+        # dropDuplicates selected), not its own per-row compute — otherwise
+        # rows of one key disagree within the first run and flip to the
+        # cached value on replay (the reference serves one cached result
+        # per key, always)
+        canonical = misses.join(F.broadcast(new_entries), key, "left")
+        out = canonical if hits is None else hits.unionByName(canonical, allowMissingColumns=True)
         return out.drop(key)
 
     return run

@@ -38,8 +38,16 @@ def test_f32_roundtrip_exact():
 
 
 def test_flac_stub_raises():
-    with pytest.raises((NotImplementedError, Exception)):
-        decode_clip(b"fLaC....", "flac", 16000)
+    from bento_spark.audio import codecs as _codecs
+
+    if _codecs._soundfile is None:
+        # sandbox: the gate must raise the documented stub error, not an
+        # arbitrary exception from a broken dispatch upstream of it
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_clip(b"fLaC....", "flac", 16000)
+    else:
+        with pytest.raises(Exception):  # soundfile present: garbage bytes fail decode
+            decode_clip(b"fLaC....", "flac", 16000)
 
 
 def test_resample_preserves_tone():
@@ -143,4 +151,5 @@ def test_audio_udfs_null_sample_rate_survives(spark):
     row = with_audio_features(df).collect()[0]
     assert row.n_samples == 0 and row.clip_s == 0.0
     row2 = with_normalized_clip(df).collect()[0]
-    assert row2 is not None
+    assert row2.clip_id == "c1"
+    assert row2.bytes is None or len(bytes(row2.bytes)) == 0  # no payload fabricated

@@ -247,4 +247,4 @@ def test_generate_stream_schema_parity_and_pacing(spark):
     ).build_stream(spark)
     assert s.isStreaming and sorted(s.columns) == ["id", "k"]
     plan = s._sc._jvm.PythonSQLUtils.explainString(s._jdf.queryExecution(), "formatted")
-    assert "% 2)" in plan or "% 2L" in plan or "pmod" in plan.lower() or "%" in plan
+    assert "% 2" in plan  # the mapping reached the streaming plan

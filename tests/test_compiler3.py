@@ -149,11 +149,14 @@ pipeline:
           - mapping: root.expensive = this.v * 100
 """
     out1 = compile_yaml(conf).build_batch(spark)
+    first = {r.uid: r.expensive for r in out1.select("uid", "expensive").distinct().collect()}
     assert out1.count() == 6
-    # second run: all keys hit the cache; results identical per key
+    # second run: all keys hit the cache; VALUES identical per key (a
+    # recompute-every-time or corrupted-cache regression must fail here)
     out2 = compile_yaml(conf).build_batch(spark)
     got = {r.uid: r.expensive for r in out2.select("uid", "expensive").distinct().collect()}
-    assert set(got) == {"u0", "u1", "u2"}
+    assert got == first and set(got) == {"u0", "u1", "u2"}
+    assert all(v is not None for v in got.values())
 
 
 def test_yaml_while_bounded_by_max_loops(spark, tmp_path):

@@ -9,7 +9,7 @@ import __spark_entry__ as entrymod
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0  # the flagship query must yield windowed rows
     assert df.columns == ["window_start_s", "codec", "n", "avg_rms", "total_samples"]
 
 

@@ -58,43 +58,69 @@ def test_duration_parser_property(n, unit):
     assert duration_ms(f"{n}{unit}") == n * mult  # whitespace optional
 
 
-@given(st.binary(min_size=0, max_size=200), st.text(min_size=1, max_size=64))
-@settings(max_examples=100, deadline=None)
-def test_hmac_blocks_match_stdlib(msg, key):
-    """The pure-expression HMAC's compile-time key-block math (ipad/opad,
-    hash-long-keys) must agree with the stdlib for any key length."""
-    k = key.encode()
-    block = 64
-    kk = hashlib.sha256(k).digest() if len(k) > block else k
-    kk = kk.ljust(block, b"\0")
-    inner = hashlib.sha256(bytes(b ^ 0x36 for b in kk) + msg).digest()
-    ours = hashlib.sha256(bytes(b ^ 0x5C for b in kk) + inner).hexdigest()
-    assert ours == py_hmac.new(k, msg, hashlib.sha256).hexdigest()
+def test_hmac_expression_matches_stdlib(spark):
+    """Drive the REAL pure-expression HMAC through Spark across the key-
+    length regimes (short, exactly-block, longer-than-block -> hashed) and
+    both algorithms, against stdlib hmac as truth."""
+    from bento_spark.functions.bloblang import compile_expr
+
+    msgs = ["", "m", "the quick brown fox", "x" * 300]
+    keys = ["k", "a" * 64, "b" * 65, "long-key-" * 20]
+    df = spark.createDataFrame([(m,) for m in msgs], "m string")
+    for alg, mod in (("sha256", hashlib.sha256), ("sha512", hashlib.sha512)):
+        exprs = [
+            compile_expr(f'this.m.hmac("{alg}", "{k}")').alias(f"h{i}")
+            for i, k in enumerate(keys)
+        ]
+        for r in df.select("m", *exprs).collect():
+            for i, k in enumerate(keys):
+                expect = py_hmac.new(k.encode(), r.m.encode(), mod).hexdigest()
+                assert r[f"h{i}"] == expect, (alg, k[:12], r.m[:12])
 
 
-@given(st.text(max_size=300), st.integers(min_value=1, max_value=64))
-@settings(max_examples=150, deadline=None)
-def test_chunker_math_property(text, size):
-    """chunk count/reassembly law the chunker_scan oracle relies on."""
-    n = -(-len(text) // size)  # ceil
-    chunks = [text[i * size : (i + 1) * size] for i in range(n)]
-    assert "".join(chunks) == text
-    assert all(len(c) == size for c in chunks[:-1])
+def test_chunker_column_matches_python(spark):
+    """Drive the REAL scanners.chunker through Spark over a grid and compare
+    to Python slicing (reassembly + full-chunk laws)."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.scanners import chunker
+
+    texts = ["", "x", "hello world!", "a" * 65, "0123456789" * 7]
+    for size in (1, 3, 10, 64):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, payload string"
+        )
+        out = chunker(df, "payload", size)
+        got: dict[int, list[str]] = {}
+        for r in out.orderBy("i", "chunk_index").collect():
+            got.setdefault(r.i, []).append(r.chunk)
+        for i, t in enumerate(texts):
+            n = -(-len(t) // size)
+            expect = [t[j * size : (j + 1) * size] for j in range(n)]
+            assert got.get(i, []) == expect, (t, size, got.get(i))
 
 
-@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120))
-@settings(max_examples=150, deadline=None)
-def test_html_escape_roundtrip_model(s):
-    """escape_html -> unescape_html is the identity (ordering of entity
-    replacements is the part that's easy to get wrong)."""
-    esc = s
-    for raw, ent in [("&", "&amp;"), ("'", "&#39;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&#34;")]:
-        esc = esc.replace(raw, ent)
-    back = esc
-    for ent, raw in [("&quot;", '"'), ("&apos;", "'"), ("&#34;", '"'), ("&#39;", "'"),
-                     ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")]:
-        back = back.replace(ent, raw)
-    assert back == s
+def test_html_escape_roundtrip_real_expressions(spark):
+    """escape_html -> unescape_html through the REAL compiled Column
+    expressions is the identity (entity-replacement ordering is the part
+    that's easy to get wrong — '&amp;lt;' double-escape class)."""
+    from bento_spark.functions.bloblang import compile_expr
+
+    tricky = [
+        "", "plain", "<b>&amp;</b>", "a&b<c>d\"e'f", "&lt;already&gt;",
+        "&&&", "'';\"\"", "mixed & <tags> with \"quotes\"",
+    ]
+    df = spark.createDataFrame([(s,) for s in tricky], "s string")
+    out = df.select(
+        "s",
+        compile_expr("this.s.escape_html()").alias("esc"),
+        compile_expr("this.s.escape_html().unescape_html()").alias("back"),
+    ).collect()
+    for r in out:
+        assert r.back == r.s, (r.s, r.esc, r.back)
+        # escaped form never contains raw specials (Go html.EscapeString set)
+        core = r.esc.replace("&amp;", "").replace("&lt;", "").replace("&gt;", "").replace("&#34;", "").replace("&#39;", "")
+        assert not any(ch in core for ch in "<>\"'"), r.esc
 
 
 @given(

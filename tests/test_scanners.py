@@ -129,7 +129,8 @@ def test_scanner_switch_catch_all(spark):
     ).collect()
     kinds = {r.path.split("/")[-1]: r.kind for r in out}
     assert kinds == {"a.csv": "csv", "z.other": "raw"}
-    assert all(r.error is None for r in out if hasattr(r, "error"))
+    assert "error" in out[0].__fields__  # protocol column must exist
+    assert all(r.error is None for r in out)
 
 
 def test_lines_whole_reads_file_as_one_message(spark, tmp_path):
