@@ -152,6 +152,44 @@ def q_error_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caught.groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
 
 
+_EH_PIPE = """
+input:
+  parquet: {{path: {sf_dir}/events.parquet}}
+error_handling: {eh}
+pipeline:
+  processors:
+    - mapping: 'root.k = this.props.parse_json("k int").k'
+    - set_error: {{when: this.k > 80, message: k out of range}}
+"""
+
+
+def _q_error_strategy(spark: SparkSession, sf_dir: str, eh: str) -> DataFrame:
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(_EH_PIPE.format(sf_dir=sf_dir, eh=eh))
+    out = p.build_batch(spark)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("k").alias("sum_k")
+    )
+
+
+def q_error_strategy_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level error_handling strategy=reject (errorhandling/docs.go:7,
+    strict mode bundle/strict/processor.go): ONE top-level knob drops
+    errored rows from the whole pipeline's output."""
+    return _q_error_strategy(spark, sf_dir, "{strategy: reject}")
+
+
+def q_error_strategy_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strategy=retry with bounded attempts + on_exhausted=reject
+    (feedback pipeline, bundle/strict/pipeline.go): deterministic errors
+    survive both attempts, the exhaustion path rejects them — same rows as
+    the reject strategy, proving the loop + exhaustion plumbing."""
+    return _q_error_strategy(
+        spark, sf_dir, "{strategy: retry, max_attempts: 2, on_exhausted: reject}"
+    )
+
+
 # --------------------------------------------------------------------------
 # Batch-shape ops (archive/unarchive/select_parts — §2.4)
 # --------------------------------------------------------------------------
@@ -429,6 +467,33 @@ def q_cache_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     enriched = cache.get(c)
     return enriched.groupBy("nation_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
+    )
+
+
+def q_cache_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cache TTL semantics (processor_cache.go:125-150): entries written
+    with ttl=60s at T0 are expired when read at T0+61s and enrich as
+    misses; immortal entries still hit. Clock pinned via now_ms — no wall
+    time in the data path (CLAUDE.md invariant)."""
+    from bento_spark.operators.cache import KeyValueCache
+
+    T0 = 1_000_000
+    cache = KeyValueCache(
+        spark,
+        _scratch_dir(f"cache_ttl_{os.path.basename(sf_dir.rstrip('/'))}", fresh=True),
+        key_col="c_nationkey",
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation_name")
+    )
+    cache.set(n.filter(F.col("c_nationkey") < 12), ttl=60, now_ms=T0)   # will expire
+    cache.set(n.filter(F.col("c_nationkey") >= 12))                     # immortal
+    enriched = cache.get(_t(spark, sf_dir, "customer"), now_ms=T0 + 61_000)
+    return enriched.groupBy(
+        F.coalesce(F.col("nation_name"), F.lit("<expired>")).alias("nation_name")
+    ).agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
     )
@@ -1031,14 +1096,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the round driver samples the FIRST 50 entries in dict
+    # order for CORRECTNESS_r{N}.json.  The heaviest / most-recently-changed
+    # queries lead so every new operator gets a hard driver-checked row
+    # (VERDICT r02 "Next round #1"); the long-stable TPC-ish rows trail.
     return {
+        # -- round-2 tail (never driver-sampled) + round-3 additions first --
+        "audio_features_window": q_audio_features_window,
+        "clip_transcript_join": q_clip_transcript_join,
+        "compress_roundtrip": q_compress_roundtrip,
+        "mapping_pipeline": q_mapping_pipeline,
+        "asof_join": q_asof_join,
+        "lag_lead": q_lag_lead,
+        "rollup_agg": q_rollup_agg,
+        "branch_enrich": q_branch_enrich,
+        "workflow_dag": q_workflow_dag,
+        "yaml_while": q_yaml_while,
+        "yaml_lookup": q_yaml_lookup,
+        "yaml_cache_set_get": q_yaml_cache_set_get,
+        "cache_ttl_expiry": q_cache_ttl_expiry,
+        "error_strategy_reject": q_error_strategy_reject,
+        "error_strategy_retry": q_error_strategy_retry,
+        # -- heavier / newer operators --
+        "cep_funnel": q_cep_funnel,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "dedupe_clusters": q_dedupe_clusters,
+        "dedupe_clusters_star": q_dedupe_clusters_star,
+        "tar_roundtrip": q_tar_roundtrip,
+        "chunker_scan": q_chunker_scan,
+        "msgpack_roundtrip": q_msgpack_roundtrip,
+        "parquet_roundtrip": q_parquet_roundtrip,
+        "xml_extract": q_xml_extract,
+        "json_schema_check": q_json_schema_check,
+        "jq_extract": q_jq_extract,
+        "parse_log": q_parse_log,
+        "cache_enrichment": q_cache_enrichment,
+        "generate_rows": q_generate_rows,
+        "error_protocol": q_error_protocol,
+        "yaml_switch_routing": q_yaml_switch_routing,
+        "yaml_group_by": q_yaml_group_by,
+        "yaml_try_catch": q_yaml_try_catch,
+        "yaml_interp_group": q_yaml_interp_group,
+        "yaml_select_parts": q_yaml_select_parts,
+        "yaml_insert_part": q_yaml_insert_part,
+        # -- long-stable rows --
         "pricing_summary": q_pricing_summary,
         "filter_revenue": q_filter_revenue,
         "group_by_value": q_group_by_value,
         "group_by_checks": q_group_by_checks,
         "switch_routing": q_switch_routing,
         "bounds_check": q_bounds_check,
-        "error_protocol": q_error_protocol,
         "archive_lines": q_archive_lines,
         "unarchive_tokens": q_unarchive_tokens,
         "select_parts": q_select_parts,
@@ -1056,44 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedupe_exact": q_dedupe_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "dedupe_clusters": q_dedupe_clusters,
-        "dedupe_clusters_star": q_dedupe_clusters_star,
-        "generate_rows": q_generate_rows,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "ann_cosine": q_ann_cosine,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "cache_enrichment": q_cache_enrichment,
         "embedding_norms": q_embedding_norms,
-        "parse_log": q_parse_log,
-        "jq_extract": q_jq_extract,
-        "json_schema_check": q_json_schema_check,
-        "xml_extract": q_xml_extract,
-        "parquet_roundtrip": q_parquet_roundtrip,
-        "msgpack_roundtrip": q_msgpack_roundtrip,
-        "cep_funnel": q_cep_funnel,
-        "tar_roundtrip": q_tar_roundtrip,
-        "chunker_scan": q_chunker_scan,
-        "yaml_switch_routing": q_yaml_switch_routing,
-        "yaml_group_by": q_yaml_group_by,
-        "yaml_try_catch": q_yaml_try_catch,
-        "yaml_interp_group": q_yaml_interp_group,
-        "yaml_select_parts": q_yaml_select_parts,
-        "yaml_insert_part": q_yaml_insert_part,
-        "yaml_cache_set_get": q_yaml_cache_set_get,
-        "yaml_lookup": q_yaml_lookup,
-        "yaml_while": q_yaml_while,
-        "workflow_dag": q_workflow_dag,
-        "branch_enrich": q_branch_enrich,
-        "rollup_agg": q_rollup_agg,
-        "lag_lead": q_lag_lead,
-        "asof_join": q_asof_join,
-        "mapping_pipeline": q_mapping_pipeline,
-        "compress_roundtrip": q_compress_roundtrip,
-        "audio_features_window": q_audio_features_window,
-        "clip_transcript_join": q_clip_transcript_join,
     }
 
 
@@ -1161,6 +1236,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS k,
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY k
+        """,
+        "error_strategy_reject": """
+            SELECT event_type, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS INT) AS k
+                  FROM events)
+            WHERE k IS NULL OR k <= 80
+            GROUP BY event_type
         """,
         "archive_lines": """
             SELECT user_id, string_agg(event_type, chr(10) ORDER BY event_id) AS archived
@@ -1336,6 +1419,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c.c_acctbal), 4) AS total_balance
             FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "cache_ttl_expiry": """
+            SELECT coalesce(n.n_name, '<expired>') AS nation_name,
+                   count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 4) AS total_balance
+            FROM customer c LEFT JOIN nation n
+              ON c.c_nationkey = n.n_nationkey AND n.n_nationkey >= 12
+            GROUP BY coalesce(n.n_name, '<expired>')
         """,
         "embedding_norms": """
             SELECT vec_id, label,
@@ -1611,6 +1702,9 @@ def oracle_sql() -> dict[str, str]:
     sql["yaml_try_catch"] = sql["error_protocol"]
     sql["yaml_select_parts"] = sql["select_parts"]
     sql["yaml_cache_set_get"] = sql["cache_enrichment"]
+    # retry with deterministic errors + on_exhausted=reject converges to the
+    # reject strategy's rows — shared oracle by design (see the docstring)
+    sql["error_strategy_retry"] = sql["error_strategy_reject"]
     sql["yaml_lookup"] = sql["lookup_join"]
     sql["dedupe_clusters_star"] = sql["dedupe_clusters"]
     sql["generate_rows"] = """

@@ -1148,6 +1148,13 @@ def compile_mapping(src: str) -> CompiledMapping:
             name = target.strip()[len("root.") :]
             statements.append(("assign", name, compile_expr(expr_src.strip())))
             continue
+        if line.startswith("root =") or line.startswith("root="):
+            # scalar root assignment: the expression becomes the message
+            # CONTENT (the reference's `root = <expr>` replaces the whole
+            # document; our content column is `bytes` — content() reads it)
+            _, _, expr_src = line.partition("=")
+            statements.append(("assign", "bytes", compile_expr(expr_src.strip())))
+            continue
         raise BloblangError(f"unsupported statement: {line!r}")
     return CompiledMapping(statements, filter_keep, meta)
 

@@ -24,11 +24,30 @@ how the reference amortizes multi-gets (processor_cache.go batch path).
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_EXPIRES = "_expires_ms"
+
+
+def _ttl_ms(ttl: int | float | str) -> int:
+    """TTL in ms from seconds (number) or the pipeline's duration syntax
+    ('60s', '5 minutes') — processor_cache.go:150's `ttl` field."""
+    if isinstance(ttl, (int, float)) and not isinstance(ttl, bool):
+        return int(ttl * 1000)
+    from bento_spark.streaming.cep import duration_ms
+
+    return duration_ms(str(ttl))
+
+
+def _now_ms(now_ms: int | None) -> int:
+    # wall clock enters a data path ONLY here, and only for TTL'd writes /
+    # reads that did not pin `now_ms` — oracle queries and tests pin it
+    return int(time.time() * 1000) if now_ms is None else int(now_ms)
 
 
 class KeyValueCache:
@@ -54,8 +73,9 @@ class KeyValueCache:
             if d.startswith("_v=") and os.path.exists(f"{self.path}/{d}/_SUCCESS")
         )
 
-    def snapshot(self) -> DataFrame | None:
-        """Current cache contents (latest write per key)."""
+    def _snapshot_full(self, now_ms: int | None = None) -> DataFrame | None:
+        """Latest live write per key INCLUDING the expiry column (compact
+        must preserve surviving TTLs)."""
         vs = self._versions()
         if not vs:
             return None
@@ -67,33 +87,59 @@ class KeyValueCache:
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .filter(~F.col("_deleted"))
+            # expiry-on-read AFTER last-writer-wins: an expired NEWEST write
+            # hides any older value for the key (the reference's set
+            # replaces value AND ttl — expiry makes the key absent, it does
+            # not resurrect a predecessor)
+            .filter(F.col(_EXPIRES).isNull() | (F.col(_EXPIRES) > F.lit(_now_ms(now_ms))))
             .drop("_rn", "_v", "_deleted")
         )
 
+    def snapshot(self, now_ms: int | None = None) -> DataFrame | None:
+        """Current cache contents (latest unexpired write per key)."""
+        full = self._snapshot_full(now_ms)
+        return None if full is None else full.drop(_EXPIRES)
+
     def _write(self, df: DataFrame, deleted: bool) -> None:
+        if _EXPIRES not in df.columns:
+            df = df.withColumn(_EXPIRES, F.lit(None).cast("bigint"))
         v = (self._versions()[-1] + 1) if self._versions() else 0
         df.withColumn("_deleted", F.lit(deleted)).write.mode("overwrite").parquet(
             f"{self.path}/_v={v}"
         )
 
     # -- operators (processor_cache.go:125) ----------------------------------
-    def set(self, df: DataFrame) -> None:
-        """Upsert all rows (last write wins per key)."""
-        self._write(df.dropDuplicates([self.key_col]), deleted=False)
+    def set(self, df: DataFrame, ttl: int | float | str | None = None,
+            now_ms: int | None = None) -> None:
+        """Upsert all rows (last write wins per key). `ttl` (seconds or
+        duration string) bounds each entry's life — processor_cache.go:150;
+        half the reference's 16 backends are TTL-defined (cache_ttlru.go,
+        cache_memory.go's 5m default)."""
+        fresh = df.dropDuplicates([self.key_col])
+        if ttl is not None:
+            fresh = fresh.withColumn(
+                _EXPIRES, F.lit(_now_ms(now_ms) + _ttl_ms(ttl)).cast("bigint")
+            )
+        self._write(fresh, deleted=False)
 
-    def add(self, df: DataFrame) -> DataFrame:
+    def add(self, df: DataFrame, ttl: int | float | str | None = None,
+            now_ms: int | None = None) -> DataFrame:
         """Insert-if-absent. Returns the rows that were REJECTED (key already
         present) — the reference errors those messages; callers route them
-        with the error-column protocol."""
-        cur = self.snapshot()
+        with the error-column protocol. An EXPIRED key counts as absent."""
+        cur = self.snapshot(now_ms)
         fresh = df.dropDuplicates([self.key_col])
+        if ttl is not None:
+            fresh = fresh.withColumn(
+                _EXPIRES, F.lit(_now_ms(now_ms) + _ttl_ms(ttl)).cast("bigint")
+            )
         if cur is None:
             self._write(fresh, deleted=False)
-            return fresh.limit(0)
+            return fresh.limit(0).drop(_EXPIRES)
         rejected = fresh.join(cur.select(self.key_col), self.key_col, "left_semi")
         accepted = fresh.join(cur.select(self.key_col), self.key_col, "left_anti")
         self._write(accepted, deleted=False)
-        return rejected
+        return rejected.drop(_EXPIRES)
 
     def delete(self, keys: DataFrame) -> None:
         cur = self.snapshot()
@@ -102,7 +148,8 @@ class KeyValueCache:
         tomb = cur.join(keys.select(self.key_col), self.key_col, "left_semi")
         self._write(tomb, deleted=True)
 
-    def get(self, df: DataFrame, on: str | None = None, broadcast: bool = True) -> DataFrame:
+    def get(self, df: DataFrame, on: str | None = None, broadcast: bool = True,
+            now_ms: int | None = None) -> DataFrame:
         """Enrich df with cache values by key (left join; misses = NULL,
         matching the reference where a miss errors the message — follow with
         set_error_when(value.isNull()) if that routing is wanted).
@@ -110,7 +157,7 @@ class KeyValueCache:
         Raises on a never-written cache: the value columns (and therefore the
         output schema) are unknowable before the first set/add, and a schema
         that silently depends on cache state is worse than an error."""
-        cur = self.snapshot()
+        cur = self.snapshot(now_ms)
         key = on or self.key_col
         if cur is None:
             raise RuntimeError(
@@ -122,16 +169,17 @@ class KeyValueCache:
             side = F.broadcast(side)
         return df.join(side, key, "left")
 
-    def compact(self) -> None:
+    def compact(self, now_ms: int | None = None) -> None:
         """Fold all versions into one (Iceberg's rewrite_data_files
-        analogue). Write-new-THEN-delete-old: persist() is not durable — a
+        analogue); expired entries are swept, surviving TTLs preserved.
+        Write-new-THEN-delete-old: persist() is not durable — a
         lost cache block between deleting the source files and the rewrite
         action would force recomputation from parquet paths that no longer
         exist, losing the whole cache."""
         old = self._versions()
         if not old:
             return
-        cur = self.snapshot()
+        cur = self._snapshot_full(now_ms)
         self._write(cur, deleted=False)  # materializes while sources exist
         import shutil
 
@@ -143,11 +191,15 @@ def cached(
     cache: KeyValueCache,
     key_cols: Sequence[str],
     compute: Callable[[DataFrame], DataFrame],
+    ttl: int | float | str | None = None,
+    now_ms: int | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Memoize a per-key computation (processor_cached.go): rows whose key
     is already in the cache take the cached result; the rest run `compute`
     once per distinct key and are written back. One anti-join + one compute
-    over misses — batch-amortized, never per-row."""
+    over misses — batch-amortized, never per-row. `ttl` bounds each
+    memoized entry's life (processor_cached.go's ttl field): an expired key
+    recomputes and re-caches."""
 
     def run(df: DataFrame) -> DataFrame:
         key = cache.key_col
@@ -163,7 +215,7 @@ def cached(
             for c in key_cols
         ]
         keyed = df.withColumn(key, F.concat_ws("|", *parts))
-        cur = cache.snapshot()
+        cur = cache.snapshot(now_ms)
         if cur is not None:
             hits = keyed.join(F.broadcast(cur), key, "inner")
             misses = keyed.join(cur.select(key), key, "left_anti")
@@ -171,7 +223,7 @@ def cached(
             hits, misses = None, keyed
         computed = compute(misses)
         new_entries = computed.select(key, *[c for c in computed.columns if c not in keyed.columns]).dropDuplicates([key])
-        cache.set(new_entries)
+        cache.set(new_entries, ttl=ttl, now_ms=now_ms)
         # every miss row takes its key's CANONICAL cached value (the one
         # dropDuplicates selected), not its own per-row compute — otherwise
         # rows of one key disagree within the first run and flip to the

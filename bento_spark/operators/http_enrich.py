@@ -60,6 +60,10 @@ def http_enrich(
     if body is not None:
         df = df.withColumn(_BODY_COL, body if isinstance(body, Column) else F.lit(body))
     in_cols = [c for c in df.columns if c not in (_URL_COL, _BODY_COL)]
+    if out_col in in_cols:
+        # a duplicate name would desync the declared Arrow schema (out_schema
+        # lists it twice) from the yielded frame (which has it once)
+        raise ValueError(f"http_enrich: out_col {out_col!r} collides with an input column")
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = ", ".join([f"{c} {fields[c]}" for c in in_cols] + [f"{out_col} string"])
 

@@ -203,6 +203,10 @@ def msgpack_encode(df: DataFrame, cols: Sequence[str], out_col: str = "msgpack_b
     """Each row's `cols` become one msgpack map blob (keys in column order)."""
     cols = list(cols)
     passthrough = [c for c in df.columns if c not in cols]
+    if out_col in passthrough:
+        # a duplicate name would desync the declared Arrow schema (out_schema
+        # lists it twice) from the yielded frame (which has it once)
+        raise ValueError(f"msgpack_encode: out_col {out_col!r} collides with an input column")
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = ", ".join(
         [f"{c} {fields[c]}" for c in passthrough] + [f"{out_col} binary"]

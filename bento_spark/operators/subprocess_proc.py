@@ -117,6 +117,7 @@ def subprocess_map(
         # imports inside the closure: cloudpickled submodule references must
         # re-resolve on the worker (repo invariant)
         import queue as _queue
+        import select as _select
         import subprocess as _sp
         import threading as _threading
 
@@ -158,6 +159,17 @@ def subprocess_map(
                 except Exception:  # noqa: BLE001
                     pass
 
+        def drain(q) -> None:
+            # lockstep hygiene: leftovers from a row that produced BOTH a
+            # stdout response and a stderr line (only one is consumed) must
+            # not be dequeued by the NEXT row — that mis-attributes the
+            # message and desyncs the protocol for the rest of the partition
+            while True:
+                try:
+                    q.get_nowait()
+                except _queue.Empty:
+                    return
+
         def exchange(value):
             """One lockstep round trip -> (new_value, error)."""
             if value is None:
@@ -172,6 +184,8 @@ def subprocess_map(
                         start()
                     except OSError as e:
                         return value, f"subprocess start failed: {e}"
+                drain(state["q_out"])
+                drain(state["q_err"])
                 try:
                     state["proc"].stdin.write(frame_payload(data, codec_send))
                     state["proc"].stdin.flush()
@@ -183,11 +197,39 @@ def subprocess_map(
                 while time.monotonic() < deadline:
                     try:
                         err = state["q_err"].get_nowait()
+                        # a both-streams child (stderr verdict + stdout echo
+                        # for the same message) leaves the echo in flight; a
+                        # bounded companion-consume keeps it from offsetting
+                        # the next row (children write the pair back-to-back,
+                        # so 20ms is ample; the pre-write drain is the
+                        # second-line guard)
+                        try:
+                            state["q_out"].get(timeout=0.02)
+                        except _queue.Empty:
+                            pass
                         return value, f"subprocess stderr: {err.decode('utf-8', 'replace')}"
                     except _queue.Empty:
                         pass
                     try:
                         out = state["q_out"].get(timeout=0.005)
+                        # a child that ALSO wrote stderr for this message
+                        # (out-of-contract: processor_subprocess.go:54 says
+                        # "either ... or"): the stderr verdict wins. The
+                        # child writes sequentially, so its stderr hit the
+                        # OS pipe before this stdout — check the queue, then
+                        # the raw pipe for bytes the pump thread hasn't
+                        # drained yet (zero-cost select on the happy path).
+                        err = None
+                        try:
+                            err = state["q_err"].get_nowait()
+                        except _queue.Empty:
+                            if _select.select([state["proc"].stderr], [], [], 0)[0]:
+                                try:
+                                    err = state["q_err"].get(timeout=0.05)
+                                except _queue.Empty:
+                                    pass
+                        if err is not None:
+                            return value, f"subprocess stderr: {err.decode('utf-8', 'replace')}"
                         return (bytes(out) if is_binary else out.decode("utf-8", "replace")), None
                     except _queue.Empty:
                         pass
@@ -264,6 +306,10 @@ def command_map(
     else:
         df = df.withColumn(_ARGS_COL, F.array(*[F.lit(str(a)) for a in args]))
     cols = [c for c in df.columns if c != _ARGS_COL]
+    if stderr_col in cols:
+        # a duplicate name would desync the declared Arrow schema (listed
+        # twice) from the yielded frame (present once)
+        raise ValueError(f"command: stderr_col {stderr_col!r} collides with an input column")
     out_schema = ", ".join(
         [f"{c} {fields[c]}" for c in cols] + [f"{stderr_col} string"]
     )

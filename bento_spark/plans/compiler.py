@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from bento_spark.audio.generate import CLIP_SCHEMA, clips_df
 from bento_spark.audio.udfs import with_audio_features, with_decoded_pcm, with_normalized_clip
 from bento_spark.functions.bloblang import compile_expr, compile_interpolated, compile_mapping
+from bento_spark.gating import require_object_store
 from bento_spark.operators import errors as err_ops
 from bento_spark.operators import grouping, mapping as map_ops, skew
 from bento_spark.streaming.sink import IdempotentParquetSink, dlq_split_writer
@@ -167,12 +168,13 @@ class Pipeline:
             )
         if "parquet" in inp:
             opts = inp["parquet"]
+            path = require_object_store(spark, opts["path"])
             if streaming:
                 reader = spark.readStream.schema(opts.get("schema", CLIP_SCHEMA))
                 if "max_files_per_trigger" in opts:
                     reader = reader.option("maxFilesPerTrigger", int(opts["max_files_per_trigger"]))
-                return reader.parquet(opts["path"])
-            return spark.read.parquet(opts["path"])
+                return reader.parquet(path)
+            return spark.read.parquet(path)
         # file-format scanners (reference scanners: lines/csv/json_documents,
         # internal/impl/pure/scanner_*.go) — Spark readers ARE the scanners
         if "csv" in inp:
@@ -183,13 +185,13 @@ class Pipeline:
             return rd.options(
                 header=str(opts.get("header", True)).lower(),
                 **({"maxFilesPerTrigger": str(opts["max_files_per_trigger"])} if streaming and "max_files_per_trigger" in opts else {}),
-            ).csv(opts["path"])
+            ).csv(require_object_store(spark, opts["path"]))
         if "json" in inp:
             opts = inp["json"]
             rd = spark.readStream if streaming else spark.read
             if streaming or "schema" in opts:
                 rd = rd.schema(opts["schema"])
-            return rd.json(opts["path"])
+            return rd.json(require_object_store(spark, opts["path"]))
         if "lines" in inp:
             opts = inp["lines"]
             rd = (spark.readStream if streaming else spark.read).format("text")
@@ -199,7 +201,8 @@ class Pipeline:
                 # format+load, not .text(): text()'s wholetext KEYWORD
                 # (default False) overrides a reader-level option
                 rd = rd.option("wholetext", "true")
-            return rd.load(opts["path"]).withColumnRenamed("value", opts.get("column", "line"))
+            return rd.load(require_object_store(spark, opts["path"])).withColumnRenamed(
+                "value", opts.get("column", "line"))
         if "binary_file" in inp:
             # whole-file binary rows (path, modificationTime, length,
             # content) — the byte-stream the reference's scanners consume;
@@ -333,7 +336,67 @@ class Pipeline:
     # ------------------------------------------------------------- processors
     def _apply_processors(self, df: DataFrame) -> DataFrame:
         procs = (self.conf.get("pipeline") or {}).get("processors") or []
-        return self._chain(procs)(df)
+        return self._error_strategy(self._chain(procs), df)
+
+    def _error_strategy(self, chain, df: DataFrame) -> DataFrame:
+        """Engine-level `error_handling:` strategy (errorhandling/docs.go:7,
+        applied in cli/common/manager.go:114-121) — ONE knob that flips the
+        whole pipeline's error posture, composing the in-band error-column
+        machinery:
+
+        - none (default): errored rows flow flagged; outputs decide.
+        - reject: errored rows are split off the main output after the
+          chain (strict mode, bundle/strict/processor.go) — to
+          `error_handling.dlq` (parquet) when given, else dropped.
+        - retry: re-run the chain while errored rows exist, up to
+          `max_attempts` (default 3), then apply `on_exhausted`
+          (none|reject, default none). The reference's feedback pipeline
+          retries failed messages forever (strict/pipeline.go backoff with
+          MaxElapsedTime=0); a bounded loop is the deliberate deviation —
+          an unbounded retry of a deterministic failure is a hang, not a
+          feature. A full deterministic chain converges on attempt 2 (same
+          errors), so permanent failures cost max_attempts-1 extra passes;
+          transient stages (http/subprocess) get real second chances.
+        """
+        eh = self.conf.get("error_handling") or {}
+        strategy = eh.get("strategy", "none")
+        if strategy not in ("none", "reject", "retry"):
+            raise ValueError(
+                f"error_handling.strategy must be none|reject|retry, got {strategy!r}"
+            )
+        out = chain(df)
+        if df.isStreaming:
+            # streaming: reject filters here (capture via output.dlq); retry
+            # is applied at the SINK — errored rows raise inside foreachBatch
+            # so Spark replays the micro-batch (task retries + checkpoint
+            # restart), the native analogue of the reference's feedback
+            # pipeline (see run_stream's retry wrapper)
+            if strategy == "reject" and "error" in out.columns:
+                return out.filter(F.col("error").isNull())
+            return out
+        if strategy == "retry":
+            max_attempts = int(eh.get("max_attempts", 3))
+            for _ in range(max_attempts - 1):
+                # cheap driver-side convergence probe on a bounded sample —
+                # acceptable because retry loops are per-micro-batch, not
+                # per-row, and exit immediately for clean batches
+                if not out.filter(F.col("error").isNotNull()).limit(1).take(1):
+                    return out
+                out = chain(df)
+            if eh.get("on_exhausted", "none") == "reject":
+                strategy = "reject"
+        if strategy == "reject":
+            clean = out.filter(F.col("error").isNull()) if "error" in out.columns else out
+            dlq = eh.get("dlq")
+            if dlq and "error" in out.columns:
+                out.filter(F.col("error").isNotNull()).write.mode("append").parquet(dlq)
+            return clean
+        return out
+
+    def processor_chain(self, procs: list | None):
+        """Public chain compiler — the `bento test` runner targets a
+        processor list selected by JSON pointer (cli/test/case.go Provide)."""
+        return self._chain(procs)
 
     def _chain(self, procs: list | None):
         """Compile a processor list to a DataFrame transform — the unit of
@@ -352,10 +415,11 @@ class Pipeline:
         return run
 
     def _apply_one(self, df: DataFrame, name: str, opts: Any) -> DataFrame:
-        if name in ("mapping", "mutation"):
+        if name in ("mapping", "mutation", "bloblang"):
             # mutation = mapping with in-place assignment semantics
             # (processor_mutation.go:15) — identical compilation here since
-            # our assignments are withColumn either way
+            # our assignments are withColumn either way; `bloblang` is the
+            # reference's older name for the same processor
             return compile_mapping(opts).apply(df)
         if name == "sleep":
             return df  # throttling is a trigger/rate concern in Spark (below)
@@ -473,8 +537,11 @@ class Pipeline:
             cache = KeyValueCache(df.sparkSession, o["resource"], key_col=o.get("key_col", "key"))
             op = o.get("operator", "get")
             key = o["key"]
+            # ttl (seconds or duration string) + optional pinned now_ms for
+            # deterministic tests/oracles (processor_cache.go:150)
+            ttl, now_ms = o.get("ttl"), o.get("now_ms")
             if op == "get":
-                return cache.get(df, on=key)
+                return cache.get(df, on=key, now_ms=now_ms)
             if df.isStreaming:
                 raise ValueError(f"cache {op} is batch-only in YAML pipelines; stream writes go through outputs")
             cols = o.get("columns") or [c for c in df.columns if c != key]
@@ -482,7 +549,7 @@ class Pipeline:
             if key != cache.key_col:
                 sel = sel.withColumnRenamed(key, cache.key_col)
             if op == "set":
-                cache.set(sel)
+                cache.set(sel, ttl=ttl, now_ms=now_ms)
                 return df
             if op == "delete":
                 cache.delete(sel.select(cache.key_col))
@@ -490,7 +557,7 @@ class Pipeline:
             if op == "add":
                 # rejected keys (already present) error their rows, matching
                 # the reference's add-operator failure semantics
-                rejected = cache.add(sel).select(F.col(cache.key_col).alias(key)).withColumn(
+                rejected = cache.add(sel, ttl=ttl, now_ms=now_ms).select(F.col(cache.key_col).alias(key)).withColumn(
                     "_cache_dup", F.lit(True)
                 )
                 out = df.join(F.broadcast(rejected), key, "left")
@@ -505,7 +572,8 @@ class Pipeline:
 
             o = opts or {}
             cache = KeyValueCache(df.sparkSession, o["resource"])
-            return cached(cache, o["key_cols"], self._chain(o["processors"]))(df)
+            return cached(cache, o["key_cols"], self._chain(o["processors"]),
+                          ttl=o.get("ttl"), now_ms=o.get("now_ms"))(df)
         if name == "lookup":
             # broadcast dimension enrichment — the reference's cache-get /
             # sql_select lookup patterns as a real join (enrich.py); works on
@@ -673,7 +741,8 @@ class Pipeline:
             common = dict(key=o["key"], ts_col=o.get("ts", "ts"), steps=steps,
                           within=o["within"], step_names=o.get("names"))
             if df.isStreaming:
-                return match_sequence_stream(df, watermark=o.get("watermark", "2 minutes"), **common)
+                return match_sequence_stream(df, watermark=o.get("watermark", "2 minutes"),
+                                             late_policy=o.get("late_policy", "eager"), **common)
             return match_sequence(df, **common)
         if name == "http":
             # HTTP enrichment (processor_http.go:16): interpolated url/body,
@@ -868,7 +937,8 @@ class Pipeline:
                 "output.path (or switch/fan_out/round_robin/kafka/fallback) required for run_stream"
             )
         if "path" in out:
-            self._sink = IdempotentParquetSink(out["path"], key_cols=out.get("keys"), checkpoint=checkpoint)
+            self._sink = IdempotentParquetSink(require_object_store(spark, out["path"]),
+                                               key_cols=out.get("keys"), checkpoint=checkpoint)
         has_window = bool(self.conf.get("window"))
         dlq_path = out.get("dlq")
 
@@ -880,7 +950,13 @@ class Pipeline:
             if available_now:
                 return {"availableNow": True}
             rl = self.conf.get("_rate_limit") or {}
-            return {"processingTime": rl.get("interval", out.get("trigger", "5 seconds"))}
+            ivl = rl.get("interval", out.get("trigger", "5 seconds"))
+            # normalize through duration_ms: the pipeline accepts '1s' /
+            # '500 ms' everywhere else, but Spark's trigger parser does not —
+            # render as '<n> milliseconds', which both dialects agree on
+            from bento_spark.streaming.cep import duration_ms
+
+            return {"processingTime": f"{duration_ms(str(ivl))} milliseconds"}
 
         if dlq_path and has_window and self._sink is None:
             # the window+dlq dual-query path writes the windowed output
@@ -966,6 +1042,9 @@ class Pipeline:
                 writer = self._sink.foreach_batch()
         if self._read_until is not None:
             writer = self._wrap_read_until(writer)
+        eh = self.conf.get("error_handling") or {}
+        if eh.get("strategy") == "retry":
+            writer = self._wrap_retry_writer(writer, eh)
         q = (
             df.writeStream.outputMode(out.get("mode", "append"))
             .option("checkpointLocation", checkpoint)
@@ -986,6 +1065,37 @@ class Pipeline:
 
             threading.Thread(target=monitor, daemon=True).start()
         return query
+
+    def _wrap_retry_writer(self, inner, eh: dict):
+        """Streaming `error_handling: {strategy: retry}` — the reference's
+        feedback pipeline (bundle/strict/pipeline.go) re-feeds failed
+        messages; the micro-batch analogue re-EVALUATES the epoch's plan
+        (foreachBatch frames are lazy, so each evaluation re-runs the
+        chain's transient stages — http/subprocess get real second
+        chances). Each attempt is materialized via localCheckpoint so the
+        checked rows ARE the written rows; after `max_attempts` (default 3,
+        bounded by design — the reference retries forever, which turns a
+        permanent failure into a hang), `on_exhausted` decides: 'none'
+        writes the batch with errors flagged, 'reject' writes only clean
+        rows (pair with output.dlq to capture)."""
+        max_attempts = int(eh.get("max_attempts", 3))
+        on_exhausted = eh.get("on_exhausted", "none")
+
+        def writer(batch_df, epoch_id: int) -> None:
+            has_error_col = "error" in batch_df.columns
+            mat, has_err = batch_df, False
+            for _ in range(max_attempts):
+                mat = batch_df.localCheckpoint(eager=True)
+                has_err = has_error_col and bool(
+                    mat.filter(F.col("error").isNotNull()).limit(1).take(1)
+                )
+                if not has_err:
+                    break
+            if has_err and on_exhausted == "reject":
+                mat = mat.filter(F.col("error").isNull())
+            inner(mat, epoch_id)
+
+        return writer
 
     def _wrap_read_until(self, inner):
         """Wrap the sink writer with read_until semantics: the triggering

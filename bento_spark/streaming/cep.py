@@ -22,9 +22,26 @@ Streaming plan: the step id is computed JVM-side (one CASE projection);
 applyInPandasWithState keeps open instances per key as an
 array<array<bigint>> of matched epoch-ms prefixes — state is bounded by
 `within` (instances expire as event time passes) and the watermark bounds
-replay. Processing per key is in event-time order within each batch, which
-reproduces the batch first-match semantics for in-order (watermark-bounded)
-streams.
+replay.
+
+Late-data semantics are a policy choice (`late_policy`):
+
+- ``"eager"`` (default): events are applied to open instances as they
+  arrive, in event-time order WITHIN each micro-batch. Emission is timely
+  (a completed funnel emits in the batch that delivered its final step),
+  but a permitted-late event — one inside the watermark delay that arrives
+  in a LATER micro-batch than an already-applied later-timestamp event —
+  cannot displace that event, so an emitted step timestamp may exceed the
+  batch twin's minimum. Exactly equivalent to the batch operator only for
+  streams that are in-order across micro-batches per key.
+- ``"buffer"``: events are buffered in state and applied only once the
+  watermark has passed them, so the per-key replay is globally event-time
+  ordered and the output rows are EXACTLY the batch operator's for any
+  arrival order the watermark admits. The cost is emission latency: a
+  match emits only after the watermark passes its final step (the same
+  trade append-mode windowed aggregation makes), so tail-of-stream matches
+  inside the final watermark delay are not emitted until the watermark
+  moves.
 """
 
 from __future__ import annotations
@@ -125,10 +142,19 @@ def match_sequence_stream(
     within: str,
     watermark: str = "2 minutes",
     step_names: Sequence[str] | None = None,
+    late_policy: str = "eager",
 ) -> DataFrame:
-    """Streaming twin of match_sequence over applyInPandasWithState."""
+    """Streaming twin of match_sequence over applyInPandasWithState.
+
+    late_policy: "eager" (timely, in-order equivalence) or "buffer"
+    (watermark-gated, exact batch equivalence) — module docstring has the
+    full contract.
+    """
     if len(steps) < 2:
         raise ValueError("match_sequence needs at least 2 steps")
+    if late_policy not in ("eager", "buffer"):
+        raise ValueError(f"late_policy must be 'eager' or 'buffer', got {late_policy!r}")
+    buffered = late_policy == "buffer"
     names = _names(steps, step_names)
     n = len(steps)
     w_ms = duration_ms(within)
@@ -150,48 +176,73 @@ def match_sequence_stream(
 
     def fn(k: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            pending = [list(p) for p in state.get[0]]
-            opened = set(state.get[1])
+            buf = {(int(e[0]), int(e[1])) for e in state.get[0]}
+            pending = [list(p) for p in state.get[1]]
+            opened = set(state.get[2])
         else:
-            pending, opened = [], set()
-        completed: list[list[int]] = []
+            buf, pending, opened = set(), [], set()
+        wm = state.getCurrentWatermarkMs()
+        arrived: list[tuple[int, int]] = []
         if not state.hasTimedOut:
             frames = [p for p in batches if len(p)]
             if frames:
-                rows = pd.concat(frames).sort_values("_ts_ms", kind="mergesort")
-                for ts, st in zip(rows["_ts_ms"].astype("int64"), rows["_step"].astype("int64")):
-                    ts, st = int(ts), int(st)
-                    if st == 0:
-                        # `opened` remembers every start EVER opened within the
-                        # horizon — a duplicate start row in a later batch must
-                        # not re-open an instance that was already extended or
-                        # completed (the batch twin dropDuplicates-es starts)
-                        if ts not in opened:
-                            opened.add(ts)
-                            pending.append([ts])
-                    else:
-                        for p in pending:
-                            if len(p) == st and ts > p[-1] and ts <= p[0] + w_ms:
-                                p.append(ts)  # first qualifying event extends (in-order => min)
-                                if len(p) == n:
-                                    completed.append(p)
+                rows = pd.concat(frames)
+                arrived = [(int(t), int(s)) for t, s in
+                           zip(rows["_ts_ms"].astype("int64"), rows["_step"].astype("int64"))]
+        if buffered:
+            # exact batch equivalence: an event is applied only once the
+            # watermark passes it (ts <= wm — nothing with ts < wm can
+            # arrive anymore), so replay is globally event-time ordered per
+            # key and late events land in their rightful position. Events
+            # still ahead of the watermark wait in state; the (ts, step)
+            # set dedups re-deliveries like the batch twin's dropDuplicates.
+            buf.update(arrived)
+            ready = sorted(e for e in buf if e[0] <= wm)
+            buf = {e for e in buf if e[0] > wm}
+        else:
+            # eager: apply this batch's events now, in event-time order
+            # within the batch (in-order streams => batch-equal; see module
+            # docstring for the permitted-late caveat).
+            ready = sorted(arrived)
+        completed: list[list[int]] = []
+        for ts, st in ready:
+            if st == 0:
+                # `opened` remembers every start EVER opened within the
+                # horizon — a duplicate start row in a later batch must
+                # not re-open an instance that was already extended or
+                # completed (the batch twin dropDuplicates-es starts)
+                if ts not in opened:
+                    opened.add(ts)
+                    pending.append([ts])
+            else:
+                for p in pending:
+                    if len(p) == st and ts > p[-1] and ts <= p[0] + w_ms:
+                        p.append(ts)  # first qualifying event in replay order = min
+                        if len(p) == n:
+                            completed.append(p)
         # expiry horizon: the watermark ONLY. It is the engine's promise
         # that no older event arrives — anything whose window closed before
         # it can never complete. Tightening by this batch's max event time
         # would expire instances that a permitted-late event (inside the
         # watermark delay) arriving in a LATER batch could still complete —
         # missed matches vs the batch twin.
-        wm = state.getCurrentWatermarkMs()
         pending = [p for p in pending if len(p) < n and p[0] + w_ms >= wm]
         opened = {t for t in opened if t + w_ms >= wm}
-        if pending or opened:
-            state.update((pending, sorted(opened)))
-            # event-time timeout wakes the key to garbage-collect state even
-            # if it never sees another event (idle-key leak fix); must be
-            # strictly beyond the current watermark
-            timeout = max(min(p[0] for p in pending) if pending else min(opened),
-                          state.getCurrentWatermarkMs()) + w_ms + 1
-            state.setTimeoutTimestamp(timeout)
+        if pending or opened or buf:
+            state.update((sorted(buf), pending, sorted(opened)))
+            # event-time timeout wakes the key as soon as the watermark can
+            # make progress for it: past a buffered event (so it gets
+            # applied), or past an instance window (so state is
+            # garbage-collected even if the key never sees another event).
+            # Must be strictly beyond the current watermark.
+            cands = []
+            if pending:
+                cands.append(min(p[0] for p in pending) + w_ms)
+            if opened:
+                cands.append(min(opened) + w_ms)
+            if buf:
+                cands.append(min(e[0] for e in buf))
+            state.setTimeoutTimestamp(max(min(cands), wm) + 1)
         else:
             state.remove()
         if completed:
@@ -203,7 +254,8 @@ def match_sequence_stream(
     return ev.groupBy(key).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType="pending array<array<bigint>>, opened array<bigint>",
+        stateStructType=("buffer array<array<bigint>>, "
+                         "pending array<array<bigint>>, opened array<bigint>"),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

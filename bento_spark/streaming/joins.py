@@ -38,15 +38,19 @@ def stream_stream_join(
     leftOuter (outer emits nulls only after watermark passes — same
     late-data contract as the reference's window flush).
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
-    # side-qualified refs (lw[...]/rw[...]): bare F.col would be ambiguous
-    # whenever both streams carry the same timestamp column name
+    # explicit side aliases: lw[...]/rw[...] attribute refs are ambiguous
+    # when both streams derive from the SAME staged frame (self-join
+    # lineage), and drop(rw[key]) leaves a trivially-true `key == key`
+    # self-comparison in the resolved plan's warning path
+    lw = left.withWatermark(left_ts, watermark).alias("__l")
+    rw = right.withWatermark(right_ts, watermark).alias("__r")
+    lcol = lambda c: F.col(f"__l.{c}")  # noqa: E731
+    rcol = lambda c: F.col(f"__r.{c}")  # noqa: E731
     cond = (
-        (lw[key] == rw[key])
-        & (rw[right_ts] >= lw[left_ts])
-        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_lag}"))
+        (lcol(key) == rcol(key))
+        & (rcol(right_ts) >= lcol(left_ts))
+        & (rcol(right_ts) <= lcol(left_ts) + F.expr(f"INTERVAL {max_lag}"))
     )
     joined = lw.join(rw, cond, how)
-    # collapse the duplicate key column
-    return joined.drop(rw[key])
+    return joined.select(*[lcol(c) for c in left.columns],
+                         *[rcol(c) for c in right.columns if c != key])

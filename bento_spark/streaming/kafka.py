@@ -110,10 +110,13 @@ def kafka_sink(
     servers = ",".join(addresses)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        payload_cols = [c for c in batch_df.columns if c != key_col]
+        # the FULL message is the value — the key is projected separately,
+        # not carved out of the payload (the reference's kafka output
+        # serializes the whole message and takes the key from an
+        # interpolated field: internal/impl/kafka/output_sarama_kafka.go:347)
         out = batch_df.select(
             *([F.col(key_col).cast("string").alias("key")] if key_col else []),
-            F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("value"),
+            F.to_json(F.struct(*[F.col(c) for c in batch_df.columns])).alias("value"),
         )
         (
             out.write.format("kafka")

@@ -191,6 +191,70 @@ def test_batch_overlapping_predicates_use_earliest_step(spark):
     assert out == []
 
 
+def _run_stream(spark, src, ck, **kw):
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    matched = match_sequence_stream(stream, "user_id", "ts", STEPS(), "30 seconds",
+                                    step_names=NAMES, **kw)
+    got: list[tuple] = []
+    q = (
+        matched.writeStream.outputMode("append")
+        .option("checkpointLocation", str(ck))
+        .foreachBatch(lambda df, eid: got.extend(tuple(r) for r in df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return got
+
+
+def _stage_files(spark, tmp_path, name, chunks):
+    import shutil
+
+    src = tmp_path / name
+    src.mkdir()
+    for i, chunk in enumerate(chunks):
+        stage = tmp_path / f"{name}_stage{i}"
+        _events(spark, chunk).coalesce(1).write.parquet(str(stage))
+        shutil.move(str(next(stage.glob("part-*.parquet"))), str(src / f"f{i}.parquet"))
+    return src
+
+
+def test_stream_buffer_policy_displaces_late_min(spark, tmp_path):
+    """late_policy='buffer': a permitted-late B@6 arriving AFTER B@10 was
+    seen must still win the step-1 minimum, exactly as the batch twin
+    computes it (the eager policy's documented divergence). The trailing
+    A@50/A@60 rows open instances that never complete — they exist to drag
+    the watermark forward (non-step rows can't: Catalyst pushes the step
+    filter below the EventTimeWatermark node, so only step-matching events
+    feed event-time stats); the final match is released by the event-time
+    timeout once the watermark passes C@12."""
+    f1 = [("u1", 0, "A"), ("u1", 10, "B")]   # wm after: 10s - 5s = 5s
+    f2 = [("u1", 6, "B"), ("u1", 12, "C")]   # both late-but-permitted; buffered
+    f3 = [("u1", 50, "A")]                   # wm -> 45s after this batch
+    f4 = [("u1", 60, "A")]                   # runs AT wm 45s: timeout releases 6/10/12
+    rows = f1 + f2 + f3 + f4
+    src = _stage_files(spark, tmp_path, "buf_src", [f1, f2, f3, f4])
+    batch_expected = {tuple(r) for r in match_sequence(
+        _events(spark, rows), "user_id", "ts", STEPS(), "30 seconds", NAMES
+    ).collect()}
+    base = 1_700_000_000_000
+    assert batch_expected == {("u1", base, base + 6000, base + 12_000, 12_000)}
+
+    got = _run_stream(spark, src, tmp_path / "buf_ck",
+                      watermark="5 seconds", late_policy="buffer")
+    assert set(got) == batch_expected
+
+    # eager on the same stream emits the in-order answer (b=10): the exact
+    # divergence the buffer policy exists to close
+    got_eager = _run_stream(spark, src, tmp_path / "eager_ck",
+                            watermark="5 seconds", late_policy="eager")
+    assert set(got_eager) == {("u1", base, base + 10_000, base + 12_000, 12_000)}
+
+
 def test_stream_late_event_within_watermark_completes(spark, tmp_path):
     """An instance must survive until the WATERMARK passes its window — not
     until the batch's max event time does. A later batch may deliver a

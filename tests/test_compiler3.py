@@ -232,3 +232,26 @@ def test_env_interpolation_escape():
         "a: ${NAME}\nb: $${NAME}\nc: $${OTHER:dflt}", env={"NAME": "v"}
     )
     assert out == "a: v\nb: ${NAME}\nc: ${OTHER:dflt}"
+
+
+def test_rate_limit_interval_normalized_for_trigger(spark, tmp_path):
+    """rate_limit.interval accepts the pipeline's duration syntax ('1s',
+    '500 ms'); it must be normalized before reaching Spark's trigger parser
+    (which rejects those forms) — the query must START, not die at
+    .trigger()."""
+    src = _events(spark, tmp_path)
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {src}}}
+pipeline:
+  processors:
+    - rate_limit: {{interval: 1s}}
+output:
+  path: {tmp_path}/out
+""")
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "rl_ck"), available_now=False)
+    try:
+        assert q.isActive
+    finally:
+        q.stop()
+        q.awaitTermination(30)

@@ -115,3 +115,34 @@ output:
     got = sorted(r.v for r in p.sink.read(spark).collect())
     # triggering batch delivered; the post-trigger file never lands
     assert got == [0, 10]
+
+
+# ------------------------------------------------------- object-store paths
+def test_object_store_paths_gated(spark, tmp_path):
+    """s3a/gs/abfss paths on file inputs gate on the Hadoop connector jar
+    (absent in this sandbox) with an error naming the package — the
+    Spark-native shape of the reference's aws_s3 / gcp_cloud_storage
+    connectors (internal/impl/aws/, gcp/). Local paths pass untouched;
+    s3:// normalizes to s3a:// (the maintained connector)."""
+    import pytest
+
+    from bento_spark.gating import require_object_store
+    from bento_spark.plans.compiler import compile_yaml
+
+    assert require_object_store(spark, "/tmp/x") == "/tmp/x"
+    assert require_object_store(spark, "file:///tmp/x") == "file:///tmp/x"
+    for url, pkg in [
+        ("s3a://bucket/k.parquet", "hadoop-aws"),
+        ("s3://bucket/k.parquet", "hadoop-aws"),
+        ("gs://bucket/k.parquet", "gcs-connector"),
+        ("abfss://c@acct.dfs.core.windows.net/k", "hadoop-azure"),
+    ]:
+        with pytest.raises(RuntimeError, match=pkg):
+            require_object_store(spark, url)
+    # the gate fires at compile-the-input time, not deep inside a scan
+    p = compile_yaml("""
+input:
+  parquet: {path: "s3a://bucket/clips/"}
+""")
+    with pytest.raises(RuntimeError, match="hadoop-aws"):
+        p.build_batch(spark)

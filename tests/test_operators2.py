@@ -185,6 +185,68 @@ def test_cached_memoization(spark, tmp_path):
     assert second == {1: 100, 2: 200, 3: 300}
 
 
+def test_cache_ttl_expiry_on_read_and_compact_sweep(spark, tmp_path):
+    """TTL semantics (processor_cache.go:125-150): expired entries are
+    absent on read, an expired newest write hides older values, add treats
+    expired keys as absent, and compact sweeps expired rows while
+    preserving surviving TTLs."""
+    T0 = 1_000_000  # pinned clock (ms) — no wall time in the data path
+    c = KeyValueCache(spark, str(tmp_path / "ttl_kv"), key_col="k")
+    c.set(spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]), ttl=60, now_ms=T0)
+    c.set(spark.createDataFrame([("p", 9)], ["k", "v"]))  # no ttl: immortal
+
+    # inside the ttl window: all present
+    assert {r.k: r.v for r in c.snapshot(now_ms=T0 + 59_000).collect()} == {"a": 1, "b": 2, "p": 9}
+    # past it: ttl'd entries expired on read
+    assert {r.k: r.v for r in c.snapshot(now_ms=T0 + 61_000).collect()} == {"p": 9}
+
+    # an expired NEWEST write hides the older unexpired value (set replaces
+    # value AND ttl; expiry = absent, not resurrect-predecessor)
+    c.set(spark.createDataFrame([("p", 10)], ["k", "v"]), ttl="30s", now_ms=T0)
+    assert {r.k: r.v for r in c.snapshot(now_ms=T0 + 10_000).collect()}["p"] == 10
+    assert "p" not in {r.k for r in c.snapshot(now_ms=T0 + 31_000).collect()}
+
+    # add: an expired key counts as absent (no rejection)
+    rejected = c.add(spark.createDataFrame([("a", 100)], ["k", "v"]), now_ms=T0 + 61_000)
+    assert rejected.count() == 0
+    assert {r.k: r.v for r in c.snapshot(now_ms=T0 + 61_000).collect()} == {"a": 100}
+    # ...but an unexpired key still rejects
+    rejected = c.add(spark.createDataFrame([("b", 200)], ["k", "v"]), now_ms=T0 + 30_000)
+    assert [r.k for r in rejected.collect()] == ["b"]
+
+    # compact sweeps expired rows and PRESERVES surviving expiries
+    c2 = KeyValueCache(spark, str(tmp_path / "ttl_kv2"), key_col="k")
+    c2.set(spark.createDataFrame([("x", 1)], ["k", "v"]), ttl=60, now_ms=T0)
+    c2.set(spark.createDataFrame([("y", 2)], ["k", "v"]), ttl=10, now_ms=T0)
+    c2.compact(now_ms=T0 + 11_000)  # y expired at compact time
+    assert len(c2._versions()) == 1
+    assert {r.k for r in c2.snapshot(now_ms=T0 + 12_000).collect()} == {"x"}
+    # x's original expiry survives the rewrite: gone after T0+60s
+    assert {r.k for r in c2.snapshot(now_ms=T0 + 61_000).collect()} == set()
+
+
+def test_cached_ttl_recomputes_expired(spark, tmp_path):
+    """cached() with ttl: an expired memo key recomputes (and re-caches)."""
+    T0 = 5_000_000
+    c = KeyValueCache(spark, str(tmp_path / "memo_ttl"), key_col="key")
+
+    def compute_v1(d):
+        return d.withColumn("out", F.col("n") * 100)
+
+    def compute_v2(d):
+        return d.withColumn("out", F.col("n") * 1000)
+
+    df = spark.createDataFrame([(1,), (2,)], ["n"])
+    first = {r.n: r.out for r in cached(c, ["n"], compute_v1, ttl=60, now_ms=T0)(df).collect()}
+    assert first == {1: 100, 2: 200}
+    # inside ttl: memoized v1 results served even though compute changed
+    warm = {r.n: r.out for r in cached(c, ["n"], compute_v2, ttl=60, now_ms=T0 + 30_000)(df).collect()}
+    assert warm == {1: 100, 2: 200}
+    # past ttl: recomputed with v2
+    cold = {r.n: r.out for r in cached(c, ["n"], compute_v2, ttl=60, now_ms=T0 + 61_000)(df).collect()}
+    assert cold == {1: 1000, 2: 2000}
+
+
 # ---------------------------------------------------------------- as-of join
 def test_asof_join_backward_forward(spark):
     quotes = spark.createDataFrame(

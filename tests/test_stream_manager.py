@@ -1,0 +1,104 @@
+"""Streams mode: N named pipelines in one session with CRUD + /ready +
+/stats (stream/manager/api.go:31-57, api/api.go:150-203)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+from bento_spark.streaming.manager import StreamManager
+from bento_spark.streaming.sink import IdempotentParquetSink
+
+
+def _conf(src, out, trigger="500 ms"):
+    return f"""
+input:
+  parquet: {{path: {src}, schema: "id int, v int"}}
+pipeline:
+  processors:
+    - mapping: 'root.doubled = this.v * 2'
+output:
+  path: {out}
+  trigger: {trigger}
+"""
+
+
+def _stage(spark, tmp_path, name, rows):
+    src = tmp_path / name
+    spark.createDataFrame(rows, "id int, v int").write.parquet(str(src))
+    return src
+
+
+def _wait(cond, timeout_s=60.0):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout_s:
+        if cond():
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_two_streams_crud_ready_stats(spark, tmp_path):
+    s1 = _stage(spark, tmp_path, "in1", [(1, 10), (2, 20)])
+    s2 = _stage(spark, tmp_path, "in2", [(3, 30), (4, 40), (5, 50)])
+    mgr = StreamManager(spark, str(tmp_path / "cks"))
+    try:
+        mgr.create("alpha", _conf(s1, tmp_path / "out1"))
+        mgr.create("beta", _conf(s2, tmp_path / "out2"))
+        assert mgr.ids() == ["alpha", "beta"]
+        assert mgr.ready()
+
+        # duplicate id rejected (manager returns 400 on existing)
+        try:
+            mgr.create("alpha", _conf(s1, tmp_path / "dup"))
+            raise AssertionError("duplicate create must fail")
+        except ValueError:
+            pass
+
+        # per-stream stats reflect each stream's OWN rows
+        assert _wait(lambda: mgr.stats("alpha")["input_rows_total"] >= 2)
+        assert _wait(lambda: mgr.stats("beta")["input_rows_total"] >= 3)
+        st_a, st_b = mgr.stats("alpha"), mgr.stats("beta")
+        assert st_a["input_rows_total"] == 2 and st_b["input_rows_total"] == 3
+        assert st_a["active"] and st_a["uptime_s"] > 0
+
+        # the sinks actually wrote (independent exactly-once pipelines)
+        assert _wait(
+            lambda: IdempotentParquetSink(str(tmp_path / "out1")).read(spark).count() == 2
+        )
+        out2 = IdempotentParquetSink(str(tmp_path / "out2")).read(spark)
+        assert _wait(lambda: out2.count() == 3)
+        assert {r.doubled for r in out2.collect()} == {60, 80, 100}
+
+        # HTTP surface
+        port = mgr.serve()
+        base = f"http://127.0.0.1:{port}"
+
+        def get(path, expect=200):
+            try:
+                with urllib.request.urlopen(base + path) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        assert get("/ping") == (200, {"pong": True})
+        code, ready = get("/ready")
+        assert code == 200 and ready["ready"] is True
+        code, listing = get("/streams")
+        assert code == 200 and set(listing) == {"alpha", "beta"}
+        assert all(v["active"] for v in listing.values())
+        code, st = get("/streams/alpha/stats")
+        assert code == 200 and st["input_rows_total"] == 2
+        code, _ = get("/streams/nope/stats")
+        assert code == 404
+
+        # DELETE stops and deregisters; the other stream is untouched
+        req = urllib.request.Request(base + "/streams/alpha", method="DELETE")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        assert mgr.ids() == ["beta"]
+        assert mgr.ready()
+        assert mgr.stats("beta")["active"]
+    finally:
+        mgr.stop_all()

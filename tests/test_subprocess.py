@@ -71,6 +71,32 @@ def test_subprocess_stderr_errors_row(spark):
     assert "rejected: bad-2" in out[1].error
 
 
+# writes BOTH a stdout response and a stderr line for 'noisy' rows — the
+# leftover entry must not be dequeued by the NEXT row (lockstep desync)
+BOTH = (
+    "import sys\n"
+    "for line in sys.stdin:\n"
+    "    if 'noisy' in line:\n"
+    "        sys.stderr.write('warned: ' + line); sys.stderr.flush()\n"
+    "    sys.stdout.write(line); sys.stdout.flush()\n"
+)
+
+
+def test_subprocess_both_streams_no_desync(spark):
+    """A stdout+stderr double response for one message must not shift the
+    stderr verdict onto a later clean row."""
+    df = spark.createDataFrame(
+        [(1, "noisy-1"), (2, "ok-2"), (3, "ok-3"), (4, "noisy-4"), (5, "ok-5")],
+        "id int, text string",
+    )
+    out = subprocess_map(df.coalesce(1), PY, ["-u", "-c", BOTH]).orderBy("id").collect()
+    # clean rows MUST stay clean whatever the noisy rows resolved to
+    for r in out:
+        if "ok" in r.text:
+            assert r.error is None, f"stderr leaked onto clean row {r.id}: {r.error}"
+    assert [r.text for r in out] == ["noisy-1", "ok-2", "ok-3", "noisy-4", "ok-5"]
+
+
 def test_subprocess_restarts_dead_child(spark):
     df = spark.createDataFrame([(i, f"m{i}") for i in range(5)], "id int, text string")
     out = subprocess_map(df.coalesce(1), PY, ["-u", "-c", QUITTER]).orderBy("id").collect()
