@@ -1048,8 +1048,15 @@ _AUDIO_N = 512
 
 
 def q_audio_features_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clips = clips_df(spark, _AUDIO_N)
-    feats = with_audio_features(clips)
+    """Flagship: generate -> decode -> features -> tumbling window. The
+    generate+decode+features stages are FUSED into one Arrow pass
+    (clips_features_df): Spark does not fuse adjacent mapInPandas stages,
+    so the unfused pair ships the multi-MB payload across the Arrow pipe 4
+    legs; fusion keeps `bytes` inside one Python invocation (identical
+    rows — equivalence tested in test_audio)."""
+    from bento_spark.audio.generate import clips_features_df
+
+    feats = clips_features_df(spark, _AUDIO_N)
     out = tumbling_windowed(
         feats,
         "event_ts",

@@ -139,3 +139,31 @@ def clips_df(spark, n_rows: int, seed: int = 42, event_step_ms: int = 100, parti
 
     rng = spark.range(n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen, schema=CLIP_SCHEMA)
+
+
+def clips_features_df(spark, n_rows: int, seed: int = 42, event_step_ms: int = 100,
+                      partitions: int | None = None):
+    """Fused generate -> decode -> features in ONE Arrow stage.
+
+    `clips_df(...)` then `with_audio_features(...)` is two mapInPandas
+    stages: Spark does not fuse adjacent Python stages, so the multi-MB
+    payload crosses the Arrow pipe FOUR legs (Python->JVM after synthesis,
+    JVM->Python for decode) instead of zero. For generate-input pipelines
+    that reduce to scalar features (the bench/flagship shape, reference
+    `generate` -> processors), this fusion keeps `bytes` inside one Python
+    worker invocation — identical output to the unfused pair (same
+    synth/decode/feature kernels, same row identity)."""
+    from bento_spark.audio.udfs import AUDIO_FEATURE_COLS, audio_feature_frame
+
+    out_schema = (
+        "clip_id string, sr_hz int, dur_ms int, codec string, "
+        "transcript string, event_ts timestamp, " + AUDIO_FEATURE_COLS
+    )
+
+    def gen_feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = clip_row_pandas(pdf["id"].values, seed=seed, event_step_ms=event_step_ms)
+            yield audio_feature_frame(rows, keep_cols=[c for c in rows.columns if c != "bytes"])
+
+    rng = spark.range(n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen_feats, schema=out_schema)

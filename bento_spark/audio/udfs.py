@@ -152,25 +152,31 @@ def with_audio_features(df: DataFrame, keep_payload: bool = False) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_s, rms, peak, zcr, dur = [], [], [], [], []
-            for raw, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
-                sr_i = _sr_int(sr)
-                pcm = decode_clip(raw, codec, sr_i)
-                n = pcm.size
-                n_s.append(n)
-                rms.append(float(np.sqrt(np.mean(pcm**2))) if n else 0.0)
-                peak.append(float(np.abs(pcm).max()) if n else 0.0)
-                zcr.append(float(np.mean(np.abs(np.diff(np.signbit(pcm)).astype(np.float32)))) if n > 1 else 0.0)
-                dur.append(n / sr_i if sr_i else 0.0)
-            out = pdf[keep_cols].copy()
-            out["n_samples"] = pd.array(n_s, dtype="int64")
-            out["rms"] = rms
-            out["peak"] = peak
-            out["zcr"] = zcr
-            out["clip_s"] = dur
-            yield out
+            yield audio_feature_frame(pdf, keep_cols)
 
     return df.mapInPandas(feats, schema=out_schema)
+
+
+def audio_feature_frame(pdf: pd.DataFrame, keep_cols: list[str]) -> pd.DataFrame:
+    """pandas-level decode+features kernel — shared by the standalone
+    with_audio_features stage and the fused generate.clips_features_df."""
+    n_s, rms, peak, zcr, dur = [], [], [], [], []
+    for raw, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
+        sr_i = _sr_int(sr)
+        pcm = decode_clip(raw, codec, sr_i)
+        n = pcm.size
+        n_s.append(n)
+        rms.append(float(np.sqrt(np.mean(pcm**2))) if n else 0.0)
+        peak.append(float(np.abs(pcm).max()) if n else 0.0)
+        zcr.append(float(np.mean(np.abs(np.diff(np.signbit(pcm)).astype(np.float32)))) if n > 1 else 0.0)
+        dur.append(n / sr_i if sr_i else 0.0)
+    out = pdf[keep_cols].copy()
+    out["n_samples"] = pd.array(n_s, dtype="int64")
+    out["rms"] = rms
+    out["peak"] = peak
+    out["zcr"] = zcr
+    out["clip_s"] = dur
+    return out
 
 
 SPECTRAL_FEATURE_COLS = (

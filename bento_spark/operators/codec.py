@@ -100,6 +100,10 @@ _GROK = {
     "GREEDYDATA": r".*",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
     "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN|ERROR|FATAL",
+    # backtrack-free "data up to ]": GREEDYDATA's `.*` before a literal \]
+    # backtracks from end-of-line per row — a negated class is linear
+    # (measured on 100k CLF rows, BENCH/ROUND3_NOTES.md)
+    "NOTRBRACKET": r"[^\]]*",
 }
 
 
@@ -126,7 +130,8 @@ def grok_pattern_to_regex(pattern: str) -> tuple[str, list[str]]:
     return regex, fields
 
 
-def grok(df: DataFrame, col: str, pattern: str, keep_source: bool = True) -> DataFrame:
+def grok(df: DataFrame, col: str, pattern: str, keep_source: bool = True,
+         anchored: bool = False) -> DataFrame:
     """Extract grok fields into columns, fully codegen'd
     (processor_grok.go:104; parse_log presets processor_parse_log.go:105).
 
@@ -135,13 +140,25 @@ def grok(df: DataFrame, col: str, pattern: str, keep_source: bool = True) -> Dat
     regexp_like flags non-matches (N regexp_extract calls would re-run the
     same Java regex N+1 times per row — the reference matches once too).
     Subexpression elimination shares the replace/split across the field
-    projections."""
+    projections.
+
+    `anchored=True` requires the pattern to match at the START of the
+    value: the default find-anywhere form carries a lazy `[\\s\\S]*?`
+    prefix that re-tries the pattern at every offset — on non-trivial
+    patterns (CLF's IPORHOST alternation) that is the dominant cost
+    (~2x measured on 100k CLF rows, BENCH/ROUND3_NOTES.md). Formats that
+    define the whole line (parse_log presets) should anchor."""
     regex, fields = grok_pattern_to_regex(pattern)
     sep = "\x01"
-    anchored = r"\A[\s\S]*?(?:" + regex + r")[\s\S]*\Z"
+    if anchored:
+        full = r"\A(?:" + regex + r")[\s\S]*\Z"
+        match_re = r"\A(?:" + regex + ")"
+    else:
+        full = r"\A[\s\S]*?(?:" + regex + r")[\s\S]*\Z"
+        match_re = regex
     repl = sep.join(f"${i}" for i in range(1, len(fields) + 1))
-    matched = F.regexp_like(F.col(col), F.lit(regex))
-    packed = F.split(F.regexp_replace(F.col(col), anchored, repl), sep)
+    matched = F.regexp_like(F.col(col), F.lit(match_re))
+    packed = F.split(F.regexp_replace(F.col(col), full, repl), sep)
     out = df
     for i, f_name in enumerate(fields, start=1):
         out = out.withColumn(
@@ -153,9 +170,11 @@ def grok(df: DataFrame, col: str, pattern: str, keep_source: bool = True) -> Dat
 
 
 # Common Log Format preset — parse_log processor's `apache_common` codec.
+# NOTRBRACKET (not GREEDYDATA) for the timestamp: same extraction on CLF
+# lines, no per-row backtracking.
 CLF_PATTERN = (
     "%{IP:remote_ip} %{NOTSPACE:identd} %{NOTSPACE:auth} "
-    r"\[%{GREEDYDATA:ts_raw}\] "
+    r"\[%{NOTRBRACKET:ts_raw}\] "
     '"%{WORD:verb} %{NOTSPACE:request} %{NOTSPACE:proto}" '
     "%{INT:status} %{INT:size}"
 )
@@ -164,7 +183,9 @@ CLF_PATTERN = (
 def parse_log(df: DataFrame, col: str, fmt: str = "apache_common") -> DataFrame:
     if fmt != "apache_common":
         raise ValueError(f"unsupported log format: {fmt}")
-    out = grok(df, col, CLF_PATTERN)
+    # CLF defines the line from column 0: anchored match skips the
+    # find-anywhere scan (measured ~2x on 100k rows)
+    out = grok(df, col, CLF_PATTERN, anchored=True)
     # try_cast: non-matching lines extract "" (they carry the grok error flag)
     return out.withColumn("status", F.col("status").try_cast("int")).withColumn(
         "size", F.col("size").try_cast("long")

@@ -159,16 +159,34 @@ def subprocess_map(
                 except Exception:  # noqa: BLE001
                     pass
 
-        def drain(q) -> None:
+        def drain(q) -> int:
             # lockstep hygiene: leftovers from a row that produced BOTH a
             # stdout response and a stderr line (only one is consumed) must
             # not be dequeued by the NEXT row — that mis-attributes the
             # message and desyncs the protocol for the rest of the partition
+            n = 0
             while True:
                 try:
                     q.get_nowait()
+                    n += 1
                 except _queue.Empty:
+                    return n
+
+        def settle_drain() -> None:
+            # after ANY stderr activity the previous row may have an
+            # in-flight companion (written by the child before it blocked on
+            # the next read, but not yet through the pump threads — GIL
+            # scheduling can lag them by ms under load). Bounded quiesce:
+            # sleep yields the GIL so the pumps run; stop after one fully
+            # quiet pass. Only suspect rows pay this; clean pipelines skip.
+            deadline = time.monotonic() + 0.05
+            while time.monotonic() < deadline:
+                moved = drain(state["q_out"]) + drain(state["q_err"])
+                pipes = [p for p in (state["proc"].stdout, state["proc"].stderr) if p]
+                readable = _select.select(pipes, [], [], 0)[0] if pipes else []
+                if not moved and not readable:
                     return
+                time.sleep(0.001)
 
         def exchange(value):
             """One lockstep round trip -> (new_value, error)."""
@@ -184,8 +202,11 @@ def subprocess_map(
                         start()
                     except OSError as e:
                         return value, f"subprocess start failed: {e}"
-                drain(state["q_out"])
-                drain(state["q_err"])
+                if state.get("suspect"):
+                    settle_drain()
+                    state["suspect"] = False
+                elif drain(state["q_out"]) + drain(state["q_err"]):
+                    settle_drain()
                 try:
                     state["proc"].stdin.write(frame_payload(data, codec_send))
                     state["proc"].stdin.flush()
@@ -199,10 +220,10 @@ def subprocess_map(
                         err = state["q_err"].get_nowait()
                         # a both-streams child (stderr verdict + stdout echo
                         # for the same message) leaves the echo in flight; a
-                        # bounded companion-consume keeps it from offsetting
-                        # the next row (children write the pair back-to-back,
-                        # so 20ms is ample; the pre-write drain is the
-                        # second-line guard)
+                        # bounded companion-consume plus the suspect-row
+                        # settle before the NEXT write keeps it from
+                        # offsetting later rows
+                        state["suspect"] = True
                         try:
                             state["q_out"].get(timeout=0.02)
                         except _queue.Empty:
@@ -229,6 +250,7 @@ def subprocess_map(
                                 except _queue.Empty:
                                     pass
                         if err is not None:
+                            state["suspect"] = True
                             return value, f"subprocess stderr: {err.decode('utf-8', 'replace')}"
                         return (bytes(out) if is_binary else out.decode("utf-8", "replace")), None
                     except _queue.Empty:

@@ -238,6 +238,35 @@ class Pipeline:
             col = (inp["stdin"] or {}).get("column", "line")
             rows = [(ln.rstrip("\n"),) for ln in _sys.stdin]
             return spark.createDataFrame(rows, f"{col} string")
+        if "http_client" in inp:
+            # polling HTTP source (input_http_client.go) via the spool
+            # bridge; the poller starts via start_http_poller()
+            o = inp["http_client"]
+            if not streaming:
+                raise ValueError("http_client input is streaming-only (polled source)")
+            from bento_spark.streaming.http_server import read_spool_stream
+
+            return read_spool_stream(
+                spark,
+                o["spool_dir"],
+                whole_body=bool(o.get("whole_body", True)),
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
+        if "socket_server" in inp:
+            # listener-side TCP ingestion (input_socket_server.go) via the
+            # spool bridge — replayable, unlike the raw socket source; the
+            # listener itself starts via start_socket_listener()
+            o = inp["socket_server"]
+            if not streaming:
+                raise ValueError("socket_server input is streaming-only (push source)")
+            from bento_spark.streaming.http_server import read_spool_stream
+
+            return read_spool_stream(
+                spark,
+                o["spool_dir"],
+                whole_body=not bool(o.get("lines", True)),
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "socket" in inp:
             # TCP line source (reference net input internal/impl/io/
             # input_socket.go) — Spark's native socket source; dev/debug
@@ -331,6 +360,40 @@ class Pipeline:
             host=host or "127.0.0.1",
             port=int(port or 0),
             path=o.get("path", "/post"),
+        ).start()
+
+    def start_http_poller(self):
+        """Start the driver-side poller for an `input.http_client` pipeline
+        and return its handle (caller owns `.stop()`)."""
+        o = (self.conf.get("input") or {}).get("http_client")
+        if not o:
+            raise ValueError("pipeline has no input.http_client section")
+        from bento_spark.streaming.http_server import HttpPollSpooler
+
+        from bento_spark.streaming.cep import duration_ms
+
+        return HttpPollSpooler(
+            url=o["url"],
+            spool_dir=o["spool_dir"],
+            interval_s=duration_ms(str(o.get("interval", "1s"))) / 1000.0,
+            method=o.get("method", "GET"),
+            headers=o.get("headers"),
+            drop_empty=bool(o.get("drop_empty", True)),
+            drop_repeats=bool(o.get("drop_repeats", False)),
+        ).start()
+
+    def start_socket_listener(self):
+        """Start the TCP listener for an `input.socket_server` pipeline and
+        return its handle (caller owns `.stop()`; `.address` is (host,
+        port)). Same runtime-resource/plan split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("socket_server")
+        if not o:
+            raise ValueError("pipeline has no input.socket_server section")
+        from bento_spark.streaming.http_server import TcpSpoolServer
+
+        host, _, port = str(o.get("address", "127.0.0.1:0")).partition(":")
+        return TcpSpoolServer(
+            spool_dir=o["spool_dir"], host=host or "127.0.0.1", port=int(port or 0)
         ).start()
 
     # ------------------------------------------------------------- processors
@@ -932,9 +995,11 @@ class Pipeline:
             or out.get("round_robin")
             or out.get("kafka")
             or out.get("fallback")
+            or out.get("http_client")
         ):
             raise ValueError(
-                "output.path (or switch/fan_out/round_robin/kafka/fallback) required for run_stream"
+                "output.path (or switch/fan_out/round_robin/kafka/fallback/"
+                "http_client) required for run_stream"
             )
         if "path" in out:
             self._sink = IdempotentParquetSink(require_object_store(spark, out["path"]),
@@ -1014,6 +1079,17 @@ class Pipeline:
             df = self.build_stream(spark)
             k = out["kafka"]
             writer = kafka_sink(spark, k["addresses"], k["topic"], key_col=k.get("key"))
+        elif out.get("http_client"):
+            # per-row JSON POSTs, executor-side pooled connections,
+            # at-least-once via micro-batch retry (output_http_client.go)
+            from bento_spark.streaming.sink import http_post_writer
+
+            df = self.build_stream(spark)
+            h = out["http_client"]
+            writer = http_post_writer(
+                h["url"], method=h.get("method", "POST"), headers=h.get("headers"),
+                timeout=float(h.get("timeout", 10)),
+            )
         elif out.get("fallback"):
             # ordered try-next-sink failover (output_fallback.go:18)
             from bento_spark.streaming.sink import fallback_writer

@@ -104,6 +104,131 @@ class HttpSpoolServer:
             self._httpd = None
 
 
+@dataclass
+class TcpSpoolServer:
+    """`socket_server` input: accept TCP connections, spool each
+    connection's newline-delimited payload as ONE durable file at
+    connection close (reference input_socket_server.go — tcp listener +
+    lines scanner; the udp/unix families share the semantics).
+
+    Same spool-bridge rationale as HttpSpoolServer: a push socket can
+    never be a replayable Structured Streaming source, so durability
+    happens at the listener and the stream is a plain file source with its
+    offset-log guarantees. Connection == batch: the file becomes visible
+    (atomic rename) only after the sender closes, so the file source never
+    reads a half-sent payload. Dev-grade like the reference's (no TLS)."""
+
+    spool_dir: str
+    host: str = "127.0.0.1"
+    port: int = 0  # 0 = ephemeral
+    _server: object = field(default=None, repr=False)
+    _thread: threading.Thread | None = field(default=None, repr=False)
+
+    def start(self) -> "TcpSpoolServer":
+        import socketserver
+
+        spool = Path(self.spool_dir)
+        spool.mkdir(parents=True, exist_ok=True)
+        seq = {"n": 0}
+        lock = threading.Lock()
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                data = self.rfile.read()
+                if not data:
+                    return
+                with lock:
+                    seq["n"] += 1
+                    i = seq["n"]
+                name = f"{i:012d}-{uuid.uuid4().hex}.msg"
+                tmp = spool / f".{name}.tmp"
+                tmp.write_bytes(data)
+                tmp.rename(spool / name)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((self.host, self.port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return (self.host, self.port)
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+
+@dataclass
+class HttpPollSpooler:
+    """`http_client` input: poll a URL on an interval and spool each
+    response body as one durable file (reference
+    internal/impl/io/input_http_client.go — GET-per-interval with an
+    optional payload; streaming codecs apply downstream).
+
+    Spool-bridge rationale as above: polling is a side effect, the stream
+    is the replayable file source. Dedup of identical consecutive
+    responses is opt-in (`drop_repeats`, the reference's drop_empty
+    cousin): pollers against mostly-static endpoints would otherwise spool
+    one copy per tick."""
+
+    url: str
+    spool_dir: str
+    interval_s: float = 1.0
+    method: str = "GET"
+    headers: dict | None = None
+    drop_empty: bool = True
+    drop_repeats: bool = False
+    _stop: threading.Event = field(default_factory=threading.Event, repr=False)
+    _thread: threading.Thread | None = field(default=None, repr=False)
+
+    def start(self) -> "HttpPollSpooler":
+        import urllib.request
+
+        spool = Path(self.spool_dir)
+        spool.mkdir(parents=True, exist_ok=True)
+        seq = {"n": 0}
+        state = {"last": None}
+
+        def poll_loop() -> None:
+            while not self._stop.is_set():
+                try:
+                    req = urllib.request.Request(
+                        self.url, method=self.method, headers=self.headers or {}
+                    )
+                    with urllib.request.urlopen(req, timeout=10) as resp:
+                        body = resp.read()
+                    if (body or not self.drop_empty) and not (
+                        self.drop_repeats and body == state["last"]
+                    ):
+                        state["last"] = body
+                        seq["n"] += 1
+                        name = f"{seq['n']:012d}-{uuid.uuid4().hex}.msg"
+                        tmp = spool / f".{name}.tmp"
+                        tmp.write_bytes(body)
+                        tmp.rename(spool / name)
+                except Exception:  # noqa: BLE001 — poll faults retry next tick
+                    pass
+                self._stop.wait(self.interval_s)
+
+        self._thread = threading.Thread(target=poll_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+
 def read_spool_stream(
     spark: SparkSession,
     spool_dir: str,

@@ -218,3 +218,41 @@ def prometheus_text(totals: dict, prefix: str = "bento") -> str:
         lines.append(f"# TYPE {name} {kind}")
         lines.append(f"{name} {val}")
     return "\n".join(lines) + "\n"
+
+
+def statsd_lines(totals: dict, prefix: str = "bento") -> list[str]:
+    """Render listener totals as statsd wire lines (the public `name:value|c`
+    / `|g` protocol — the reference's statsd metrics component,
+    /root/reference/internal/impl/statsd/metrics_statsd.go, emits the same
+    counter/gauge split)."""
+    kinds = {
+        "input_received": "c",
+        "output_sent": "c",
+        "batch_created": "c",
+        "state_rows_last": "g",
+        "max_watermark_lag_ms": "g",
+    }
+    out = []
+    for key, kind in kinds.items():
+        val = totals.get(key)
+        if val is not None:
+            out.append(f"{prefix}.{key}:{val}|{kind}")
+    return out
+
+
+def statsd_export(totals: dict, host: str = "127.0.0.1", port: int = 8125,
+                  prefix: str = "bento") -> int:
+    """Fire listener totals at a statsd daemon over UDP (one datagram per
+    metric, the protocol's canonical framing). Returns the number of
+    metrics sent. UDP is fire-and-forget by design — no availability gate
+    needed, exactly like the reference's statsd client."""
+    import socket
+
+    lines = statsd_lines(totals, prefix)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        for line in lines:
+            sock.sendto(line.encode("utf-8"), (host, port))
+    finally:
+        sock.close()
+    return len(lines)

@@ -280,3 +280,50 @@ def dlq_split_writer(
 ) -> Callable[[DataFrame, int], None]:
     """reject_errored semantics: errored rows -> DLQ sink, rest -> main."""
     return route_outputs([(F.col(error_col).isNotNull(), dlq), (None, main)])
+
+
+def http_post_writer(
+    url: str,
+    method: str = "POST",
+    headers: dict | None = None,
+    timeout: float = 10.0,
+):
+    """`http_client` output (internal/impl/io/output_http_client.go): each
+    row POSTs as one JSON request — serialization happens JVM-side
+    (to_json), the requests fire EXECUTOR-side with one pooled keep-alive
+    connection per partition (never a driver loop). A non-2xx/connection
+    fault raises, failing the micro-batch so Spark retries it —
+    at-least-once into the remote, exactly the reference output's retry
+    contract (HTTP has no transactional sink)."""
+    hdrs = {"Content-Type": "application/json", **(headers or {})}
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        payloads = batch_df.select(
+            F.to_json(F.struct(*[F.col(c) for c in batch_df.columns])).alias("v")
+        )
+
+        def send(rows) -> None:
+            # imported here: worker closures must re-resolve submodules
+            # (a captured `http.client` unpickles as the bare package)
+            import http.client
+            import urllib.parse
+
+            u = urllib.parse.urlsplit(url)
+            cls = http.client.HTTPSConnection if u.scheme == "https" else http.client.HTTPConnection
+            conn = cls(u.hostname, u.port or (443 if u.scheme == "https" else 80), timeout=timeout)
+            path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+            try:
+                for row in rows:
+                    conn.request(method, path, body=row.v.encode("utf-8"), headers=hdrs)
+                    resp = conn.getresponse()
+                    resp.read()
+                    if resp.status >= 300:
+                        raise RuntimeError(
+                            f"http_client output: {resp.status} from {url} (epoch {epoch_id})"
+                        )
+            finally:
+                conn.close()
+
+        payloads.foreachPartition(send)
+
+    return write_batch

@@ -174,13 +174,82 @@ def otel_available() -> bool:
         return False
 
 
-def to_otel(tracer: Tracer, endpoint: str | None = None) -> None:
-    """Replay recorded spans through the real OTel SDK (requires the
-    opentelemetry-sdk package — absent in this sandbox, so gated with a
-    clear error like the kafka/avro paths)."""
+def to_otel(tracer: Tracer, endpoint: str | None = None, exporter=None):
+    """Replay recorded spans through the real OTel SDK, preserving
+    trace/span ids, parent links, timestamps, events, and error status.
+
+    Availability-gated (the opentelemetry-sdk package is an optional
+    dependency, like the kafka/avro jars). `endpoint` wires the OTLP gRPC
+    exporter when opentelemetry-exporter-otlp is installed; `exporter`
+    accepts any SpanExporter (tests pass InMemorySpanExporter); with
+    neither, spans print via ConsoleSpanExporter. Returns the SDK
+    TracerProvider (callers may force_flush/shutdown again)."""
     if not otel_available():
         raise RuntimeError(
             "to_otel requires the opentelemetry-sdk package; "
             "pip install opentelemetry-sdk opentelemetry-exporter-otlp"
         )
-    raise NotImplementedError("wire to opentelemetry.sdk.trace when the package is present")
+    from opentelemetry.sdk.resources import Resource
+    from opentelemetry.sdk.trace import TracerProvider
+    from opentelemetry.sdk.trace.export import ConsoleSpanExporter, SimpleSpanProcessor
+    from opentelemetry.sdk.trace.id_generator import IdGenerator
+    from opentelemetry.trace import (
+        NonRecordingSpan,
+        SpanContext,
+        Status,
+        StatusCode,
+        TraceFlags,
+        set_span_in_context,
+    )
+
+    if exporter is None:
+        if endpoint is not None:
+            from opentelemetry.exporter.otlp.proto.grpc.trace_exporter import (
+                OTLPSpanExporter,
+            )
+
+            exporter = OTLPSpanExporter(endpoint=endpoint)
+        else:
+            exporter = ConsoleSpanExporter()
+
+    class _ReplayIds(IdGenerator):
+        """The SDK mints ids via its IdGenerator; feeding it the recorded
+        ids keeps the replayed trace graph identical to the recording."""
+
+        trace_id = 0
+        span_id = 0
+
+        def generate_trace_id(self) -> int:
+            return self.trace_id
+
+        def generate_span_id(self) -> int:
+            return self.span_id
+
+    ids = _ReplayIds()
+    provider = TracerProvider(
+        resource=Resource.create({"service.name": tracer.service_name}),
+        id_generator=ids,
+    )
+    provider.add_span_processor(SimpleSpanProcessor(exporter))
+    sdk_tracer = provider.get_tracer("bento_spark")
+    for s in tracer.spans:
+        ids.trace_id = int(s.trace_id, 16)
+        ids.span_id = int(s.span_id, 16)
+        ctx = None
+        if s.parent_id:
+            parent_sc = SpanContext(
+                int(s.trace_id, 16), int(s.parent_id, 16),
+                is_remote=False, trace_flags=TraceFlags(TraceFlags.SAMPLED),
+            )
+            ctx = set_span_in_context(NonRecordingSpan(parent_sc))
+        span = sdk_tracer.start_span(
+            s.name, context=ctx, start_time=s.start_ns,
+            attributes={k: v for k, v in s.attrs.items() if v is not None},
+        )
+        for ev in s.events:
+            span.add_event(ev["name"], ev.get("attrs") or {})
+        if s.status == "ERROR":
+            span.set_status(Status(StatusCode.ERROR))
+        span.end(end_time=s.end_ns or s.start_ns)
+    provider.force_flush()
+    return provider

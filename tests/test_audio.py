@@ -153,3 +153,17 @@ def test_audio_udfs_null_sample_rate_survives(spark):
     row2 = with_normalized_clip(df).collect()[0]
     assert row2.clip_id == "c1"
     assert row2.bytes is None or len(bytes(row2.bytes)) == 0  # no payload fabricated
+
+
+def test_fused_generate_features_equals_unfused(spark):
+    """clips_features_df (one Arrow pass) must produce EXACTLY the rows of
+    clips_df |> with_audio_features (two passes) — the fusion is an IO
+    optimization, never a semantic change."""
+    from bento_spark.audio.generate import clips_df, clips_features_df
+    from bento_spark.audio.udfs import with_audio_features
+
+    fused = clips_features_df(spark, 64).orderBy("clip_id").collect()
+    unfused = with_audio_features(clips_df(spark, 64)).orderBy("clip_id").collect()
+    assert len(fused) == len(unfused) == 64
+    for f, u in zip(fused, unfused):
+        assert f.asDict() == u.asDict()

@@ -39,12 +39,25 @@ def test_msgpack_roundtrip_property(v):
     assert mp_decode(mp_encode(v)) == v
 
 
+def _typed_eq(a, b) -> bool:
+    """Type-aware equality: Python says False == 0 and True == 1, but
+    msgpack (correctly) encodes bool and int differently — the canonical
+    property only holds for TYPE-identical values."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a is b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_typed_eq(a[k], b[k]) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_typed_eq(x, y) for x, y in zip(a, b))
+    return type(a) is type(b) and a == b
+
+
 @given(_value, _value)
 @settings(max_examples=100, deadline=None)
 def test_msgpack_canonical_determinism(a, b):
     ea, eb = mp_encode(a), mp_encode(b)
     assert ea == mp_encode(a)  # same value -> identical bytes, always
-    if a == b:
+    if _typed_eq(a, b):
         assert ea == eb
 
 

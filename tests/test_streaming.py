@@ -309,3 +309,26 @@ output:
     assert 0 < obs["wav_clips"]["counter"] < 40
     batch = spark.read.parquet(src)
     assert obs["total_ms"]["counter_by"] == batch.agg(F.sum("dur_ms")).first()[0]
+
+
+def test_statsd_export_wire_format():
+    """statsd exporter: counter/gauge lines land as UDP datagrams in the
+    public wire format (metrics_statsd.go parity)."""
+    import socket
+
+    from bento_spark.streaming.metrics import statsd_export, statsd_lines
+
+    totals = {"input_received": 42, "output_sent": 40, "state_rows_last": 7}
+    assert statsd_lines(totals) == [
+        "bento.input_received:42|c",
+        "bento.output_sent:40|c",
+        "bento.state_rows_last:7|g",
+    ]
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5)
+    port = rx.getsockname()[1]
+    n = statsd_export(totals, port=port)
+    got = sorted(rx.recv(1024).decode() for _ in range(n))
+    rx.close()
+    assert got == sorted(statsd_lines(totals))

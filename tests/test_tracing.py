@@ -47,9 +47,37 @@ def test_otlp_export_shape(tmp_path):
 
 
 def test_otel_gated():
-    assert not otel_available()
+    if otel_available():
+        pytest.skip("opentelemetry-sdk present: the real path is tested below")
     with pytest.raises(RuntimeError, match="opentelemetry-sdk"):
         to_otel(Tracer())
+
+
+def test_otel_sdk_replay():
+    """Real-SDK path: recorded spans replay with ids/parents/status/events
+    preserved. Skips where the optional package is absent (this sandbox);
+    runs for real wherever opentelemetry-sdk is installed."""
+    if not otel_available():
+        pytest.skip("opentelemetry-sdk not installed")
+    from opentelemetry.sdk.trace.export.in_memory_span_exporter import (
+        InMemorySpanExporter,
+    )
+
+    tr = Tracer("svc")
+    with tr.span("parent", n=1) as p:
+        tr.event("PRODUCE", part=0)
+        with tr.span("child"):
+            pass
+    exp = InMemorySpanExporter()
+    to_otel(tr, exporter=exp)
+    got = {s.name: s for s in exp.get_finished_spans()}
+    assert set(got) == {"parent", "child"}
+    parent, child = got["parent"], got["child"]
+    assert format(parent.context.span_id, "016x") == p.span_id
+    assert child.parent.span_id == parent.context.span_id
+    assert child.context.trace_id == parent.context.trace_id
+    assert parent.events[0].name == "PRODUCE"
+    assert parent.attributes["n"] == 1
 
 
 def test_batch_spans_from_listener():
