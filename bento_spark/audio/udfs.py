@@ -185,21 +185,40 @@ SPECTRAL_FEATURE_COLS = (
 )
 
 
+_WIN_CACHE: dict[int, np.ndarray] = {}
+
+# frames per FFT chunk: numpy's rfft upcasts to float64/complex128, so a
+# whole 10 s clip's frames generate ~25 MB of temporaries — at 16
+# concurrent workers that saturates DRAM bandwidth (measured: per-clip
+# kernel cost inflates 1.45 -> 1.99 ms from 4 to 16 procs, the dominant
+# anti-scaling term in BENCH/BASELINE.md). 128-frame chunks keep each
+# worker's temporaries ~2 MB (L2/L3-resident); per-frame FFTs are
+# independent and the log-band rows are concatenated in order, so the
+# output is BIT-IDENTICAL to the unchunked form (equivalence-tested).
+_STFT_CHUNK = 128
+
+
 def _stft_band_energies(pcm: np.ndarray, n_fft: int = 512, hop: int = 160, n_bands: int = 16):
     """Log band energies over STFT frames (the standard ASR front-end shape:
     framed windowed FFT -> banded power -> log). Pure numpy, O(n log n),
-    cache-resident — compute-dense per byte, unlike the O(n) scalar
-    features, so it exercises CPU scaling rather than memory bandwidth."""
+    chunked to stay cache-resident under many concurrent workers."""
     if pcm.size < n_fft:
         pcm = np.pad(pcm, (0, n_fft - pcm.size))
     n_frames = 1 + (pcm.size - n_fft) // hop
     frames = np.lib.stride_tricks.as_strided(
         pcm, shape=(n_frames, n_fft), strides=(pcm.strides[0] * hop, pcm.strides[0])
     )
-    win = np.hanning(n_fft).astype(np.float32)
-    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
-    bands = spec[:, : (n_fft // 2)].reshape(n_frames, n_bands, -1).sum(axis=2)
-    logb = np.log1p(bands)
+    win = _WIN_CACHE.get(n_fft)
+    if win is None:
+        win = _WIN_CACHE[n_fft] = np.hanning(n_fft).astype(np.float32)
+    half = n_fft // 2
+    chunks = []
+    for s in range(0, n_frames, _STFT_CHUNK):
+        part = frames[s : s + _STFT_CHUNK]
+        spec = np.abs(np.fft.rfft(part * win, axis=1)) ** 2
+        bands = spec[:, :half].reshape(len(part), n_bands, -1).sum(axis=2)
+        chunks.append(np.log1p(bands))
+    logb = chunks[0] if len(chunks) == 1 else np.concatenate(chunks, axis=0)
     return n_frames, logb.mean(axis=0).astype(np.float32), logb.std(axis=0).astype(np.float32)
 
 

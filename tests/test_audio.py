@@ -167,3 +167,35 @@ def test_fused_generate_features_equals_unfused(spark):
     assert len(fused) == len(unfused) == 64
     for f, u in zip(fused, unfused):
         assert f.asDict() == u.asDict()
+
+
+def test_stft_chunking_bit_identical():
+    """The cache-resident chunked STFT (see _STFT_CHUNK rationale) must be
+    BIT-identical to the unchunked formulation — per-frame FFTs are
+    independent and the log-band rows concatenate in order. Pure numpy, no
+    session."""
+    import numpy as np
+
+    from bento_spark.audio.udfs import _stft_band_energies
+
+    def unchunked(pcm, n_fft=512, hop=160, n_bands=16):
+        if pcm.size < n_fft:
+            pcm = np.pad(pcm, (0, n_fft - pcm.size))
+        n_frames = 1 + (pcm.size - n_fft) // hop
+        frames = np.lib.stride_tricks.as_strided(
+            pcm, shape=(n_frames, n_fft), strides=(pcm.strides[0] * hop, pcm.strides[0])
+        )
+        win = np.hanning(n_fft).astype(np.float32)
+        spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+        bands = spec[:, : (n_fft // 2)].reshape(n_frames, n_bands, -1).sum(axis=2)
+        logb = np.log1p(bands)
+        return n_frames, logb.mean(axis=0).astype(np.float32), logb.std(axis=0).astype(np.float32)
+
+    rng = np.random.RandomState(1)
+    for n in (100, 512, 5000, 160001):  # sub-frame, exact, chunk-boundary, odd
+        pcm = rng.randn(n).astype(np.float32)
+        for hop in (80, 160):
+            a = _stft_band_energies(pcm, 512, hop, 16)
+            b = unchunked(pcm, 512, hop, 16)
+            assert a[0] == b[0]
+            assert np.array_equal(a[1], b[1]) and np.array_equal(a[2], b[2])
