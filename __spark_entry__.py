@@ -1077,7 +1077,11 @@ def q_clip_transcript_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads must never ride through stream-stream join state (at scale
     they bloat the RocksDB store by the payload:key ratio, ~50:1 here).
     """
-    base = clips_df(spark, _AUDIO_N)
+    from bento_spark.audio.generate import clips_meta_df
+
+    # metadata-only generator: this query never touches `bytes`, and audio
+    # synthesis dominated the staging cost (~40% of the query at 8k clips)
+    base = clips_meta_df(spark, _AUDIO_N)
     staged = _scratch_dir(f"clipjoin_{_AUDIO_N}")
     base.select("clip_id", "transcript", "event_ts").write.mode("overwrite").parquet(staged)
     meta = spark.read.parquet(staged)

@@ -3,6 +3,7 @@
     python -m bento_spark lint  config.yaml [...]      # bento lint
     python -m bento_spark echo  config.yaml            # bento echo
     python -m bento_spark test  config.yaml [...]      # bento test
+    python -m bento_spark blobl 'root = <mapping>'      # bento blobl (stdin lines)
     python -m bento_spark run   -c config.yaml --checkpoint DIR [--continuous]
     python -m bento_spark streams --checkpoint-root DIR [--port N] name=config.yaml [...]
 
@@ -66,6 +67,38 @@ def cmd_test(args) -> int:
     return 1 if failed else 0
 
 
+def cmd_blobl(args) -> int:
+    """bento blobl (internal/cli/blobl.go): execute a Bloblang mapping on
+    each stdin line, print each result line. Deleted rows print nothing."""
+    from bento_spark.functions.bloblang import compile_mapping
+    from bento_spark.session import get_spark
+
+    spark = get_spark()
+    lines = [ln.rstrip("\n") for ln in sys.stdin]
+    if not lines:
+        return 0
+    df = spark.createDataFrame(
+        [(ln, None, i) for i, ln in enumerate(lines)],
+        "bytes string, error string, _part int",
+    )
+    out = compile_mapping(args.mapping).apply(df)
+    cols = out.columns
+    rows = out.orderBy("_part").collect() if "_part" in cols else out.collect()
+    for r in rows:
+        d = r.asDict()
+        d.pop("_part", None)
+        d.pop("error", None)
+        if set(d) == {"bytes"}:
+            print(d["bytes"])
+        else:  # structured result: print as JSON (reference prints documents)
+            import json
+
+            if d.get("bytes") is None:
+                d.pop("bytes", None)
+            print(json.dumps(d, default=str))
+    return 0
+
+
 def cmd_run(args) -> int:
     from bento_spark.plans.compiler import compile_yaml
     from bento_spark.session import get_spark
@@ -125,6 +158,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("test", help="run declarative tests: sections")
     p.add_argument("configs", nargs="+")
     p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("blobl", help="run a Bloblang mapping over stdin lines")
+    p.add_argument("mapping")
+    p.set_defaults(fn=cmd_blobl)
 
     p = sub.add_parser("run", help="run one pipeline")
     p.add_argument("-c", "--config", required=True)

@@ -167,3 +167,36 @@ def clips_features_df(spark, n_rows: int, seed: int = 42, event_step_ms: int = 1
 
     rng = spark.range(n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen_feats, schema=out_schema)
+
+
+def clips_meta_df(spark, n_rows: int, seed: int = 42, event_step_ms: int = 100,
+                  partitions: int | None = None):
+    """Metadata-only clips table — clip_params WITHOUT audio synthesis,
+    byte-identical metadata columns to clips_df (same params, same
+    timestamps). For pipelines that never touch `bytes` (the
+    clip⋈transcript join stages only id/transcript/event_ts), synthesizing
+    and then dropping the payload is pure waste — at 8k clips the synth
+    dominated that query's staging cost."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_ns = pd.Timestamp(BASE_TS).value
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                p = clip_params(i, seed)
+                rows.append(
+                    (p["clip_id"], p["sr_hz"], p["dur_ms"], p["codec"], p["transcript"],
+                     pd.Timestamp(base_ns + i * event_step_ms * 1_000_000, unit="ns", tz="UTC"))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "sr_hz", "dur_ms", "codec", "transcript", "event_ts"],
+            )
+
+    rng = spark.range(n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(
+        gen,
+        schema="clip_id string, sr_hz int, dur_ms int, codec string, "
+               "transcript string, event_ts timestamp",
+    )

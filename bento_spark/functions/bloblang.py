@@ -463,6 +463,18 @@ def _apply_function(name: str, args: list[Column]) -> Column:
         import os as _os
 
         return F.lit(_os.environ.get(_lit_str(args[0]), ""))
+    if name == "file":
+        # internal/impl/io/bloblang.go file(): contents resolved once at
+        # mapping-init time (compile time here) — a per-row read would be
+        # a driver-side file in every executor's plan, not the contract
+        with open(_lit_str(args[0]), encoding="utf-8") as f:
+            content = f.read()
+        col = F.lit(content)
+        # carry the python value like parser string literals do, so
+        # literal-consuming methods (.format template, selectors) see the
+        # REAL contents, not a regex scrape of the column expr
+        col.__dict__["_bl_lit"] = content
+        return col
     raise BloblangError(f"unsupported function {name}()")
 
 
@@ -605,6 +617,12 @@ _METHODS = {
     # UDF (codec, not hot-path), typing stays in Catalyst via from_json.
     "parse_yaml": lambda c, schema: F.from_json(_yaml_to_json(c), _lit_full_str(schema)),
     "format_yaml": lambda c: _json_to_yaml(F.to_json(c)),
+    # msgpack (impl/msgpack/bloblang.go:30,52) — same Arrow-UDF JSON-leg
+    # shape as yaml, typed via the compile-time DDL schema; the spec-level
+    # codec is operators/msgpack_codec. Binary map values stringify on the
+    # JSON leg (a typed column can't hold heterogeneous bytes).
+    "parse_msgpack": lambda c, schema: F.from_json(_msgpack_to_json(c), _lit_full_str(schema)),
+    "format_msgpack": lambda c: _json_to_msgpack(F.to_json(c)),
     # html escaping (methods_strings.go escape_html/unescape_html — Go
     # html.EscapeString's 5 entities)
     "escape_html": lambda c: _escape_html(c),
@@ -982,6 +1000,44 @@ def _yaml_to_json(c: Column) -> Column:
                 return None  # malformed YAML NULLs the row (catch protocol)
 
         return s.map(one)
+
+    return conv(c)
+
+
+def _msgpack_to_json(c: Column) -> Column:
+    @pandas_udf("string")
+    def conv(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        from bento_spark.operators.msgpack_codec import mp_decode
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return _json.dumps(
+                    mp_decode(bytes(b)),
+                    sort_keys=False,
+                    default=lambda o: o.decode("utf-8", "replace")
+                    if isinstance(o, (bytes, bytearray))
+                    else str(o),
+                )
+            except ValueError:
+                return None  # malformed blob NULLs the row (catch protocol)
+
+        return s.map(one)
+
+    return conv(c)
+
+
+def _json_to_msgpack(c: Column) -> Column:
+    @pandas_udf("binary")
+    def conv(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        from bento_spark.operators.msgpack_codec import mp_encode
+
+        return s.map(lambda t: None if t is None else mp_encode(_json.loads(t)))
 
     return conv(c)
 

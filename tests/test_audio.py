@@ -199,3 +199,15 @@ def test_stft_chunking_bit_identical():
             b = unchunked(pcm, 512, hop, 16)
             assert a[0] == b[0]
             assert np.array_equal(a[1], b[1]) and np.array_equal(a[2], b[2])
+
+
+def test_clips_meta_df_matches_clips_df_metadata(spark):
+    """clips_meta_df must carry byte-identical metadata to clips_df (same
+    clip_params, same timestamps) — it only skips audio synthesis."""
+    from bento_spark.audio.generate import clips_df, clips_meta_df
+
+    meta = clips_meta_df(spark, 48).orderBy("clip_id").collect()
+    full = clips_df(spark, 48).drop("bytes").orderBy("clip_id").collect()
+    assert len(meta) == len(full) == 48
+    for m, f in zip(meta, full):
+        assert m.asDict() == f.asDict()

@@ -355,3 +355,37 @@ def test_string_plus_null_renders_null_literal(df):
     """NULL operands render 'null' (compile_interpolated precedent) — a
     bare concat would silently blank the whole field."""
     assert _one(df, '"v: " + this.s') == ["v: Hello World", "v: spark", "v: null"]
+
+
+def test_msgpack_bloblang_methods(spark):
+    """parse_msgpack/format_msgpack (impl/msgpack/bloblang.go): roundtrip
+    through the spec-level codec with a typed schema."""
+    from bento_spark.operators.msgpack_codec import mp_decode, mp_encode
+
+    blob = mp_encode({"a": 7, "b": "xy", "f": 1.5})
+    df = spark.createDataFrame([(blob,)], "m binary")
+    row = df.select(
+        compile_expr('this.m.parse_msgpack("a int, b string, f double")').alias("p")
+    ).collect()[0]
+    assert row.p.a == 7 and row.p.b == "xy" and row.p.f == 1.5
+
+    # format_msgpack: struct -> canonical blob, decodable by the codec
+    out = df.select(
+        compile_expr('this.m.parse_msgpack("a int, b string, f double").format_msgpack()').alias("blob")
+    ).collect()[0]
+    assert mp_decode(bytes(out.blob)) == {"a": 7, "b": "xy", "f": 1.5}
+
+    # malformed blob NULLs the row (catch protocol), never throws
+    bad = spark.createDataFrame([(b"\xc1\x00",)], "m binary")
+    assert bad.select(
+        compile_expr('this.m.parse_msgpack("a int")').alias("p")
+    ).collect()[0].p is None
+
+
+def test_file_function_reads_at_compile_time(spark, tmp_path):
+    (tmp_path / "tmpl.txt").write_text("prefix-%s")
+    df = spark.createDataFrame([("x",)], "s string")
+    out = df.select(
+        compile_expr(f'file("{tmp_path}/tmpl.txt").format(this.s)').alias("v")
+    ).collect()[0]
+    assert out.v == "prefix-x"

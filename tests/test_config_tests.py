@@ -176,6 +176,34 @@ tests:
 """
 
 
+def test_file_predicates(spark, tmp_path):
+    """file_equals / file_json_equals / file_json_contains resolve paths
+    relative to the test file's directory (output.go file conditions)."""
+    (tmp_path / "want.txt").write_text("HELLO")
+    (tmp_path / "want.json").write_text('{"a": 1, "b": [2, 3], "extra": "x"}')
+    conf = """
+pipeline:
+  processors:
+    - switch:
+        cases:
+          - check: 'content().contains("{")'
+            processors: []
+        default: [{mapping: 'root = content().uppercase()'}]
+
+tests:
+  - name: file checks
+    input_batch:
+      - content: 'hello'
+      - content: '{"b": [2, 3], "a": 1, "extra": "x"}'
+    output_batches:
+      - - file_equals: './want.txt'
+        - file_json_equals: './want.json'
+          file_json_contains: './want.json'
+"""
+    fails = run_config_tests(spark, conf, base_dir=str(tmp_path))
+    assert fails == [], [str(f) for f in fails]
+
+
 def test_failures_are_reported(spark):
     fails = run_config_tests(spark, FAILING)
     reasons = "\n".join(str(f) for f in fails)

@@ -116,3 +116,20 @@ tests:
     with redirect_stdout(buf):
         assert cli.main(["test", str(failing)]) == 1
     assert "FAIL" in buf.getvalue()
+
+
+def test_cli_blobl_verb(spark, tmp_path):
+    """bento blobl: mapping over stdin lines, ordered output; deleted rows
+    print nothing."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "-m", "bento_spark", "blobl",
+         'root = deleted() if content().contains("skip")\nroot = content().uppercase()'],
+        input="alpha\nskip me\nbeta\n", capture_output=True, text=True, timeout=180,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = [l for l in out.stdout.splitlines() if l and not l.startswith("[")]
+    assert lines == ["ALPHA", "BETA"]
