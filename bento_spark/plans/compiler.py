@@ -238,6 +238,20 @@ class Pipeline:
             col = (inp["stdin"] or {}).get("column", "line")
             rows = [(ln.rstrip("\n"),) for ln in _sys.stdin]
             return spark.createDataFrame(rows, f"{col} string")
+        if "websocket" in inp:
+            # ws:// client source (input_websocket.go) via the spool bridge;
+            # the client connects via start_websocket()
+            o = inp["websocket"]
+            if not streaming:
+                raise ValueError("websocket input is streaming-only (push source)")
+            from bento_spark.streaming.http_server import read_spool_stream
+
+            return read_spool_stream(
+                spark,
+                o["spool_dir"],
+                whole_body=True,  # one message per frame, like the reference
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "http_client" in inp:
             # polling HTTP source (input_http_client.go) via the spool
             # bridge; the poller starts via start_http_poller()
@@ -380,6 +394,19 @@ class Pipeline:
             headers=o.get("headers"),
             drop_empty=bool(o.get("drop_empty", True)),
             drop_repeats=bool(o.get("drop_repeats", False)),
+        ).start()
+
+    def start_websocket(self):
+        """Connect the ws:// client for an `input.websocket` pipeline and
+        return its handle (caller owns `.stop()`)."""
+        o = (self.conf.get("input") or {}).get("websocket")
+        if not o:
+            raise ValueError("pipeline has no input.websocket section")
+        from bento_spark.streaming.http_server import WebSocketSpooler
+
+        return WebSocketSpooler(
+            url=o["url"], spool_dir=o["spool_dir"],
+            open_message=o.get("open_message"),
         ).start()
 
     def start_socket_listener(self):

@@ -166,6 +166,154 @@ class TcpSpoolServer:
             self._server = None
 
 
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
+
+
+@dataclass
+class WebSocketSpooler:
+    """`websocket` input: connect to a ws:// URL as a client, spool each
+    received text/binary message as one durable file (reference
+    internal/impl/io/input_websocket.go — url + optional open_message).
+
+    Dependency-free RFC 6455 client over stdlib sockets: handshake
+    (Sec-WebSocket-Key/-Accept, §4), frame parsing with extended lengths
+    (§5.2), ping→pong keepalive (§5.5.2-5.5.3), client-side masking (§5.3;
+    server frames arrive unmasked). Fragmented messages (FIN=0)
+    re-assemble before spooling. Same spool-bridge rationale as the other
+    push sources: the stream is the replayable file source."""
+
+    url: str
+    spool_dir: str
+    open_message: str | None = None
+    _stop: threading.Event = field(default_factory=threading.Event, repr=False)
+    _thread: threading.Thread | None = field(default=None, repr=False)
+    _sock: object = field(default=None, repr=False)
+
+    # -- frame helpers (client side) ---------------------------------------
+    @staticmethod
+    def client_frame(opcode: int, payload: bytes, mask_key: bytes) -> bytes:
+        """One masked client->server frame (§5.2-5.3)."""
+        n = len(payload)
+        head = bytes([0x80 | opcode])
+        if n < 126:
+            head += bytes([0x80 | n])
+        elif n < 1 << 16:
+            head += bytes([0x80 | 126]) + n.to_bytes(2, "big")
+        else:
+            head += bytes([0x80 | 127]) + n.to_bytes(8, "big")
+        masked = bytes(b ^ mask_key[i % 4] for i, b in enumerate(payload))
+        return head + mask_key + masked
+
+    def start(self) -> "WebSocketSpooler":
+        import base64
+        import hashlib
+        import os as _os
+        import socket
+        import urllib.parse
+
+        u = urllib.parse.urlsplit(self.url)
+        if u.scheme != "ws":
+            raise ValueError(f"websocket input supports ws:// URLs, got {self.url!r}"
+                             " (wss needs TLS material — pair with a local proxy)")
+        host, port = u.hostname or "127.0.0.1", u.port or 80
+        path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+        spool = Path(self.spool_dir)
+        spool.mkdir(parents=True, exist_ok=True)
+
+        key = base64.b64encode(_os.urandom(16)).decode()
+        want_accept = base64.b64encode(
+            hashlib.sha1((key + _WS_GUID).encode()).digest()
+        ).decode()
+        sock = socket.create_connection((host, port), timeout=10)
+        sock.sendall(
+            (
+                f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            chunk = sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("websocket handshake: connection closed")
+            buf += chunk
+        head, _, rest = buf.partition(b"\r\n\r\n")
+        lines = head.decode("latin-1").split("\r\n")
+        if " 101 " not in lines[0] + " ":
+            raise ConnectionError(f"websocket handshake rejected: {lines[0]!r}")
+        hdrs = {k.strip().lower(): v.strip() for k, _, v in
+                (ln.partition(":") for ln in lines[1:])}
+        if hdrs.get("sec-websocket-accept") != want_accept:
+            raise ConnectionError("websocket handshake: bad Sec-WebSocket-Accept")
+        if self.open_message is not None:
+            sock.sendall(self.client_frame(0x1, self.open_message.encode(), _os.urandom(4)))
+        self._sock = sock
+        seq = {"n": 0}
+
+        def read_exact(n: int, pre: bytearray) -> bytes:
+            while len(pre) < n:
+                chunk = sock.recv(65536)
+                if not chunk:
+                    raise ConnectionError("closed")
+                pre.extend(chunk)
+            out = bytes(pre[:n])
+            del pre[:n]
+            return out
+
+        def reader() -> None:
+            pre = bytearray(rest)
+            fragments: list[bytes] = []
+            try:
+                while not self._stop.is_set():
+                    b0, b1 = read_exact(2, pre)
+                    fin, opcode = b0 & 0x80, b0 & 0x0F
+                    n = b1 & 0x7F
+                    if n == 126:
+                        n = int.from_bytes(read_exact(2, pre), "big")
+                    elif n == 127:
+                        n = int.from_bytes(read_exact(8, pre), "big")
+                    if b1 & 0x80:  # masked server frame: protocol error (§5.1)
+                        read_exact(4, pre)
+                    payload = read_exact(n, pre)
+                    if opcode == 0x9:  # ping -> pong with same payload
+                        sock.sendall(self.client_frame(0xA, payload, _os.urandom(4)))
+                        continue
+                    if opcode == 0x8:  # close
+                        return
+                    if opcode in (0x1, 0x2, 0x0):
+                        fragments.append(payload)
+                        if fin:
+                            msg = b"".join(fragments)
+                            fragments = []
+                            seq["n"] += 1
+                            name = f"{seq['n']:012d}-{uuid.uuid4().hex}.msg"
+                            tmp = spool / f".{name}.tmp"
+                            tmp.write_bytes(msg)
+                            tmp.rename(spool / name)
+            except (ConnectionError, OSError):
+                return  # socket teardown ends the input, like the reference
+
+        self._thread = threading.Thread(target=reader, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._sock is not None:
+            try:
+                import os as _os
+
+                self._sock.sendall(self.client_frame(0x8, b"", _os.urandom(4)))
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+
 @dataclass
 class HttpPollSpooler:
     """`http_client` input: poll a URL on an interval and spool each

@@ -312,3 +312,117 @@ output:
         srv.shutdown()
     assert sorted(r["id"] for r in got) == [1, 2, 3]
     assert {r["s"] for r in got} == {"a", "b", "c"}
+
+
+class _WsTestServer:
+    """Minimal RFC 6455 SERVER for the websocket-input e2e: handshake
+    (§4.2), unmasked server frames (§5.1), ping, fragmentation, close."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.received_open = None
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    @staticmethod
+    def _frame(opcode, payload, fin=True):
+        head = bytes([(0x80 if fin else 0) | opcode])
+        n = len(payload)
+        assert n < 126
+        return head + bytes([n]) + payload  # server frames are unmasked
+
+    def _read_client_frame(self, conn):
+        b0 = conn.recv(1)[0]
+        b1 = conn.recv(1)[0]
+        n = b1 & 0x7F
+        assert b1 & 0x80, "client frames must be masked"
+        mask = conn.recv(4)
+        payload = b""
+        while len(payload) < n:
+            payload += conn.recv(n - len(payload))
+        return b0 & 0x0F, bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+
+    def _serve(self):
+        import base64
+        import hashlib
+
+        conn, _ = self.sock.accept()
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += conn.recv(4096)
+        head = buf.split(b"\r\n\r\n")[0].decode()
+        key = next(ln.split(":", 1)[1].strip() for ln in head.split("\r\n")
+                   if ln.lower().startswith("sec-websocket-key"))
+        accept = base64.b64encode(
+            hashlib.sha1((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()).digest()
+        ).decode()
+        conn.sendall((
+            "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Accept: {accept}\r\n\r\n"
+        ).encode())
+        # the client sends its open_message first
+        op, payload = self._read_client_frame(conn)
+        self.received_open = (op, payload)
+        # text, ping (expect pong), fragmented text, binary, close
+        conn.sendall(self._frame(0x1, b"msg-one"))
+        conn.sendall(self._frame(0x9, b"hb"))
+        op, pong = self._read_client_frame(conn)
+        assert op == 0xA and pong == b"hb", (op, pong)
+        conn.sendall(self._frame(0x1, b"frag-", fin=False))
+        conn.sendall(self._frame(0x0, b"mented"))
+        conn.sendall(self._frame(0x2, b"\x00binary\xff"))
+        conn.sendall(self._frame(0x8, b""))
+        conn.close()
+
+    def close(self):
+        self.sock.close()
+
+
+def test_websocket_input_e2e(spark, tmp_path):
+    """websocket input (input_websocket.go): RFC 6455 client handshake,
+    ping->pong, fragment re-assembly, close — messages land in the spool
+    and flow as a stream."""
+    import time
+
+    srv = _WsTestServer()
+    p = compile_yaml(
+        f"""
+input:
+  websocket:
+    url: ws://127.0.0.1:{srv.port}/feed
+    spool_dir: {tmp_path}/wspool
+    open_message: subscribe-please
+pipeline:
+  processors:
+    - mapping: |
+        root.body = this.value
+output:
+  path: {tmp_path}/wsout
+"""
+    )
+    ws = p.start_websocket()
+    try:
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            if len(list((tmp_path / "wspool").glob("*.msg"))) >= 3:
+                break
+            time.sleep(0.2)
+        assert srv.received_open == (0x1, b"subscribe-please")
+        q = p.run_stream(spark, checkpoint=str(tmp_path / "wsck"))
+        q.awaitTermination(90)
+    finally:
+        ws.stop()
+        srv.close()
+    out = IdempotentParquetSink(str(tmp_path / "wsout")).read(spark)
+    rows = sorted(r.body for r in out.select("body").collect())
+    # 3 messages: plain text, re-assembled fragments, binary (UTF-8-lossy
+    # through the text source — payload fidelity is covered at spool level)
+    assert len(rows) == 3
+    assert "msg-one" in rows and "frag-mented" in rows
