@@ -21,7 +21,8 @@ def test_known_registries_track_compiler():
                  "subprocess", "http", "dedupe", "grok"):
         assert name in procs, name
     assert len(procs) > 40
-    for name in ("parquet", "generate", "kafka", "http_server", "socket_server"):
+    for name in ("parquet", "generate", "kafka", "http_server", "socket_server",
+                 "websocket", "http_client"):
         assert name in known_inputs(), name
 
 
