@@ -1108,11 +1108,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the round driver samples the FIRST 50 entries in dict
-    # order for CORRECTNESS_r{N}.json.  The heaviest / most-recently-changed
-    # queries lead so every new operator gets a hard driver-checked row
-    # (VERDICT r02 "Next round #1"); the long-stable TPC-ish rows trail.
+    # order for CORRECTNESS_r{N}.json.  Rotation policy (VERDICT r03 "Next
+    # round #1"): the 15 entries that fell outside the r03 window lead in
+    # r04, then any round-4 additions, then this round's 50 green rows.
     return {
-        # -- round-2 tail (never driver-sampled) + round-3 additions first --
+        # -- r03 window dropouts first (all green in r02 + judge's full run) --
+        "broker_fan_in": q_broker_fan_in,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "lookup_join": q_lookup_join,
+        "multi_join": q_multi_join,
+        "dedupe_exact": q_dedupe_exact,
+        "dedupe_first_per_key": q_dedupe_first_per_key,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "top_k_per_group": q_top_k_per_group,
+        "semi_anti": q_semi_anti,
+        "embedding_norms": q_embedding_norms,
+        # -- round-3 additions --
         "audio_features_window": q_audio_features_window,
         "clip_transcript_join": q_clip_transcript_join,
         "compress_roundtrip": q_compress_roundtrip,
@@ -1165,21 +1181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_lines": q_archive_lines,
         "unarchive_tokens": q_unarchive_tokens,
         "select_parts": q_select_parts,
-        "top_k_per_group": q_top_k_per_group,
-        "dedupe_first_per_key": q_dedupe_first_per_key,
-        "broker_fan_in": q_broker_fan_in,
-        "lookup_join": q_lookup_join,
-        "multi_join": q_multi_join,
-        "semi_anti": q_semi_anti,
-        "tumbling_window": q_tumbling_window,
-        "sliding_window": q_sliding_window,
-        "session_window": q_session_window,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "dedupe_exact": q_dedupe_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_norms": q_embedding_norms,
     }
 
 

@@ -95,6 +95,12 @@ class Pipeline:
     _case_sinks: list = field(default_factory=list, init=False)  # switch/fan_out sinks
     _read_until: Any = field(default=None, init=False)  # compiled stop predicate
     _stop_requested: bool = field(default=False, init=False)
+    # error_handling reject capture: batch defers the DLQ write to
+    # run_batch/flush time; streaming stashes the errored branch for a side
+    # DLQ query started by run_stream
+    _batch_dlq_pending: Any = field(default=None, init=False)
+    _reject_errored: Any = field(default=None, init=False)
+    _eh_dlq_query: Any = field(default=None, init=False)
 
     # ------------------------------------------------------------------ input
     def _input(self, spark: SparkSession, streaming: bool) -> DataFrame:
@@ -456,12 +462,21 @@ class Pipeline:
             )
         out = chain(df)
         if df.isStreaming:
-            # streaming: reject filters here (capture via output.dlq); retry
-            # is applied at the SINK — errored rows raise inside foreachBatch
-            # so Spark replays the micro-batch (task retries + checkpoint
-            # restart), the native analogue of the reference's feedback
-            # pipeline (see run_stream's retry wrapper)
+            # streaming: reject filters here; retry is applied at the SINK —
+            # errored rows raise inside foreachBatch so Spark replays the
+            # micro-batch (task retries + checkpoint restart), the native
+            # analogue of the reference's feedback pipeline (see run_stream's
+            # retry wrapper)
             if strategy == "reject" and "error" in out.columns:
+                if eh.get("dlq"):
+                    # capture BEFORE the filter: run_stream starts a side
+                    # DLQ query over this branch (same dual-query pattern
+                    # as window+output.dlq) — filtering first would mean
+                    # the DLQ sink never sees an errored row
+                    self._reject_errored = (
+                        out.filter(F.col("error").isNotNull()),
+                        str(eh["dlq"]),
+                    )
                 return out.filter(F.col("error").isNull())
             return out
         if strategy == "retry":
@@ -476,11 +491,20 @@ class Pipeline:
             if eh.get("on_exhausted", "none") == "reject":
                 strategy = "reject"
         if strategy == "reject":
-            clean = out.filter(F.col("error").isNull()) if "error" in out.columns else out
             dlq = eh.get("dlq")
             if dlq and "error" in out.columns:
-                out.filter(F.col("error").isNotNull()).write.mode("append").parquet(dlq)
-            return clean
+                # materialize ONCE so DLQ and main output agree on which
+                # rows errored (non-deterministic stages — http, subprocess
+                # — could otherwise diverge between the two evaluations);
+                # the write itself is DEFERRED to run_batch/flush time so
+                # plan-building stays side-effect-free and repeated builds
+                # don't append duplicate DLQ rows
+                out = out.localCheckpoint(eager=True)
+                self._batch_dlq_pending = (
+                    out.filter(F.col("error").isNotNull()),
+                    str(dlq),
+                )
+            return out.filter(F.col("error").isNull()) if "error" in out.columns else out
         return out
 
     def processor_chain(self, procs: list | None):
@@ -1007,6 +1031,21 @@ class Pipeline:
         df = self._apply_join(df, spark, streaming=False)
         return self._apply_window(df)
 
+    def run_batch(self, spark: SparkSession) -> DataFrame:
+        """build_batch + deferred side effects: flushes the error_handling
+        reject DLQ capture (one append per run, reading the already-
+        materialized localCheckpoint — no re-evaluation of the chain).
+        Callers that only build (tests, `bento test`) pay no write."""
+        df = self.build_batch(spark)
+        self.flush_batch_dlq()
+        return df
+
+    def flush_batch_dlq(self) -> None:
+        pending, self._batch_dlq_pending = self._batch_dlq_pending, None
+        if pending is not None:
+            errored, path = pending
+            errored.write.mode("append").parquet(path)
+
     def build_stream(self, spark: SparkSession) -> DataFrame:
         df = self._apply_processors(self._input(spark, streaming=True))
         df = self._apply_join(df, spark, streaming=True)
@@ -1031,6 +1070,7 @@ class Pipeline:
         if "path" in out:
             self._sink = IdempotentParquetSink(require_object_store(spark, out["path"]),
                                                key_cols=out.get("keys"), checkpoint=checkpoint)
+        self._reject_errored = None  # re-stashed by the build below
         has_window = bool(self.conf.get("window"))
         dlq_path = out.get("dlq")
 
@@ -1148,6 +1188,22 @@ class Pipeline:
         eh = self.conf.get("error_handling") or {}
         if eh.get("strategy") == "retry":
             writer = self._wrap_retry_writer(writer, eh)
+        if self._reject_errored is not None:
+            # streaming error_handling: {strategy: reject, dlq: ...} —
+            # the errored branch stashed by _error_strategy feeds a SIDE
+            # query with its own checkpoint (same dual-query pattern as
+            # window+output.dlq); without this the reject filter silently
+            # drops errored rows that batch mode DLQs
+            errored, eh_dlq_path = self._reject_errored
+            eh_ck = checkpoint.rstrip("/") + "_ehdlq"
+            eh_sink = IdempotentParquetSink(eh_dlq_path, checkpoint=eh_ck)
+            self._eh_dlq_query = (
+                errored.writeStream.outputMode("append")
+                .option("checkpointLocation", eh_ck)
+                .foreachBatch(eh_sink.foreach_batch())
+                .trigger(**_trigger())
+                .start()
+            )
         q = (
             df.writeStream.outputMode(out.get("mode", "append"))
             .option("checkpointLocation", checkpoint)

@@ -47,11 +47,60 @@ def test_strategy_none_keeps_flagged_rows(spark, tmp_path):
 def test_strategy_reject_drops_and_dlqs(spark, tmp_path):
     src = _stage(spark, tmp_path)
     dlq = tmp_path / "dlq"
-    out = compile_yaml(
+    p = compile_yaml(
         BASE.format(src=src, eh=f"error_handling: {{strategy: reject, dlq: {dlq}}}")
-    ).build_batch(spark)
+    )
+    out = p.run_batch(spark)
     assert sorted(r.id for r in out.collect()) == [1, 3]
     dlq_rows = spark.read.parquet(str(dlq))
+    assert sorted(r.id for r in dlq_rows.collect()) == [2, 4]
+    assert all(r.error is not None for r in dlq_rows.collect())
+
+
+def test_strategy_reject_build_is_side_effect_free(spark, tmp_path):
+    """The DLQ write is deferred to run/flush time: repeated build_batch
+    calls must not append duplicate DLQ rows (ADVICE r03 — plan-building
+    was an eager Spark action)."""
+    import os
+
+    src = _stage(spark, tmp_path)
+    dlq = tmp_path / "dlq2"
+    p = compile_yaml(
+        BASE.format(src=src, eh=f"error_handling: {{strategy: reject, dlq: {dlq}}}")
+    )
+    p.build_batch(spark)
+    p.build_batch(spark)
+    assert not os.path.exists(str(dlq))  # no action ran yet
+    p.run_batch(spark).collect()
+    assert sorted(r.id for r in spark.read.parquet(str(dlq)).collect()) == [2, 4]
+
+
+def test_stream_strategy_reject_dlqs(spark, tmp_path):
+    """Streaming twin of test_strategy_reject_drops_and_dlqs (ADVICE r03
+    medium): error_handling reject + dlq on a streaming pipeline must
+    capture errored rows via the side DLQ query, not silently drop them."""
+    from bento_spark.streaming.sink import IdempotentParquetSink
+
+    src = _stage(spark, tmp_path, "sin_rej")
+    dlq = tmp_path / "sdlq"
+    conf = f"""
+input:
+  parquet: {{path: {src}, schema: "id int, v int"}}
+error_handling: {{strategy: reject, dlq: {dlq}}}
+pipeline:
+  processors:
+    - set_error: {{when: this.v > 80, message: v out of range}}
+output:
+  path: {tmp_path}/sout_rej
+"""
+    p = compile_yaml(conf)
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ck_rej"))
+    q.awaitTermination(120)
+    assert p._eh_dlq_query is not None
+    p._eh_dlq_query.awaitTermination(120)
+    main = IdempotentParquetSink(str(tmp_path / "sout_rej")).read(spark)
+    assert sorted(r.id for r in main.collect()) == [1, 3]
+    dlq_rows = IdempotentParquetSink(str(dlq)).read(spark)
     assert sorted(r.id for r in dlq_rows.collect()) == [2, 4]
     assert all(r.error is not None for r in dlq_rows.collect())
 
