@@ -49,10 +49,16 @@ def http_enrich(
     timeout: float = 5.0,
     retries: int = 1,
     backoff_s: float = 0.2,
+    rate_limit: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Enrich each row with an HTTP response body (string). `url` (and the
     optional `body` for POST/PUT) are Columns — typically from
-    compile_interpolated — evaluated JVM-side before the Python stage."""
+    compile_interpolated — evaluated JVM-side before the Python stage.
+
+    `rate_limit` is a per-partition (rate_per_s, burst) share of a named
+    rate_limit resource (processor_http.go:18 `rate_limit` field; see
+    operators/rate_limit.py for the aggregate-cap argument) — every
+    request ATTEMPT (including retries) first takes a token."""
     method = method.upper()
     hdrs = dict(headers or {})
     df = ensure_error_col(df)
@@ -73,6 +79,9 @@ def http_enrich(
         # bare `http` package)
         import http.client
 
+        from bento_spark.operators.rate_limit import TokenBucket
+
+        bucket = TokenBucket(*rate_limit) if rate_limit else None
         conns: dict[tuple[str, str, int], http.client.HTTPConnection] = {}
 
         def request(raw_url, payload: str | None) -> tuple[str | None, str | None]:
@@ -87,6 +96,8 @@ def http_enrich(
                 return None, f"http request failed: bad url: {e}"
             last = "no attempt"
             for attempt in range(retries + 1):
+                if bucket is not None:
+                    bucket.acquire()
                 try:
                     conn = conns.get(key)
                     if conn is None:

@@ -97,11 +97,16 @@ def subprocess_map(
     codec_send: str = "lines",
     codec_recv: str = "lines",
     timeout: float = 10.0,
+    rate_limit: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Replace `col` with the child's stdout response per row; stderr lines
     follow the error-column protocol (row errored, value unchanged). NULL
     values pass through untouched. The child must flush its pipes per
-    response (the reference documents the same requirement)."""
+    response (the reference documents the same requirement).
+
+    `rate_limit` is a per-partition (rate_per_s, burst) share of a named
+    rate_limit resource (see operators/rate_limit.py) — each message
+    exchange first takes a token."""
     if codec_send not in _CODECS or codec_recv not in _CODECS:
         raise ValueError(f"unsupported subprocess codec (supported: {_CODECS})")
     df = ensure_error_col(df)
@@ -121,6 +126,9 @@ def subprocess_map(
         import subprocess as _sp
         import threading as _threading
 
+        from bento_spark.operators.rate_limit import TokenBucket
+
+        bucket = TokenBucket(*rate_limit) if rate_limit else None
         state: dict = {"proc": None, "q_out": None, "q_err": None}
 
         def start() -> None:
@@ -192,6 +200,8 @@ def subprocess_map(
             """One lockstep round trip -> (new_value, error)."""
             if value is None:
                 return None, None
+            if bucket is not None:
+                bucket.acquire()
             data = bytes(value) if is_binary else str(value).encode("utf-8")
             # two attempts: a child that died mid-stream is restarted once
             # per row (the reference restarts early-exiting children)
@@ -305,6 +315,7 @@ def command_map(
     col: str = "text",
     timeout: float = 10.0,
     stderr_col: str = "command_stderr",
+    rate_limit: tuple[float, float] | None = None,
 ) -> DataFrame:
     """`command` processor: one process execution PER MESSAGE
     (/root/reference/internal/impl/io/processor_command.go:17-28) — message
@@ -339,10 +350,16 @@ def command_map(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import subprocess as _sp
 
+        from bento_spark.operators.rate_limit import TokenBucket
+
+        bucket = TokenBucket(*rate_limit) if rate_limit else None
+
         def one(value, row_args):
             """-> (new_value, stderr_text, error)."""
             if value is None:
                 return None, None, None
+            if bucket is not None:
+                bucket.acquire()
             data = bytes(value) if is_binary else str(value).encode("utf-8")
             argv = [name, *(list(row_args) if row_args is not None else [])]
             try:

@@ -429,6 +429,46 @@ class Pipeline:
             spool_dir=o["spool_dir"], host=host or "127.0.0.1", port=int(port or 0)
         ).start()
 
+    # ------------------------------------------------------------ rate limits
+    def _rate_limit_conf(self, label: str) -> dict:
+        """Look up a named entry in top-level `rate_limit_resources:`
+        (reference: rate limits registered as shared resources,
+        rate_limit_local.go:31; both the flat `{label, count, interval}`
+        and the reference's nested `{label, local: {...}}` shapes parse)."""
+        for r in self.conf.get("rate_limit_resources") or []:
+            if isinstance(r, dict) and r.get("label") == label:
+                return r.get("local") or r
+        known = [
+            r.get("label") for r in self.conf.get("rate_limit_resources") or []
+            if isinstance(r, dict)
+        ]
+        raise ValueError(
+            f"unknown rate_limit resource {label!r} (declared: {known or 'none'} "
+            "— add it under top-level rate_limit_resources:)"
+        )
+
+    def _rate_limit_share(self, label, df: DataFrame) -> tuple[float, float] | None:
+        """Resolve a component's `rate_limit: label` reference to this
+        stage's per-partition (rate_per_s, burst) token-bucket share. The
+        aggregate cap argument lives in operators/rate_limit.py: dividing
+        by max task concurrency bounds the cluster-wide rate without
+        cross-worker coordination."""
+        if label is None:
+            return None
+        body = self._rate_limit_conf(str(label))
+        from bento_spark.operators.rate_limit import per_partition_share
+        from bento_spark.streaming.cep import duration_ms
+
+        parallelism = int(
+            body.get("parallelism")
+            or df.sparkSession.sparkContext.defaultParallelism
+        )
+        return per_partition_share(
+            int(body.get("count", 1000)),
+            duration_ms(str(body.get("interval", "1s"))),
+            parallelism,
+        )
+
     # ------------------------------------------------------------- processors
     def _apply_processors(self, df: DataFrame) -> DataFrame:
         procs = (self.conf.get("pipeline") or {}).get("processors") or []
@@ -543,7 +583,14 @@ class Pipeline:
             # maxFilesPerTrigger/maxOffsetsPerTrigger + trigger interval.
             # Recorded on the plan; run_stream maps `interval` to the
             # processingTime trigger in continuous mode (see run_stream).
-            self.conf.setdefault("_rate_limit", opts or {})
+            # `resource: label` references a shared rate_limit_resources
+            # entry (the reference processor's only field) — its interval
+            # becomes the pacing interval.
+            o = dict(opts or {})
+            if "resource" in o:
+                body = self._rate_limit_conf(str(o.pop("resource")))
+                o.setdefault("interval", body.get("interval", "1s"))
+            self.conf.setdefault("_rate_limit", o)
             return df
         if name == "filter":
             return df.filter(compile_expr(opts))
@@ -860,7 +907,9 @@ class Pipeline:
             return match_sequence(df, **common)
         if name == "http":
             # HTTP enrichment (processor_http.go:16): interpolated url/body,
-            # response into out (error column on failure)
+            # response into out (error column on failure); `rate_limit`
+            # names a shared resource capping request rate across all
+            # parallel components (processor_http.go:18)
             from bento_spark.operators.http_enrich import http_enrich
 
             o = opts or {}
@@ -873,6 +922,7 @@ class Pipeline:
                 body=compile_interpolated(str(o["body"])) if "body" in o else None,
                 timeout=float(o.get("timeout", 5)),
                 retries=int(o.get("retries", 1)),
+                rate_limit=self._rate_limit_share(o.get("rate_limit"), df),
             )
         if name == "subprocess":
             # long-lived child per partition, lockstep line protocol
@@ -888,6 +938,7 @@ class Pipeline:
                 codec_send=o.get("codec_send", "lines"),
                 codec_recv=o.get("codec_recv", "lines"),
                 timeout=float(o.get("timeout", 10)),
+                rate_limit=self._rate_limit_share(o.get("rate_limit"), df),
             )
         if name == "command":
             # one exec per message (processor_command.go:17); args_mapping
@@ -906,6 +957,7 @@ class Pipeline:
                 args=args,
                 col=o.get("column", "text"),
                 timeout=float(o.get("timeout", 10)),
+                rate_limit=self._rate_limit_share(o.get("rate_limit"), df),
             )
         if name == "unarchive_tar":
             from bento_spark.operators.scanners import unarchive_tar

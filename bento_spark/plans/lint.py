@@ -28,7 +28,8 @@ _DUR_KEYS = {"interval", "within", "watermark", "duration", "slide", "gap",
 
 _TOP_SECTIONS = {
     "input", "pipeline", "output", "window", "join", "error_handling",
-    "tests", "resources", "cache_resources", "metrics", "logger",
+    "tests", "resources", "cache_resources", "rate_limit_resources",
+    "metrics", "logger",
 }
 
 # sections handled by the compiler but not via the `name == "..."` pattern
@@ -152,6 +153,25 @@ def lint_yaml(src: str, env: dict | None = None) -> list[str]:
         for k in ("duration", "slide", "gap", "lateness", "offset"):
             if win.get(k) is not None:
                 _lint_duration(f"window.{k}", win[k], issues)
+
+    rls = conf.get("rate_limit_resources")
+    if rls is not None and not isinstance(rls, list):
+        issues.append("rate_limit_resources must be a list")
+    for i, r in enumerate(rls or []):
+        if not isinstance(r, dict) or not r.get("label"):
+            issues.append(f"rate_limit_resources[{i}]: needs a 'label'")
+            continue
+        body = r.get("local") or r  # reference nests fields under `local:`
+        if not isinstance(body, dict):
+            issues.append(f"rate_limit_resources[{i}]: 'local' must be a mapping")
+            continue
+        try:
+            if int(body.get("count", 1000)) <= 0:
+                issues.append(f"rate_limit_resources[{i}]: count must be > 0")
+        except (TypeError, ValueError):
+            issues.append(f"rate_limit_resources[{i}]: count must be an integer")
+        if body.get("interval") is not None:
+            _lint_duration(f"rate_limit_resources[{i}].interval", body["interval"], issues)
 
     out = conf.get("output") or {}
     if isinstance(out, dict) and out.get("trigger") is not None:
