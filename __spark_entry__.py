@@ -864,6 +864,50 @@ pipeline:
     )
 
 
+def q_file_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`file` cache backend (cache_file.go:27) declared as a named
+    cache_resources entry: one file per key, content is the value. Two
+    INDEPENDENT pipelines (separate compile_yaml invocations — the
+    in-process analogue of two `bento run` executions) share enrichment
+    state through the directory, the restart-surviving property the
+    in-parquet KeyValueCache twin (yaml_cache_set_get) also has."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    cache_dir = _scratch_dir(f"file_cache_{os.path.basename(sf_dir.rstrip('/'))}", fresh=True)
+    resources = f"""
+cache_resources:
+  - label: nations
+    file: {{directory: {cache_dir}/files}}
+"""
+    setter = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/nation.parquet}}
+{resources}
+pipeline:
+  processors:
+    - mapping: |
+        root.k = this.n_nationkey.string()
+        root.nation_name = this.n_name
+    - cache: {{resource: nations, operator: set, key: k, columns: [nation_name]}}
+""")
+    setter.build_batch(spark)
+    getter = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/customer.parquet}}
+{resources}
+pipeline:
+  processors:
+    - mapping: 'root.k = this.c_nationkey.string()'
+    - cache: {{resource: nations, operator: get, key: k}}
+""")
+    return getter.build_batch(spark).groupBy(
+        F.col("value").alias("nation_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
+    )
+
+
 def q_yaml_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lookup (broadcast dimension join) section via YAML. Shares
     lookup_join's oracle."""
@@ -1128,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": q_top_k_per_group,
         "semi_anti": q_semi_anti,
         "embedding_norms": q_embedding_norms,
+        # -- round-4 additions --
+        "file_cache_roundtrip": q_file_cache_roundtrip,
         # -- round-3 additions --
         "audio_features_window": q_audio_features_window,
         "clip_transcript_join": q_clip_transcript_join,
@@ -1714,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
     sql["yaml_try_catch"] = sql["error_protocol"]
     sql["yaml_select_parts"] = sql["select_parts"]
     sql["yaml_cache_set_get"] = sql["cache_enrichment"]
+    sql["file_cache_roundtrip"] = sql["cache_enrichment"]
     # retry with deterministic errors + on_exhausted=reject converges to the
     # reject strategy's rows — shared oracle by design (see the docstring)
     sql["error_strategy_retry"] = sql["error_strategy_reject"]

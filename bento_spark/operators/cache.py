@@ -24,6 +24,7 @@ how the reference amortizes multi-gets (processor_cache.go batch path).
 from __future__ import annotations
 
 import os
+import re
 import time
 from collections.abc import Callable, Sequence
 
@@ -185,6 +186,165 @@ class KeyValueCache:
 
         for v in old:
             shutil.rmtree(f"{self.path}/_v={v}")
+
+
+class FileCache:
+    """`file` cache backend (/root/reference/internal/impl/io/cache_file.go:27):
+    one file per key under `directory` — the item id IS the relative path,
+    the file content IS the value. Interoperable with anything that can
+    read a directory (the reference positions it for development/debugging;
+    it is also the simplest cache that survives a driver restart).
+
+    Spark-first mapping: reads are ONE distributed `binaryFile` scan of the
+    directory joined to the batch (never a per-row driver round-trip);
+    writes run executor-side in foreachPartition — `set` is tmp-file +
+    atomic os.replace, `add` is O_EXCL create (cache_file.go:71), both
+    correct on a shared/posix filesystem.
+
+    TTL: the reference's file cache ignores per-entry TTLs (Set's duration
+    parameter is discarded, and the docs call out "no form of item
+    expiry"). We keep that contract for set()'s ttl argument but add an
+    optional RESOURCE-level `ttl`: entries whose file mtime is older than
+    `ttl` before `now_ms` read as absent — mtime-based expiry with zero
+    metadata files."""
+
+    def __init__(self, spark: SparkSession, directory: str, key_col: str = "key",
+                 value_col: str = "value", ttl: int | float | str | None = None):
+        self.spark = spark
+        self.dir = directory.rstrip("/")
+        self.key_col = key_col
+        self.value_col = value_col
+        self.ttl_ms = None if ttl is None else _ttl_ms(ttl)
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- storage ------------------------------------------------------------
+    def snapshot(self, now_ms: int | None = None) -> DataFrame | None:
+        """Current contents as (key, value) — one binaryFile scan; keys are
+        paths relative to the directory, values decoded UTF-8."""
+        if not any(
+            not f.startswith(".") and not f.endswith(".tmp")
+            for _, _, fs in os.walk(self.dir)
+            for f in fs
+        ):
+            return None
+        df = (
+            self.spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(self.dir)
+        )
+        # Hadoop renders local paths as file:/abs or file:///abs depending on
+        # the FS impl — normalize the scheme away, then strip the directory
+        # prefix to recover the relative-path key
+        abs_path = F.regexp_replace(F.col("path"), r"^[a-zA-Z0-9]+:/+", "/")
+        out = df.select(
+            F.regexp_replace(abs_path, "^" + re.escape(self.dir + "/"), "")
+            .alias(self.key_col),
+            F.col("content").cast("string").alias(self.value_col),
+            F.unix_millis(F.col("modificationTime")).alias("_mtime_ms"),
+        )
+        # crashed set() writers can leave `<key>.<32hex>.tmp` behind —
+        # never surface them as entries
+        out = out.filter(~F.col(self.key_col).rlike(r"\.[0-9a-f]{32}\.tmp$"))
+        if self.ttl_ms is not None:
+            out = out.filter(F.col("_mtime_ms") > F.lit(_now_ms(now_ms) - self.ttl_ms))
+        return out.drop("_mtime_ms")
+
+    def _write_files(self, df: DataFrame, exclusive: bool) -> None:
+        """Executor-side file writes. `exclusive` = O_EXCL (add); else
+        atomic tmp+rename (set). Keys may contain '/' (relative paths)."""
+        base, key_col, value_col = self.dir, self.key_col, self.value_col
+        rows = df.select(key_col, value_col)
+
+        def write(part) -> None:
+            import os as _os
+            import uuid as _uuid
+
+            for r in part:
+                key, val = r[key_col], r[value_col]
+                if key is None:
+                    continue
+                key = str(key)
+                if key.startswith("/") or ".." in key.split("/"):
+                    raise ValueError(f"file cache key escapes the directory: {key!r}")
+                path = _os.path.join(base, key)
+                _os.makedirs(_os.path.dirname(path), exist_ok=True)
+                data = ("" if val is None else str(val)).encode("utf-8")
+                if exclusive:
+                    try:
+                        fd = _os.open(path, _os.O_WRONLY | _os.O_CREAT | _os.O_EXCL, 0o644)
+                    except FileExistsError:
+                        continue  # rejection handled by the caller's anti-join
+                    with _os.fdopen(fd, "wb") as f:
+                        f.write(data)
+                else:
+                    tmp = f"{path}.{_uuid.uuid4().hex}.tmp"
+                    with open(tmp, "wb") as f:
+                        f.write(data)
+                    _os.replace(tmp, path)
+
+        rows.foreachPartition(write)
+
+    # -- operators (cache_file.go:61-91) -------------------------------------
+    def set(self, df: DataFrame, ttl: int | float | str | None = None,
+            now_ms: int | None = None) -> None:
+        """Upsert (atomic rename per key). Per-entry `ttl` is IGNORED —
+        cache_file.go:68 discards it too; use the resource-level ttl."""
+        self._write_files(df.dropDuplicates([self.key_col]), exclusive=False)
+
+    def add(self, df: DataFrame, ttl: int | float | str | None = None,
+            now_ms: int | None = None) -> DataFrame:
+        """Insert-if-absent via O_EXCL. Returns rejected rows (key already
+        present and unexpired) for the error-column routing. An expired
+        entry counts as absent: its file is atomically replaced."""
+        fresh = df.dropDuplicates([self.key_col])
+        cur = self.snapshot(now_ms)
+        if cur is None:
+            self._write_files(fresh, exclusive=True)
+            return fresh.limit(0)
+        live_keys = cur.select(self.key_col)
+        # materialize BOTH splits before writing: the write changes the very
+        # files the lazy plans would re-scan, so an unpinned `rejected`
+        # evaluated after the write would see the just-written keys as live
+        rejected = fresh.join(live_keys, self.key_col, "left_semi").localCheckpoint(eager=True)
+        accepted = fresh.join(live_keys, self.key_col, "left_anti").localCheckpoint(eager=True)
+        # expired-but-present files must be REPLACED (O_EXCL would reject):
+        # atomic rename for those, O_EXCL for brand-new keys is subsumed
+        self._write_files(accepted, exclusive=False)
+        return rejected
+
+    def delete(self, keys: DataFrame) -> None:
+        base, key_col = self.dir, self.key_col
+
+        def rm(part) -> None:
+            import os as _os
+
+            for r in part:
+                if r[key_col] is None:
+                    continue
+                key = str(r[key_col])
+                if key.startswith("/") or ".." in key.split("/"):
+                    continue
+                try:
+                    _os.remove(_os.path.join(base, key))
+                except OSError:
+                    pass
+
+        keys.select(key_col).foreachPartition(rm)
+
+    def get(self, df: DataFrame, on: str | None = None, broadcast: bool = True,
+            now_ms: int | None = None) -> DataFrame:
+        """Enrich df with the cached value by key (left join; miss = NULL
+        `value` column, same contract as KeyValueCache.get)."""
+        key = on or self.key_col
+        cur = self.snapshot(now_ms)
+        if cur is None:
+            raise RuntimeError(
+                f"file cache at {self.dir} is empty: set()/add() before get()"
+            )
+        side = cur.withColumnRenamed(self.key_col, key) if key != self.key_col else cur
+        if broadcast:
+            side = F.broadcast(side)
+        return df.join(side, key, "left")
 
 
 def cached(

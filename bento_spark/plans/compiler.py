@@ -429,6 +429,41 @@ class Pipeline:
             spool_dir=o["spool_dir"], host=host or "127.0.0.1", port=int(port or 0)
         ).start()
 
+    # -------------------------------------------------------- cache resources
+    def _cache_backend(self, resource: str, spark: SparkSession, key_col: str = "key"):
+        """Resolve a `resource:` reference to a cache backend. A label
+        declared under top-level `cache_resources:` wins (the reference
+        registers caches as named resources — config/schema.go's
+        cache_resources section, 16 backends under internal/impl/*/
+        cache_*.go); an undeclared resource falls back to the historical
+        behavior of treating the string as a parquet KeyValueCache path."""
+        from bento_spark.operators.cache import FileCache, KeyValueCache
+
+        for r in self.conf.get("cache_resources") or []:
+            if isinstance(r, dict) and r.get("label") == resource:
+                if "file" in r:
+                    f = r["file"] or {}
+                    if "directory" not in f:
+                        raise ValueError(
+                            f"cache resource {resource!r}: file backend needs `directory`"
+                        )
+                    return FileCache(
+                        spark, f["directory"], key_col=key_col,
+                        value_col=f.get("value_col", "value"), ttl=f.get("ttl"),
+                    )
+                if "parquet" in r:
+                    p = r["parquet"] or {}
+                    if "path" not in p:
+                        raise ValueError(
+                            f"cache resource {resource!r}: parquet backend needs `path`"
+                        )
+                    return KeyValueCache(spark, p["path"], key_col=key_col)
+                raise ValueError(
+                    f"cache resource {resource!r} needs a backend section "
+                    "(file: {directory: ...} or parquet: {path: ...})"
+                )
+        return KeyValueCache(spark, resource, key_col=key_col)
+
     # ------------------------------------------------------------ rate limits
     def _rate_limit_conf(self, label: str) -> dict:
         """Look up a named entry in top-level `rate_limit_resources:`
@@ -692,10 +727,12 @@ class Pipeline:
             # per-batch get/set/add/delete on a named keyed state table
             # (processor_cache.go:125; the key field is interpolated in the
             # reference — here `key` names the column holding it)
-            from bento_spark.operators.cache import KeyValueCache
+            from bento_spark.operators.cache import FileCache
 
             o = opts or {}
-            cache = KeyValueCache(df.sparkSession, o["resource"], key_col=o.get("key_col", "key"))
+            cache = self._cache_backend(
+                o["resource"], df.sparkSession, key_col=o.get("key_col", "key")
+            )
             op = o.get("operator", "get")
             key = o["key"]
             # ttl (seconds or duration string) + optional pinned now_ms for
@@ -706,9 +743,25 @@ class Pipeline:
             if df.isStreaming:
                 raise ValueError(f"cache {op} is batch-only in YAML pipelines; stream writes go through outputs")
             cols = o.get("columns") or [c for c in df.columns if c != key]
-            sel = df.select(key, *cols)
-            if key != cache.key_col:
-                sel = sel.withColumnRenamed(key, cache.key_col)
+            if isinstance(cache, FileCache) and op in ("set", "add"):
+                # one file per key holds ONE value (cache_file.go: content IS
+                # the value) — a multi-column write has no file encoding
+                if len(cols) != 1:
+                    raise ValueError(
+                        f"file cache {o['resource']!r} stores a single value column; "
+                        f"got columns={cols} (pick one with `columns: [col]`)"
+                    )
+                sel = df.select(key, F.col(cols[0]).cast("string").alias(cache.value_col))
+                if key != cache.key_col:
+                    sel = sel.withColumnRenamed(key, cache.key_col)
+                if op == "set":
+                    cache.set(sel, ttl=ttl, now_ms=now_ms)
+                    return df
+                # op == "add" falls through to the shared rejection routing
+            else:
+                sel = df.select(key, *cols)
+                if key != cache.key_col:
+                    sel = sel.withColumnRenamed(key, cache.key_col)
             if op == "set":
                 cache.set(sel, ttl=ttl, now_ms=now_ms)
                 return df
@@ -732,7 +785,13 @@ class Pipeline:
             from bento_spark.operators.cache import KeyValueCache, cached
 
             o = opts or {}
-            cache = KeyValueCache(df.sparkSession, o["resource"])
+            cache = self._cache_backend(o["resource"], df.sparkSession)
+            if not isinstance(cache, KeyValueCache):
+                raise ValueError(
+                    "cached memoization needs a parquet-backed cache resource "
+                    "(it stores arbitrary value columns; the file backend holds "
+                    "one string per key)"
+                )
             return cached(cache, o["key_cols"], self._chain(o["processors"]),
                           ttl=o.get("ttl"), now_ms=o.get("now_ms"))(df)
         if name == "lookup":

@@ -154,6 +154,26 @@ def lint_yaml(src: str, env: dict | None = None) -> list[str]:
             if win.get(k) is not None:
                 _lint_duration(f"window.{k}", win[k], issues)
 
+    crs = conf.get("cache_resources")
+    if crs is not None and not isinstance(crs, list):
+        issues.append("cache_resources must be a list")
+    for i, r in enumerate(crs or []):
+        if not isinstance(r, dict) or not r.get("label"):
+            issues.append(f"cache_resources[{i}]: needs a 'label'")
+            continue
+        if "file" in r:
+            if not isinstance(r["file"], dict) or "directory" not in r["file"]:
+                issues.append(f"cache_resources[{i}] (file): missing 'directory'")
+            elif r["file"].get("ttl") is not None:
+                _lint_duration(f"cache_resources[{i}].file.ttl", r["file"]["ttl"], issues)
+        elif "parquet" in r:
+            if not isinstance(r["parquet"], dict) or "path" not in r["parquet"]:
+                issues.append(f"cache_resources[{i}] (parquet): missing 'path'")
+        else:
+            issues.append(
+                f"cache_resources[{i}]: needs a backend (file: {{directory}} or parquet: {{path}})"
+            )
+
     rls = conf.get("rate_limit_resources")
     if rls is not None and not isinstance(rls, list):
         issues.append("rate_limit_resources must be a list")
