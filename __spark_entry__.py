@@ -643,6 +643,34 @@ def q_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro single-record binary roundtrip via the dependency-free spec
+    codec (internal/impl/avro/processor.go:21; operators/avro_codec.py —
+    previously jar-gated, now driver-checked like msgpack). Oracle
+    aggregates the source — any value lost on the wire breaks counts or
+    sums."""
+    import json as _json
+
+    from bento_spark.operators.avro_codec import avro_record_decode, avro_record_encode
+
+    sch = _json.dumps({
+        "type": "record", "name": "event", "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": ["null", "string"]},
+            {"name": "value", "type": "double"},
+        ],
+    })
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    blobs = avro_record_encode(ev, ["event_id", "user_id", "event_type", "value"], sch, out_col="blob")
+    back = avro_record_decode(blobs, "blob", sch)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_ids"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 def q_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP sequence match (streaming/cep.py): view -> click -> purchase
     within 72h per user, first-match semantics, Flink-CEP-style `within`
@@ -1174,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         # -- round-4 additions --
         "file_cache_roundtrip": q_file_cache_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
         # -- round-3 additions --
         "audio_features_window": q_audio_features_window,
         "clip_transcript_join": q_clip_transcript_join,
@@ -1761,6 +1790,7 @@ def oracle_sql() -> dict[str, str]:
     sql["yaml_select_parts"] = sql["select_parts"]
     sql["yaml_cache_set_get"] = sql["cache_enrichment"]
     sql["file_cache_roundtrip"] = sql["cache_enrichment"]
+    sql["avro_roundtrip"] = sql["msgpack_roundtrip"]
     # retry with deterministic errors + on_exhausted=reject converges to the
     # reject strategy's rows — shared oracle by design (see the docstring)
     sql["error_strategy_retry"] = sql["error_strategy_reject"]

@@ -931,15 +931,39 @@ class Pipeline:
             return msgpack_decode(df, o.get("column", "msgpack_blob"), o["schema"],
                                   keep_cols=o.get("keep", ()))
         if name == "avro_decode":
-            from bento_spark.operators.codec import avro_decode
-
+            # dependency-free spec codec by default (avro/scanner.go:46,
+            # processor.go:21 — see operators/avro_codec.py); `engine: spark`
+            # opts into the jar-gated from_avro (struct `out` column) for
+            # clusters that ship spark-avro
             o = opts or {}
-            return avro_decode(df, o.get("column", "value"), o["schema"], out_col=o.get("out", "record"))
+            if o.get("engine") == "spark":
+                from bento_spark.operators.codec import avro_decode
+
+                return avro_decode(df, o.get("column", "value"), o["schema"],
+                                   out_col=o.get("out", "record"))
+            from bento_spark.operators.avro_codec import avro_record_decode
+
+            return avro_record_decode(df, o.get("column", "value"), o["schema"],
+                                      keep_cols=o.get("keep", ()))
         if name == "avro_encode":
-            from bento_spark.operators.codec import avro_encode
+            o = opts or {}
+            if o.get("engine") == "spark":
+                from bento_spark.operators.codec import avro_encode
+
+                return avro_encode(df, o["columns"], o["schema"], out_col=o.get("out", "avro_bytes"))
+            from bento_spark.operators.avro_codec import avro_record_encode
+
+            return avro_record_encode(df, o["columns"], o["schema"],
+                                      out_col=o.get("out", "avro_bytes"))
+        if name == "unarchive_avro":
+            # `avro` scanner (scanner.go:46): a binary column of whole OCF
+            # files -> one row per record, standard-JSON content (schema
+            # carried per file)
+            from bento_spark.operators.avro_codec import avro_ocf_scan
 
             o = opts or {}
-            return avro_encode(df, o["columns"], o["schema"], out_col=o.get("out", "avro_bytes"))
+            return avro_ocf_scan(df, o.get("column", "content"), keep_cols=o.get("keep", ()),
+                                 out_col=o.get("out", "record_json"))
         if name == "protobuf_decode":
             from bento_spark.operators.codec import protobuf_decode
 

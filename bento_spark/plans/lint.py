@@ -47,6 +47,8 @@ _REQUIRED = {
     "command": ("name",),
     "http": ("url",),
     "msgpack_decode": ("schema",),
+    "avro_decode": ("schema",),
+    "avro_encode": ("columns", "schema"),
     "protobuf_decode": ("message", "descriptor_file"),
     "protobuf_encode": ("columns", "message", "descriptor_file"),
 }
