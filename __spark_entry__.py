@@ -643,6 +643,61 @@ def q_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jmespath_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full JMESPath over per-order JSON documents
+    (processor_jmespath.go:65): list projections `[]`, filter `[?...]`,
+    pipe, sort/join/map and length/sum/max_by — the query shapes the
+    dot-path json_query (jq_extract) cannot express. Each order's
+    lineitems become one JSON doc; the query computes per-order stats that
+    DuckDB recomputes relationally."""
+    from bento_spark.operators.codec import jmespath_map, json_map
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    docs = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_partkey").alias("part"),
+                        F.col("l_quantity").alias("qty"),
+                        F.col("l_extendedprice").alias("price"),
+                    )
+                )
+            ).alias("lines")
+        )
+        .select(
+            F.to_json(
+                F.struct(F.col("l_orderkey").alias("order"), F.col("lines"))
+            ).alias("doc")
+        )
+    )
+    q = (
+        "{order: order, n_big: length(lines[?qty >= `30`]), "
+        "total_qty: sum(lines[].qty), max_price: max_by(lines, &price).price, "
+        "big_parts: lines[?qty >= `30`].part | sort(@) | join(',', map(&to_string(@), @))}"
+    )
+    out = jmespath_map(docs, "doc", q)
+    cols = json_map(
+        out,
+        "doc",
+        {
+            "n_big": ("n_big", "int"),
+            "total_qty": ("total_qty", "double"),
+            "max_price": ("max_price", "double"),
+            "big_parts": ("big_parts", "string"),
+        },
+    )
+    return cols.groupBy("n_big").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("total_qty"), 2).alias("sum_qty"),
+        F.round(F.sum("max_price"), 2).alias("sum_max_price"),
+        F.sum(F.length("big_parts")).alias("sum_parts_len"),
+    )
+
+
 def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro single-record binary roundtrip via the dependency-free spec
     codec (internal/impl/avro/processor.go:21; operators/avro_codec.py —
@@ -1203,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions --
         "file_cache_roundtrip": q_file_cache_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
+        "jmespath_projection": q_jmespath_projection,
         # -- round-3 additions --
         "audio_features_window": q_audio_features_window,
         "clip_transcript_join": q_clip_transcript_join,
@@ -1791,6 +1847,22 @@ def oracle_sql() -> dict[str, str]:
     sql["yaml_cache_set_get"] = sql["cache_enrichment"]
     sql["file_cache_roundtrip"] = sql["cache_enrichment"]
     sql["avro_roundtrip"] = sql["msgpack_roundtrip"]
+    sql["jmespath_projection"] = """
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 CAST(count(*) FILTER (WHERE l_quantity >= 30) AS INTEGER) AS n_big,
+                 sum(l_quantity) AS total_qty,
+                 max(l_extendedprice) AS max_price,
+                 coalesce(array_to_string(
+                   list_sort(list(l_partkey) FILTER (WHERE l_quantity >= 30)), ','), '') AS big_parts
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT n_big, count(*) AS n_orders,
+               round(sum(total_qty), 2) AS sum_qty,
+               round(sum(max_price), 2) AS sum_max_price,
+               CAST(sum(length(big_parts)) AS BIGINT) AS sum_parts_len
+        FROM per_order GROUP BY n_big
+    """
     # retry with deterministic errors + on_exhausted=reject converges to the
     # reject strategy's rows — shared oracle by design (see the docstring)
     sql["error_strategy_retry"] = sql["error_strategy_reject"]

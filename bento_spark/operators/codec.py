@@ -214,6 +214,78 @@ def json_map(df: DataFrame, col: str, outputs: dict[str, tuple[str, str]]) -> Da
     return df
 
 
+def jmespath_map(df: DataFrame, col: str, query: str, out_col: str | None = None) -> DataFrame:
+    """Full JMESPath over a JSON string column
+    (/root/reference/internal/impl/pure/processor_jmespath.go:65 — the
+    reference replaces the message with the query result; here the result
+    JSON replaces `col` or lands in `out_col`).
+
+    Uses the public `jmespath` package (same spec as the reference's
+    go-jmespath: projections `[*]`/`[]`, filters `[?...]`, pipes, and the
+    builtin function library), import-gated with a clear error. This is
+    deliberately the interpreted slow path — the reference's own docs
+    steer users to `mapping` for performance, and so do ours (simple
+    dot-paths stay on the codegen json_query). Unparsable documents follow
+    the error-column protocol (row errored, content unchanged), matching
+    the reference's no-passthrough-mutation behavior on bad JSON."""
+    try:
+        import jmespath as _jp
+    except ImportError as e:  # pragma: no cover - present in this env
+        raise RuntimeError(
+            "jmespath processor needs the `jmespath` package (pip install jmespath)"
+        ) from e
+    _jp.compile(query)  # surface query syntax errors at PLAN time
+    out_col = out_col or col
+    from bento_spark.operators.errors import ERROR_COL, ensure_error_col
+
+    df = ensure_error_col(df)
+    in_cols = list(df.columns)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if out_col != col and out_col in in_cols:
+        raise ValueError(f"jmespath: out_col {out_col!r} collides with an input column")
+    out_cols = in_cols if out_col == col else in_cols + [out_col]
+    out_schema = ", ".join(
+        f"{c} {fields.get(c, 'string')}" if c != out_col else f"{out_col} string"
+        for c in out_cols
+    )
+
+    def run(batches):
+        import json as _json
+
+        import jmespath as jp
+
+        compiled = jp.compile(query)
+        for pdf in batches:
+            outs, errs = [], []
+            for i in range(len(pdf)):
+                prior = pdf[ERROR_COL].iloc[i]
+                raw = pdf[col].iloc[i]
+                if isinstance(prior, str) or raw is None:
+                    outs.append(raw if out_col == col else None)
+                    errs.append(prior if isinstance(prior, str) else None)
+                    continue
+                try:
+                    doc = _json.loads(raw)
+                except ValueError as e:
+                    outs.append(raw if out_col == col else None)
+                    errs.append(f"jmespath: invalid JSON: {e}")
+                    continue
+                try:
+                    res = compiled.search(doc)
+                except Exception as e:  # noqa: BLE001 — runtime type errors per row
+                    outs.append(raw if out_col == col else None)
+                    errs.append(f"jmespath: {e}")
+                    continue
+                outs.append(_json.dumps(res, separators=(",", ":")))
+                errs.append(None)
+            out = pdf[[c for c in in_cols if c != out_col]].copy()
+            out[out_col] = outs
+            out[ERROR_COL] = errs
+            yield out[out_cols]
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # json_schema — validation to the error column (processor_jsonschema.go:93)
 # ---------------------------------------------------------------------------

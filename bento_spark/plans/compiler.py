@@ -930,6 +930,14 @@ class Pipeline:
             o = opts or {}
             return msgpack_decode(df, o.get("column", "msgpack_blob"), o["schema"],
                                   keep_cols=o.get("keep", ()))
+        if name == "jmespath":
+            # full JMESPath query over a JSON column (processor_jmespath.go:65);
+            # the result document replaces the column (reference: replaces
+            # the message) unless `out` is given
+            from bento_spark.operators.codec import jmespath_map
+
+            o = opts or {}
+            return jmespath_map(df, o.get("column", "bytes"), o["query"], out_col=o.get("out"))
         if name == "avro_decode":
             # dependency-free spec codec by default (avro/scanner.go:46,
             # processor.go:21 — see operators/avro_codec.py); `engine: spark`

@@ -48,6 +48,7 @@ _REQUIRED = {
     "http": ("url",),
     "msgpack_decode": ("schema",),
     "avro_decode": ("schema",),
+    "jmespath": ("query",),
     "avro_encode": ("columns", "schema"),
     "protobuf_decode": ("message", "descriptor_file"),
     "protobuf_encode": ("columns", "message", "descriptor_file"),
