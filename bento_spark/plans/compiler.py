@@ -413,6 +413,7 @@ class Pipeline:
         return WebSocketSpooler(
             url=o["url"], spool_dir=o["spool_dir"],
             open_message=o.get("open_message"),
+            tls_insecure=bool(o.get("tls_insecure", False)),
         ).start()
 
     def start_socket_listener(self):

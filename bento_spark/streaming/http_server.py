@@ -185,6 +185,9 @@ class WebSocketSpooler:
     url: str
     spool_dir: str
     open_message: str | None = None
+    # wss:// verification knob (input_websocket.go's tls.skip_cert_verify):
+    # True trusts any chain — in-process test servers and private CAs
+    tls_insecure: bool = False
     _stop: threading.Event = field(default_factory=threading.Event, repr=False)
     _thread: threading.Thread | None = field(default=None, repr=False)
     _sock: object = field(default=None, repr=False)
@@ -212,10 +215,9 @@ class WebSocketSpooler:
         import urllib.parse
 
         u = urllib.parse.urlsplit(self.url)
-        if u.scheme != "ws":
-            raise ValueError(f"websocket input supports ws:// URLs, got {self.url!r}"
-                             " (wss needs TLS material — pair with a local proxy)")
-        host, port = u.hostname or "127.0.0.1", u.port or 80
+        if u.scheme not in ("ws", "wss"):
+            raise ValueError(f"websocket input supports ws:// and wss:// URLs, got {self.url!r}")
+        host, port = u.hostname or "127.0.0.1", u.port or (443 if u.scheme == "wss" else 80)
         path = (u.path or "/") + (f"?{u.query}" if u.query else "")
         spool = Path(self.spool_dir)
         spool.mkdir(parents=True, exist_ok=True)
@@ -225,6 +227,15 @@ class WebSocketSpooler:
             hashlib.sha1((key + _WS_GUID).encode()).digest()
         ).decode()
         sock = socket.create_connection((host, port), timeout=10)
+        if u.scheme == "wss":
+            # RFC 6455 §4.1 step 3: TLS before the opening handshake
+            import ssl
+
+            ctx = ssl.create_default_context()
+            if self.tls_insecure:
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            sock = ctx.wrap_socket(sock, server_hostname=host)
         sock.sendall(
             (
                 f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
@@ -273,8 +284,14 @@ class WebSocketSpooler:
                         n = int.from_bytes(read_exact(2, pre), "big")
                     elif n == 127:
                         n = int.from_bytes(read_exact(8, pre), "big")
-                    if b1 & 0x80:  # masked server frame: protocol error (§5.1)
-                        read_exact(4, pre)
+                    if b1 & 0x80:
+                        # a masked server->client frame is a protocol error
+                        # the client MUST fail the connection on (§5.1) —
+                        # spooling it (even unmasked) would feed a
+                        # non-conforming peer's bytes into the pipeline
+                        raise ConnectionError(
+                            "websocket: masked server frame (RFC 6455 §5.1) — failing the connection"
+                        )
                     payload = read_exact(n, pre)
                     if opcode == 0x9:  # ping -> pong with same payload
                         sock.sendall(self.client_frame(0xA, payload, _os.urandom(4)))
@@ -292,7 +309,14 @@ class WebSocketSpooler:
                             tmp.write_bytes(msg)
                             tmp.rename(spool / name)
             except (ConnectionError, OSError):
-                return  # socket teardown ends the input, like the reference
+                # socket teardown ends the input, like the reference; close
+                # eagerly so a protocol failure (masked server frame) tears
+                # the connection down rather than leaving it half-open
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                return
 
         self._thread = threading.Thread(target=reader, daemon=True)
         self._thread.start()

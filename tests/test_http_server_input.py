@@ -385,6 +385,138 @@ class _WsTestServer:
         self.sock.close()
 
 
+class _MaskingWsServer(_WsTestServer):
+    """Non-conforming server: after one good frame it sends a MASKED
+    server->client frame — RFC 6455 §5.1 requires the client to fail the
+    connection, not unmask-and-continue."""
+
+    def _serve(self):
+        import base64
+        import hashlib
+
+        conn, _ = self.sock.accept()
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += conn.recv(4096)
+        head = buf.split(b"\r\n\r\n")[0].decode()
+        key = next(ln.split(":", 1)[1].strip() for ln in head.split("\r\n")
+                   if ln.lower().startswith("sec-websocket-key"))
+        accept = base64.b64encode(
+            hashlib.sha1((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()).digest()
+        ).decode()
+        conn.sendall((
+            "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Accept: {accept}\r\n\r\n"
+        ).encode())
+        conn.sendall(self._frame(0x1, b"good-one"))
+        # masked server frame (protocol violation): set the mask bit + key
+        mask = b"\x01\x02\x03\x04"
+        payload = b"evil"
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        conn.sendall(bytes([0x81, 0x80 | len(payload)]) + mask + masked)
+        conn.sendall(self._frame(0x1, b"after-violation"))  # must never spool
+        self.conn = conn
+
+
+def test_websocket_masked_server_frame_fails_connection(tmp_path):
+    import time
+
+    from bento_spark.streaming.http_server import WebSocketSpooler
+
+    srv = _MaskingWsServer()
+    spool = tmp_path / "mspool"
+    ws = WebSocketSpooler(url=f"ws://127.0.0.1:{srv.port}/feed", spool_dir=str(spool)).start()
+    try:
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and (ws._thread and ws._thread.is_alive()):
+            time.sleep(0.1)
+        assert not (ws._thread and ws._thread.is_alive()), "reader kept running after violation"
+        msgs = [f.read_bytes() for f in sorted(spool.glob("*.msg"))]
+        assert msgs == [b"good-one"], msgs  # nothing after the violation spooled
+    finally:
+        ws.stop()
+        srv.close()
+
+
+class _TlsWsServer(_WsTestServer):
+    """wss:// twin of _WsTestServer: same conversation over TLS with a
+    freshly-generated self-signed certificate."""
+
+    def __init__(self, certdir):
+        import socket
+        import ssl
+        import subprocess
+        import threading
+
+        self.cert = f"{certdir}/cert.pem"
+        self.key = f"{certdir}/key.pem"
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", self.key, "-out", self.cert, "-days", "1",
+             "-subj", "/CN=127.0.0.1"],
+            check=True, capture_output=True,
+        )
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(self.cert, self.key)
+        raw = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        raw.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        raw.bind(("127.0.0.1", 0))
+        raw.listen(1)
+        self.port = raw.getsockname()[1]
+        self.sock = ctx.wrap_socket(raw, server_side=True)
+        self.received_open = None
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+
+def test_websocket_wss_tls_handshake(tmp_path):
+    """wss:// over an in-process TLS server (RFC 6455 §4.1: TLS first,
+    then the opening handshake); tls_insecure trusts the self-signed
+    chain like the reference's skip_cert_verify."""
+    import time
+
+    from bento_spark.streaming.http_server import WebSocketSpooler
+
+    srv = _TlsWsServer(str(tmp_path))
+    spool = tmp_path / "tls_spool"
+    ws = WebSocketSpooler(
+        url=f"wss://127.0.0.1:{srv.port}/feed", spool_dir=str(spool),
+        open_message="hello-tls", tls_insecure=True,
+    ).start()
+    try:
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            if len(list(spool.glob("*.msg"))) >= 3:
+                break
+            time.sleep(0.2)
+        assert srv.received_open == (0x1, b"hello-tls")
+        msgs = [f.read_bytes() for f in sorted(spool.glob("*.msg"))]
+        assert b"msg-one" in msgs and b"frag-mented" in msgs
+    finally:
+        ws.stop()
+        srv.close()
+
+
+def test_websocket_wss_verifies_by_default(tmp_path):
+    """Without tls_insecure the self-signed chain must be REJECTED — the
+    default posture is verification, matching ssl.create_default_context."""
+    import ssl
+
+    import pytest
+
+    from bento_spark.streaming.http_server import WebSocketSpooler
+
+    srv = _TlsWsServer(str(tmp_path))
+    try:
+        with pytest.raises((ssl.SSLError, ConnectionError, OSError)):
+            WebSocketSpooler(
+                url=f"wss://127.0.0.1:{srv.port}/feed",
+                spool_dir=str(tmp_path / "nospool"),
+            ).start()
+    finally:
+        srv.close()
+
+
 def test_websocket_input_e2e(spark, tmp_path):
     """websocket input (input_websocket.go): RFC 6455 client handshake,
     ping->pong, fragment re-assembly, close — messages land in the spool
