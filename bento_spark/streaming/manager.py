@@ -32,11 +32,17 @@ from bento_spark.plans.compiler import Pipeline, compile_yaml
 
 @dataclass
 class _StreamInfo:
-    pipeline: Pipeline
-    query: Any  # StreamingQuery
+    pipeline: Pipeline | None
+    query: Any  # StreamingQuery (None while the slot is a reservation)
     created_at: float
     config_src: str
     totals: dict[str, float] = field(default_factory=dict)
+    # starting=True marks a RESERVATION: the id is claimed (duplicate
+    # creates fail fast) while compile+start runs outside the manager lock
+    starting: bool = False
+    # per-stream lock for totals accumulation (concurrent /stats requests
+    # through ThreadingHTTPServer must not double-count a batch)
+    lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
 
 class StreamManager:
@@ -51,37 +57,78 @@ class StreamManager:
         self._server: http.server.ThreadingHTTPServer | None = None
 
     # ------------------------------------------------------------------ CRUD
-    def create(self, stream_id: str, config_src: str, available_now: bool = False) -> None:
-        """POST /streams/{id}: compile + start. Duplicate ids error (the
-        reference returns 400 on existing)."""
-        with self._lock:
-            if stream_id in self._streams:
-                raise ValueError(f"stream {stream_id!r} already exists")
+    def _start(self, stream_id: str, config_src: str, available_now: bool):
         pipe = compile_yaml(config_src)
         ck = os.path.join(self.checkpoint_root, stream_id)
         q = pipe.run_stream(self.spark, checkpoint=ck, available_now=available_now)
+        return pipe, q
+
+    def _fill_reservation(self, stream_id: str, slot: _StreamInfo,
+                          config_src: str, available_now: bool) -> None:
+        """Compile+start OUTSIDE the manager lock (starting a query takes
+        seconds), then swap the result into the reserved slot; a failed
+        start releases the reservation so the id is creatable again."""
+        try:
+            pipe, q = self._start(stream_id, config_src, available_now)
+        except BaseException:
+            with self._lock:
+                if self._streams.get(stream_id) is slot:
+                    del self._streams[stream_id]
+            raise
         with self._lock:
-            self._streams[stream_id] = _StreamInfo(pipe, q, time.time(), config_src)
+            slot.pipeline, slot.query = pipe, q
+            slot.created_at = time.time()
+            slot.starting = False
+
+    def create(self, stream_id: str, config_src: str, available_now: bool = False) -> None:
+        """POST /streams/{id}: compile + start. Duplicate ids error (the
+        reference returns 400 on existing). The id is RESERVED under the
+        lock before the (slow) start, so two concurrent creates can't both
+        pass the duplicate check and leak the loser's running query."""
+        slot = _StreamInfo(None, None, time.time(), config_src, starting=True)
+        with self._lock:
+            if stream_id in self._streams:
+                raise ValueError(f"stream {stream_id!r} already exists")
+            self._streams[stream_id] = slot
+        self._fill_reservation(stream_id, slot, config_src, available_now)
 
     def update(self, stream_id: str, config_src: str) -> None:
         """PUT /streams/{id}: stop + restart with the new config. The
         checkpoint dir is KEPT — an update resumes from the stream's
-        offsets, matching the reference's restart-with-lineage contract."""
-        self.delete(stream_id, _keep_for_update=True)
-        self.create(stream_id, config_src)
-
-    def delete(self, stream_id: str, _keep_for_update: bool = False) -> None:
-        """DELETE /streams/{id}: stop the query and drop the registration
-        (checkpoints stay on disk — deletion is a control-plane act)."""
+        offsets, matching the reference's restart-with-lineage contract.
+        Atomic vs concurrent create/update/delete: the slot is swapped to
+        a reservation in ONE lock hold, so no other caller can claim the
+        id between the stop and the restart."""
+        slot = _StreamInfo(None, None, time.time(), config_src, starting=True)
         with self._lock:
-            info = self._streams.pop(stream_id, None)
-        if info is None:
-            raise KeyError(f"stream {stream_id!r} not found")
+            info = self._streams.get(stream_id)
+            if info is None:
+                raise KeyError(f"stream {stream_id!r} not found")
+            if info.starting:
+                raise ValueError(f"stream {stream_id!r} is being (re)started")
+            self._streams[stream_id] = slot
+        self._stop_query(info)
+        self._fill_reservation(stream_id, slot, config_src, available_now=False)
+
+    @staticmethod
+    def _stop_query(info: _StreamInfo) -> None:
         try:
             info.query.stop()
             info.query.awaitTermination(30)
         except Exception:  # noqa: BLE001 — already-failed queries stop dirty
             pass
+
+    def delete(self, stream_id: str) -> None:
+        """DELETE /streams/{id}: stop the query and drop the registration
+        (checkpoints stay on disk — deletion is a control-plane act)."""
+        with self._lock:
+            info = self._streams.get(stream_id)
+            if info is None:
+                raise KeyError(f"stream {stream_id!r} not found")
+            if info.starting:
+                raise ValueError(f"stream {stream_id!r} is being (re)started")
+            self._streams.pop(stream_id)
+        self._stop_query(info)
 
     def ids(self) -> list[str]:
         with self._lock:
@@ -90,22 +137,27 @@ class StreamManager:
     # ----------------------------------------------------------------- state
     def _accumulate(self, info: _StreamInfo) -> dict[str, float]:
         # fold recentProgress into monotonic totals (recentProgress is a
-        # bounded ring; totals survive by accumulating max batch id seen)
-        seen = info.totals.setdefault("_last_batch", -1.0)
-        for p in info.query.recentProgress:
-            if p is None:
-                continue
-            if isinstance(p, str):
-                p = json.loads(p)
-            if p.get("batchId", -1) <= seen:
-                continue
-            seen = float(p["batchId"])
-            info.totals["rows_in"] = info.totals.get("rows_in", 0.0) + float(
-                p.get("numInputRows", 0) or 0
-            )
-            info.totals["batches"] = info.totals.get("batches", 0.0) + 1.0
-        info.totals["_last_batch"] = seen
-        return info.totals
+        # bounded ring; totals survive by accumulating max batch id seen).
+        # Guarded by the per-stream lock: two concurrent /stats requests
+        # through ThreadingHTTPServer would otherwise both read the same
+        # _last_batch and double-count the new batches.
+        progress = list(info.query.recentProgress)
+        with info.lock:
+            seen = info.totals.setdefault("_last_batch", -1.0)
+            for p in progress:
+                if p is None:
+                    continue
+                if isinstance(p, str):
+                    p = json.loads(p)
+                if p.get("batchId", -1) <= seen:
+                    continue
+                seen = float(p["batchId"])
+                info.totals["rows_in"] = info.totals.get("rows_in", 0.0) + float(
+                    p.get("numInputRows", 0) or 0
+                )
+                info.totals["batches"] = info.totals.get("batches", 0.0) + 1.0
+            info.totals["_last_batch"] = seen
+            return dict(info.totals)
 
     def stats(self, stream_id: str) -> dict:
         """GET /streams/{id}/stats."""
@@ -113,6 +165,12 @@ class StreamManager:
             info = self._streams.get(stream_id)
         if info is None:
             raise KeyError(f"stream {stream_id!r} not found")
+        if info.starting:
+            return {
+                "uptime_s": 0.0, "active": False, "starting": True,
+                "input_rows_total": 0.0, "batches_total": 0.0,
+                "last_batch_id": None, "watermark": None, "state_rows": 0,
+            }
         totals = self._accumulate(info)
         last = info.query.lastProgress or {}
         if isinstance(last, str):
@@ -137,7 +195,7 @@ class StreamManager:
                 info = self._streams.get(sid)
             if info is not None:
                 out[sid] = {
-                    "active": bool(info.query.isActive),
+                    "active": bool(info.query.isActive) if not info.starting else False,
                     "uptime_s": round(time.time() - info.created_at, 3),
                 }
         return out
@@ -147,13 +205,13 @@ class StreamManager:
         manager/api.go:32)."""
         with self._lock:
             infos = list(self._streams.values())
-        return all(i.query.isActive for i in infos)
+        return all((not i.starting) and i.query.isActive for i in infos)
 
     def stop_all(self) -> None:
         for sid in self.ids():
             try:
                 self.delete(sid)
-            except KeyError:
+            except (KeyError, ValueError):  # gone, or still mid-(re)start
                 pass
         if self._server is not None:
             self._server.shutdown()

@@ -153,3 +153,99 @@ output:
         assert rows == {1: 20, 2: 40, 3: 90}
     finally:
         mgr.stop_all()
+
+
+def test_concurrent_create_update_stats_races(spark, tmp_path):
+    """ADVICE r03: create() had a check-then-act race (two concurrent
+    creates on one id both passed the duplicate check; the loser's query
+    leaked), update() released the lock between delete and create (a
+    concurrent create could steal the id mid-update), and _accumulate
+    mutated totals unlocked (concurrent /stats double-counted). Race all
+    three against one id and assert: exactly one winner per conflict, no
+    leaked queries, stats monotonic and never double-counted."""
+    import threading
+
+    src = _stage(spark, tmp_path, "race_in", [(i, i * 10) for i in range(1, 6)])
+    out = tmp_path / "race_out"
+    mgr = StreamManager(spark, str(tmp_path / "race_cks"))
+    conf = _conf(src, out)
+    try:
+        n_active_before = len(spark.streams.active)
+        results: list[str] = []
+        lock = threading.Lock()
+
+        def try_create(tag):
+            try:
+                mgr.create("delta", conf)
+                with lock:
+                    results.append(f"{tag}:ok")
+            except ValueError:
+                with lock:
+                    results.append(f"{tag}:dup")
+
+        threads = [threading.Thread(target=try_create, args=(f"c{i}",)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(60)
+        oks = [r for r in results if r.endswith(":ok")]
+        assert len(oks) == 1, f"exactly one create must win: {results}"
+        # no leaked queries: exactly ONE new StreamingQuery exists
+        assert len(spark.streams.active) == n_active_before + 1
+
+        assert _wait(lambda: mgr.stats("delta")["input_rows_total"] >= 5)
+
+        # concurrent /stats must not double-count the same batches
+        stats_out: list[dict] = []
+
+        def poll_stats():
+            for _ in range(20):
+                try:
+                    s = mgr.stats("delta")
+                except (KeyError, ValueError):
+                    continue
+                with lock:
+                    stats_out.append(s)
+
+        pollers = [threading.Thread(target=poll_stats) for _ in range(3)]
+        for t in pollers:
+            t.start()
+        for t in pollers:
+            t.join(60)
+        totals = [s["input_rows_total"] for s in stats_out if not s.get("starting")]
+        assert max(totals) == 5.0, f"double-counted rows: max={max(totals)}"
+
+        # update vs create race: while update is mid-restart, a concurrent
+        # create on the same id must fail (the reservation holds the slot)
+        errs: list[str] = []
+
+        def do_update():
+            try:
+                mgr.update("delta", conf)
+            except (KeyError, ValueError) as e:
+                with lock:
+                    errs.append(f"update:{e}")
+
+        def do_create():
+            try:
+                mgr.create("delta", conf)
+                with lock:
+                    errs.append("create:ok")
+            except ValueError:
+                with lock:
+                    errs.append("create:dup")
+
+        tu = threading.Thread(target=do_update)
+        tc = threading.Thread(target=do_create)
+        tu.start()
+        tc.start()
+        tu.join(120)
+        tc.join(120)
+        assert "create:ok" not in errs, f"create stole the id mid-update: {errs}"
+        assert not any(e.startswith("update:") for e in errs), errs
+        # after the dust settles: one live registered stream, one query
+        assert mgr.ids() == ["delta"]
+        assert mgr.stats("delta")["active"]
+        assert len(spark.streams.active) == n_active_before + 1
+    finally:
+        mgr.stop_all()
