@@ -76,18 +76,39 @@ def batch_policy(
     max_count: int = 0,
     max_bytes: int = 0,
     period_ms: int = 0,
+    check: "object | str | None" = None,
 ) -> DataFrame:
     """Batch-policy accumulator (policy.go:22-41): per key, accumulate rows
-    until `max_count` rows or `max_bytes` payload bytes, or `period_ms`
-    elapses with a partial batch (the period trigger, policy.go:127-135);
-    emit one row per flushed batch with the archived payload.
+    until `max_count` rows or `max_bytes` payload bytes, a row satisfies
+    the `check` predicate, or `period_ms` elapses with a partial batch
+    (the period trigger, policy.go:127-135); emit one row per flushed
+    batch with the archived payload.
+
+    `check` is the Bloblang content trigger (policy.go Add's check query,
+    evaluated against the just-added part): a Column/expression string
+    compiled to a per-row boolean BEFORE the stateful stage — the
+    predicate runs JVM-side in codegen; only the resulting flag crosses
+    into Python. Trigger order matches the reference: count -> byte_size
+    -> check -> period.
 
     Output: (key, batch_seq, n_parts, n_bytes, payload) where payload is
     the newline-archive of the batch (archive processor semantics at the
     flush point, policy.go:139-184 runs per-batch processors on flush).
     """
-    if not (max_count or max_bytes or period_ms):
-        raise ValueError("at least one of max_count/max_bytes/period_ms required")
+    if not (max_count or max_bytes or period_ms or check is not None):
+        raise ValueError("at least one of max_count/max_bytes/period_ms/check required")
+    check_col = None
+    if check is not None:
+        from pyspark.sql import Column, functions as F
+
+        if isinstance(check, str):
+            from bento_spark.functions.bloblang import compile_expr
+
+            check = compile_expr(check)
+        if not isinstance(check, Column):
+            raise ValueError("check must be a Column or Bloblang expression string")
+        check_col = "_bp_check"
+        df = df.withColumn(check_col, F.coalesce(check.cast("boolean"), F.lit(False)))
 
     out_schema = (
         f"{key_col} string, batch_seq long, n_parts int, n_bytes long, payload string"
@@ -112,7 +133,8 @@ def batch_policy(
             state.update((seq, pending_n, pending_bytes, pending_payload, deadline))
         else:
             for pdf in batches:
-                for val in pdf[payload_col]:
+                checks = pdf[check_col] if check_col else None
+                for i, val in enumerate(pdf[payload_col]):
                     if val is None or (isinstance(val, float) and val != val):
                         continue  # a NULL part has no content — astype(str)
                         # would archive the literal string 'None'
@@ -124,9 +146,12 @@ def batch_policy(
                     pending_payload = val if not pending_n else pending_payload + "\n" + val
                     pending_n += 1
                     pending_bytes += len(val.encode())
+                    # reference trigger order (policy.go:103-135):
+                    # count -> byte_size -> check -> period
                     hit_count = max_count and pending_n >= max_count
                     hit_bytes = max_bytes and pending_bytes >= max_bytes
-                    if hit_count or hit_bytes:
+                    hit_check = checks is not None and bool(checks.iloc[i])
+                    if hit_count or hit_bytes or hit_check:
                         flushed.append((key[0], seq, pending_n, pending_bytes, pending_payload))
                         seq, pending_n, pending_bytes, pending_payload = seq + 1, 0, 0, ""
                         deadline = 0

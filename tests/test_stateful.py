@@ -83,6 +83,45 @@ def test_batch_policy_count_flush(spark, kv_stream_dir, tmp_path):
             assert len(b.payload.split("\n")) == 2
 
 
+def test_batch_policy_check_trigger(spark, tmp_path):
+    """Bloblang `check` content trigger (policy.go Add's check query,
+    trigger order count -> bytes -> check -> period): a row satisfying the
+    predicate flushes the accumulating batch mid-interval, regardless of
+    the count threshold."""
+    d = str(tmp_path / "src")
+    # one key, 7 rows; rows v2 and v5 carry the flush marker
+    rows = [("k", f"v{i}" + ("!END" if i in (2, 5) else "")) for i in range(7)]
+    spark.createDataFrame(rows, ["key", "payload"]).coalesce(1).write.parquet(d + "/p1")
+    s = spark.readStream.schema("key string, payload string").parquet(d + "/p*")
+    batched = batch_policy(
+        s, "key", "payload", max_count=100,
+        check='this.payload.contains("!END")',
+    )
+    sink = _run_stream(spark, batched, str(tmp_path / "out_c"), str(tmp_path / "ckpt_c"))
+    got = sorted(sink.read(spark).collect(), key=lambda r: r.batch_seq)
+    # flushes at v2!END (3 parts) and v5!END (3 parts); v6 stays pending
+    assert [(r.batch_seq, r.n_parts) for r in got] == [(0, 3), (1, 3)]
+    assert got[0].payload.split("\n") == ["v0", "v1", "v2!END"]
+    assert got[1].payload.split("\n") == ["v3", "v4", "v5!END"]
+
+
+def test_batch_policy_check_trigger_order(spark, tmp_path):
+    """check composes with count (reference cascade): max_count=2 flushes
+    (v0,v1) before the marker row arrives, so the marker then flushes a
+    batch of its own — both triggers active in one policy."""
+    d = str(tmp_path / "src2")
+    rows = [("k", "v0"), ("k", "v1"), ("k", "v2!END"), ("k", "v3")]
+    spark.createDataFrame(rows, ["key", "payload"]).coalesce(1).write.parquet(d + "/p1")
+    s = spark.readStream.schema("key string, payload string").parquet(d + "/p*")
+    batched = batch_policy(
+        s, "key", "payload", max_count=2, check='this.payload.contains("!END")'
+    )
+    sink = _run_stream(spark, batched, str(tmp_path / "out_o"), str(tmp_path / "ckpt_o"))
+    got = sorted(sink.read(spark).collect(), key=lambda r: r.batch_seq)
+    # batch 0: count flush (v0,v1); batch 1: check flush (v2!END alone)
+    assert [(r.batch_seq, r.payload) for r in got] == [(0, "v0\nv1"), (1, "v2!END")]
+
+
 def test_spectrogram_features_deterministic(spark):
     clips = clips_df(spark, 48, partitions=2)
     out = with_spectrogram_features(clips).select(
