@@ -643,6 +643,28 @@ def q_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second multimodal column family (images/ package): deterministic
+    PNG payloads generated distributed (images_df), decoded + feature-
+    extracted in one Arrow pass (with_image_features, keep_payload=False —
+    the binary never echoes back through Arrow). The fixture twin
+    (fixtures/image_meta.parquet via tools/make_fixtures.py) recomputes
+    per-image truth driver-side with the same pure kernels; DuckDB
+    aggregates it independently."""
+    from bento_spark.images.generate import images_df
+    from bento_spark.images.udfs import with_image_features
+
+    imgs = images_df(spark, 300, seed=42)
+    feats = with_image_features(imgs, keep_payload=False)
+    return feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_pixels").alias("total_pixels"),
+        F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+        F.round(F.sum("mean_r"), 4).alias("sum_mean_r"),
+        F.round(F.avg("mean_b"), 6).alias("avg_mean_b"),
+    )
+
+
 def q_jmespath_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full JMESPath over per-order JSON documents
     (processor_jmespath.go:65): list projections `[]`, filter `[?...]`,
@@ -1259,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_cache_roundtrip": q_file_cache_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "jmespath_projection": q_jmespath_projection,
+        "image_features": q_image_features,
         # -- round-3 additions --
         "audio_features_window": q_audio_features_window,
         "clip_transcript_join": q_clip_transcript_join,
@@ -1847,6 +1870,15 @@ def oracle_sql() -> dict[str, str]:
     sql["yaml_cache_set_get"] = sql["cache_enrichment"]
     sql["file_cache_roundtrip"] = sql["cache_enrichment"]
     sql["avro_roundtrip"] = sql["msgpack_roundtrip"]
+    sql["image_features"] = f"""
+        SELECT label, count(*) AS n_images,
+               CAST(sum(n_pixels) AS BIGINT) AS total_pixels,
+               round(avg(mean_luma), 6) AS avg_luma,
+               round(sum(mean_r), 4) AS sum_mean_r,
+               round(avg(mean_b), 6) AS avg_mean_b
+        FROM '{_FIX}/image_meta.parquet'
+        GROUP BY label
+    """
     sql["jmespath_projection"] = """
         WITH per_order AS (
           SELECT l_orderkey,

@@ -119,6 +119,19 @@ class Pipeline:
                     "a path written by clips_df (see Pipeline.stage_clips)"
                 )
             return df
+        if "generate_images" in inp:
+            # images twin of generate_clips (images/generate.py)
+            from bento_spark.images.generate import images_df
+
+            opts = inp["generate_images"] or {}
+            if streaming:
+                raise ValueError(
+                    "generate_images streams via a staging dir: use input.parquet "
+                    "with a path written by images_df"
+                )
+            return images_df(
+                spark, int(opts.get("count", 300)), seed=int(opts.get("seed", 42))
+            )
         if "generate" in inp:
             # general generate input (input_generate.go:22): a Bloblang
             # mapping over a generated sequence. Batch = spark.range(count)
@@ -632,6 +645,16 @@ class Pipeline:
             return df.filter(compile_expr(opts))
         if name == "audio_decode":
             return with_decoded_pcm(df)
+        if name == "image_features":
+            # second multimodal family (images/udfs.py): PNG decode +
+            # feature scalars, same Arrow contract as audio_features
+            from bento_spark.images.udfs import with_image_features
+
+            o = opts or {}
+            return with_image_features(
+                df, col=o.get("column", "bytes"),
+                keep_payload=bool(o.get("keep_payload", True)),
+            )
         if name == "audio_features":
             o = opts or {}
             # YAML pipelines keep pass-through semantics by default; set

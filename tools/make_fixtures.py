@@ -97,11 +97,41 @@ def make_clip_meta() -> pd.DataFrame:
     )
 
 
+IMAGE_FIXTURE_N = 300
+
+
+def make_image_meta() -> pd.DataFrame:
+    """Per-image truth for the images table (images/generate.py, n=300,
+    seed=42): metadata + decoded feature scalars, computed DRIVER-SIDE
+    with the same pure kernels — the oracle then checks the distributed
+    generate+decode pipeline against this single-threaded spec."""
+    from bento_spark.images.codecs import png_encode
+    from bento_spark.images.generate import image_params, synth_rgb
+    from bento_spark.images.udfs import image_feature_row
+
+    rows = []
+    for i in range(IMAGE_FIXTURE_N):
+        p = image_params(i, seed=42)
+        feat = image_feature_row(png_encode(synth_rgb(i, seed=42)))
+        rows.append((
+            p["image_id"], p["label"], feat["width_px"], feat["height_px"],
+            feat["n_pixels"], feat["mean_r"], feat["mean_g"], feat["mean_b"],
+            feat["mean_luma"],
+        ))
+    return pd.DataFrame(rows, columns=[
+        "image_id", "label", "width_px", "height_px", "n_pixels",
+        "mean_r", "mean_g", "mean_b", "mean_luma",
+    ])
+
+
 def main() -> None:
     os.makedirs(FIXDIR, exist_ok=True)
 
     print("clip_meta ...")
     make_clip_meta().to_parquet(f"{FIXDIR}/clip_meta.parquet", index=False)
+
+    print("image_meta ...")
+    make_image_meta().to_parquet(f"{FIXDIR}/image_meta.parquet", index=False)
 
     print("lsh_hyperplanes ...")
     planes = _hyperplanes(64, n_bits=6, seed=42)
