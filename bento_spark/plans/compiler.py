@@ -1323,6 +1323,8 @@ class Pipeline:
             writer = http_post_writer(
                 h["url"], method=h.get("method", "POST"), headers=h.get("headers"),
                 timeout=float(h.get("timeout", 10)),
+                retries=int(h.get("retries", 3)),
+                backoff_s=float(h.get("backoff", 0.25)),
             )
         elif out.get("fallback"):
             # ordered try-next-sink failover (output_fallback.go:18)

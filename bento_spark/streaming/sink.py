@@ -287,14 +287,24 @@ def http_post_writer(
     method: str = "POST",
     headers: dict | None = None,
     timeout: float = 10.0,
+    retries: int = 3,
+    backoff_s: float = 0.25,
 ):
     """`http_client` output (internal/impl/io/output_http_client.go): each
     row POSTs as one JSON request — serialization happens JVM-side
     (to_json), the requests fire EXECUTOR-side with one pooled keep-alive
-    connection per partition (never a driver loop). A non-2xx/connection
-    fault raises, failing the micro-batch so Spark retries it —
-    at-least-once into the remote, exactly the reference output's retry
-    contract (HTTP has no transactional sink)."""
+    connection per partition (never a driver loop).
+
+    Retry contract: each request retries IN-WRITER with exponential
+    backoff (`retries` attempts beyond the first, like the reference
+    output's per-request retry/backoff) because a raise inside
+    foreachBatch fails the QUERY, not the micro-batch — local-mode task
+    maxFailures=1 gives no task retry, so without this loop a single
+    transient 5xx would kill the stream. Exhausted retries still raise:
+    at-least-once then holds only across a checkpoint RESTART — pair with
+    `error_handling: retry` for in-run stream survival. 4xx (except 408/
+    429) are permanent and fail fast; duplicate sends on replay are
+    inherent (HTTP has no transactional sink)."""
     hdrs = {"Content-Type": "application/json", **(headers or {})}
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -306,23 +316,55 @@ def http_post_writer(
             # imported here: worker closures must re-resolve submodules
             # (a captured `http.client` unpickles as the bare package)
             import http.client
+            import time as _time
             import urllib.parse
 
             u = urllib.parse.urlsplit(url)
             cls = http.client.HTTPSConnection if u.scheme == "https" else http.client.HTTPConnection
-            conn = cls(u.hostname, u.port or (443 if u.scheme == "https" else 80), timeout=timeout)
             path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+            state = {"conn": None}
+
+            def connect():
+                if state["conn"] is None:
+                    state["conn"] = cls(
+                        u.hostname, u.port or (443 if u.scheme == "https" else 80),
+                        timeout=timeout,
+                    )
+                return state["conn"]
+
+            def one(body: bytes) -> None:
+                last = "no attempt"
+                for attempt in range(retries + 1):
+                    try:
+                        conn = connect()
+                        conn.request(method, path, body=body, headers=hdrs)
+                        resp = conn.getresponse()
+                        resp.read()
+                        if resp.status < 300:
+                            return
+                        last = f"http status {resp.status}"
+                        if 400 <= resp.status < 500 and resp.status not in (408, 429):
+                            break  # permanent client error: retrying can't help
+                    except (OSError, http.client.HTTPException) as e:
+                        last = f"{type(e).__name__}: {e}"
+                        try:
+                            state["conn"].close()
+                        except Exception:  # noqa: BLE001
+                            pass
+                        state["conn"] = None  # drop the broken keep-alive conn
+                    if attempt < retries:
+                        _time.sleep(backoff_s * (2**attempt))
+                raise RuntimeError(
+                    f"http_client output: {last} from {url} (epoch {epoch_id}, "
+                    f"{retries + 1} attempts)"
+                )
+
             try:
                 for row in rows:
-                    conn.request(method, path, body=row.v.encode("utf-8"), headers=hdrs)
-                    resp = conn.getresponse()
-                    resp.read()
-                    if resp.status >= 300:
-                        raise RuntimeError(
-                            f"http_client output: {resp.status} from {url} (epoch {epoch_id})"
-                        )
+                    one(row.v.encode("utf-8"))
             finally:
-                conn.close()
+                if state["conn"] is not None:
+                    state["conn"].close()
 
         payloads.foreachPartition(send)
 

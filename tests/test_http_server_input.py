@@ -314,6 +314,67 @@ output:
     assert {r["s"] for r in got} == {"a", "b", "c"}
 
 
+def test_http_client_output_retries_transient_5xx(spark, tmp_path):
+    """ADVICE r03: a raise inside foreachBatch fails the QUERY (no in-run
+    retry), so the writer must retry per request — a server that 503s the
+    first attempt of every body must not kill the stream."""
+    import http.server
+    import json as _json
+    import threading
+
+    got: list[dict] = []
+    seen: dict[str, int] = {}
+    lock = threading.Lock()
+
+    class Flaky(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            with lock:
+                k = body.decode()
+                seen[k] = seen.get(k, 0) + 1
+                first = seen[k] == 1
+            if first:
+                self.send_response(503)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            with lock:
+                got.append(_json.loads(body))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    src = tmp_path / "retrysrc"
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string").write.parquet(str(src))
+    p = compile_yaml(
+        f"""
+input:
+  parquet: {{path: {src}, schema: "id int, s string"}}
+output:
+  http_client:
+    url: http://127.0.0.1:{port}/sink
+    backoff: 0.05
+"""
+    )
+    try:
+        q = p.run_stream(spark, checkpoint=str(tmp_path / "retryck"))
+        q.awaitTermination(90)
+        assert q.exception() is None, f"stream died on transient 5xx: {q.exception()}"
+    finally:
+        srv.shutdown()
+    assert sorted(r["id"] for r in got) == [1, 2]
+    assert all(n == 2 for n in seen.values())  # one 503 + one success per body
+
+
 class _WsTestServer:
     """Minimal RFC 6455 SERVER for the websocket-input e2e: handshake
     (§4.2), unmasked server frames (§5.1), ping, fragmentation, close."""
