@@ -645,6 +645,16 @@ class Pipeline:
             return df.filter(compile_expr(opts))
         if name == "audio_decode":
             return with_decoded_pcm(df)
+        if name == "image_resize":
+            # thumbnail stage: decode -> box-average/nearest resize ->
+            # deterministic re-encode (images/udfs.py)
+            from bento_spark.images.udfs import with_image_resize
+
+            o = opts or {}
+            return with_image_resize(
+                df, int(o["width"]), int(o["height"]),
+                col=o.get("column", "bytes"), out_col=o.get("out"),
+            )
         if name == "image_features":
             # second multimodal family (images/udfs.py): PNG decode +
             # feature scalars, same Arrow contract as audio_features

@@ -49,6 +49,7 @@ _REQUIRED = {
     "msgpack_decode": ("schema",),
     "avro_decode": ("schema",),
     "jmespath": ("query",),
+    "image_resize": ("width", "height"),
     "avro_encode": ("columns", "schema"),
     "protobuf_decode": ("message", "descriptor_file"),
     "protobuf_encode": ("columns", "message", "descriptor_file"),

@@ -80,6 +80,63 @@ def test_feature_stage_error_protocol(spark):
     assert rows["nil"].error is not None
 
 
+def test_resize_kernel_box_and_nearest():
+    from bento_spark.images.udfs import resize_rgb
+
+    arr = np.zeros((8, 8, 3), np.uint8)
+    arr[:4, :4], arr[:4, 4:], arr[4:, :4], arr[4:, 4:] = 10, 20, 30, 40
+    small = resize_rgb(arr, 2, 2)  # integer factor -> box average
+    assert small.shape == (2, 2, 3)
+    assert (small[0, 0, 0], small[0, 1, 0], small[1, 0, 0], small[1, 1, 0]) == (10, 20, 30, 40)
+    arr2 = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    nn = resize_rgb(arr2, 3, 2)  # non-integer -> nearest
+    xs, ys = (np.arange(3) * 7) // 3, (np.arange(2) * 5) // 2
+    assert np.array_equal(nn, arr2[np.ix_(ys, xs)])
+    # identity + determinism
+    assert np.array_equal(resize_rgb(arr2, 7, 5), arr2)
+    assert png_encode(resize_rgb(arr2, 3, 2)) == png_encode(resize_rgb(arr2, 3, 2))
+
+
+def test_image_resize_stage(spark):
+    from bento_spark.images.udfs import with_image_resize
+
+    df = images_df(spark, 8, partitions=2)
+    out = {r.image_id: r for r in with_image_resize(df, 8, 8).collect()}
+    assert len(out) == 8
+    for i in range(8):
+        p = image_params(i)
+        r = out[p["image_id"]]
+        assert r.error is None
+        arr = png_decode(bytes(r.bytes))
+        assert arr.shape == (8, 8, 3)
+        # in-place resize updates the metadata columns
+        assert (r.width, r.height) == (8, 8)
+        # truth: same kernel applied driver-side
+        from bento_spark.images.udfs import resize_rgb
+
+        assert np.array_equal(arr, resize_rgb(synth_rgb(i), 8, 8))
+    # out_col mode keeps the original payload + metadata
+    out2 = with_image_resize(df, 8, 8, out_col="thumb").collect()
+    for r in out2:
+        assert png_decode(bytes(r.thumb)).shape == (8, 8, 3)
+        assert png_decode(bytes(r.bytes)).shape == (r.height, r.width, 3)
+
+
+def test_yaml_image_resize_pipeline(spark):
+    p = compile_yaml("""
+input:
+  generate_images: {count: 6}
+pipeline:
+  processors:
+    - image_resize: {width: 12, height: 12}
+    - image_features: {keep_payload: false}
+""")
+    rows = p.build_batch(spark).collect()
+    assert len(rows) == 6
+    assert all((r.width_px, r.height_px) == (12, 12) for r in rows)
+    assert all(r.error is None for r in rows)
+
+
 def test_yaml_image_pipeline(spark):
     p = compile_yaml("""
 input:
