@@ -665,6 +665,53 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VIDEO_N = 200  # must EQUAL tools/make_fixtures.VIDEO_FIXTURE_N: the video
+# oracles aggregate ALL video_meta rows
+
+
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third multimodal column family (video/ package): deterministic
+    PNG-framed BVC containers generated distributed (videos_df), decoded +
+    feature-extracted in one Arrow pass (with_video_features,
+    keep_payload=False). `motion` — the mean consecutive-frame luma
+    difference — is the video-specific scalar: exactly 0 for the `static`
+    label, so the oracle separates real motion from decode noise. The
+    fixture twin (fixtures/video_meta.parquet via tools/make_fixtures.py)
+    recomputes per-video truth driver-side with the same pure kernels."""
+    from bento_spark.video.generate import videos_df
+    from bento_spark.video.udfs import with_video_features
+
+    vids = videos_df(spark, _VIDEO_N, seed=42)
+    feats = with_video_features(vids, keep_payload=False)
+    return feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum("n_frames_dec").alias("total_frames"),
+        F.sum("duration_ms").alias("total_ms"),
+        F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+        F.round(F.sum("motion"), 4).alias("sum_motion"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: explode each video into one row per sampled frame
+    (every=2), frames SLICED out of the container without pixel decode
+    (video/container.bvc_frame_blobs — O(sampled bytes), not O(pixels)).
+    The oracle recomputes the explosion relationally from the fixture
+    metadata with generate_series: indices 0,2,4,.. < n_frames and
+    frame_ts_ms = idx*1000 // fps."""
+    from bento_spark.video.generate import videos_df
+    from bento_spark.video.udfs import with_frame_sample
+
+    vids = videos_df(spark, _VIDEO_N, seed=42)
+    frames = with_frame_sample(vids, every=2, keep_payload=False)
+    return frames.groupBy("label").agg(
+        F.count_distinct(F.col("video_id")).alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum("frame_ts_ms").alias("sum_ts_ms"),
+        F.max("frame_idx").alias("max_idx"),
+    )
+
+
 def q_jmespath_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full JMESPath over per-order JSON documents
     (processor_jmespath.go:65): list projections `[]`, filter `[?...]`,
@@ -1282,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": q_avro_roundtrip,
         "jmespath_projection": q_jmespath_projection,
         "image_features": q_image_features,
+        "video_features": q_video_features,
+        "frame_sample": q_frame_sample,
         # -- round-3 additions --
         "audio_features_window": q_audio_features_window,
         "clip_transcript_join": q_clip_transcript_join,
@@ -1878,6 +1927,28 @@ def oracle_sql() -> dict[str, str]:
                round(avg(mean_b), 6) AS avg_mean_b
         FROM '{_FIX}/image_meta.parquet'
         GROUP BY label
+    """
+    sql["video_features"] = f"""
+        SELECT label, count(*) AS n_videos,
+               CAST(sum(n_frames) AS BIGINT) AS total_frames,
+               CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+               round(avg(mean_luma), 6) AS avg_luma,
+               round(sum(motion), 4) AS sum_motion
+        FROM '{_FIX}/video_meta.parquet'
+        GROUP BY label
+    """
+    sql["frame_sample"] = f"""
+        WITH idx AS (SELECT i FROM range(0, 64) t(i) WHERE i % 2 = 0),
+        fr AS (
+          SELECT v.label, v.video_id, idx.i AS frame_idx,
+                 (idx.i * 1000) // v.fps AS frame_ts_ms
+          FROM '{_FIX}/video_meta.parquet' v JOIN idx ON idx.i < v.n_frames
+        )
+        SELECT label, count(DISTINCT video_id) AS n_videos,
+               count(*) AS n_frames_sampled,
+               CAST(sum(frame_ts_ms) AS BIGINT) AS sum_ts_ms,
+               CAST(max(frame_idx) AS INTEGER) AS max_idx
+        FROM fr GROUP BY label
     """
     sql["jmespath_projection"] = """
         WITH per_order AS (

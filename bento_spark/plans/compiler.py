@@ -132,6 +132,19 @@ class Pipeline:
             return images_df(
                 spark, int(opts.get("count", 300)), seed=int(opts.get("seed", 42))
             )
+        if "generate_videos" in inp:
+            # videos twin of generate_clips/generate_images (video/generate.py)
+            from bento_spark.video.generate import videos_df
+
+            opts = inp["generate_videos"] or {}
+            if streaming:
+                raise ValueError(
+                    "generate_videos streams via a staging dir: use input.parquet "
+                    "with a path written by videos_df"
+                )
+            return videos_df(
+                spark, int(opts.get("count", 100)), seed=int(opts.get("seed", 42))
+            )
         if "generate" in inp:
             # general generate input (input_generate.go:22): a Bloblang
             # mapping over a generated sequence. Batch = spark.range(count)
@@ -662,6 +675,33 @@ class Pipeline:
 
             o = opts or {}
             return with_image_features(
+                df, col=o.get("column", "bytes"),
+                keep_payload=bool(o.get("keep_payload", True)),
+            )
+        if name == "video_meta":
+            # third multimodal family (video/udfs.py): O(1) header-only
+            # metadata parse, no frame decode
+            from bento_spark.video.udfs import with_video_meta
+
+            o = opts or {}
+            return with_video_meta(df, col=o.get("column", "bytes"))
+        if name == "frame_sample":
+            # explode one row per sampled frame; frames are sliced out of
+            # the container decode-free (video/container.py)
+            from bento_spark.video.udfs import with_frame_sample
+
+            o = opts or {}
+            mf = o.get("max_frames")
+            return with_frame_sample(
+                df, int(o["every"]), col=o.get("column", "bytes"),
+                max_frames=None if mf is None else int(mf),
+                keep_payload=bool(o.get("keep_payload", False)),
+            )
+        if name == "video_features":
+            from bento_spark.video.udfs import with_video_features
+
+            o = opts or {}
+            return with_video_features(
                 df, col=o.get("column", "bytes"),
                 keep_payload=bool(o.get("keep_payload", True)),
             )

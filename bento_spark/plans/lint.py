@@ -50,6 +50,7 @@ _REQUIRED = {
     "avro_decode": ("schema",),
     "jmespath": ("query",),
     "image_resize": ("width", "height"),
+    "frame_sample": ("every",),
     "avro_encode": ("columns", "schema"),
     "protobuf_decode": ("message", "descriptor_file"),
     "protobuf_encode": ("columns", "message", "descriptor_file"),

@@ -124,20 +124,68 @@ def make_image_meta() -> pd.DataFrame:
     ])
 
 
+VIDEO_FIXTURE_N = 200  # must EQUAL __spark_entry__._VIDEO_N (same contract
+# as CLIP_FIXTURE_N: the video oracles aggregate ALL video_meta rows)
+
+
+def make_video_meta() -> pd.DataFrame:
+    """Per-video truth for the videos table (video/generate.py, n=200,
+    seed=42): metadata + decoded feature scalars (mean luma, motion proxy)
+    computed DRIVER-SIDE with the same pure kernels — the oracle then
+    checks the distributed generate+decode pipeline against this
+    single-threaded spec."""
+    from bento_spark.video.generate import synth_video, video_params
+    from bento_spark.video.udfs import video_feature_row
+
+    rows = []
+    for i in range(VIDEO_FIXTURE_N):
+        p = video_params(i, seed=42)
+        feat = video_feature_row(synth_video(i, seed=42))
+        rows.append((
+            p["video_id"], p["label"], feat["width_px"], feat["height_px"],
+            feat["fps_dec"], feat["n_frames_dec"], feat["duration_ms"],
+            feat["mean_luma"], feat["motion"],
+        ))
+    return pd.DataFrame(rows, columns=[
+        "video_id", "label", "width_px", "height_px", "fps", "n_frames",
+        "duration_ms", "mean_luma", "motion",
+    ])
+
+
 def main() -> None:
+    # optional argv name filter: `python tools/make_fixtures.py video_meta`
+    # regenerates only the named fixtures (all of them when no args).
+    only = set(sys.argv[1:])
+
+    def want(name: str) -> bool:
+        return not only or name in only
+
     os.makedirs(FIXDIR, exist_ok=True)
 
-    print("clip_meta ...")
-    make_clip_meta().to_parquet(f"{FIXDIR}/clip_meta.parquet", index=False)
+    if want("clip_meta"):
+        print("clip_meta ...")
+        make_clip_meta().to_parquet(f"{FIXDIR}/clip_meta.parquet", index=False)
 
-    print("image_meta ...")
-    make_image_meta().to_parquet(f"{FIXDIR}/image_meta.parquet", index=False)
+    if want("image_meta"):
+        print("image_meta ...")
+        make_image_meta().to_parquet(f"{FIXDIR}/image_meta.parquet", index=False)
 
-    print("lsh_hyperplanes ...")
-    planes = _hyperplanes(64, n_bits=6, seed=42)
-    pd.DataFrame(
-        {"bit": np.arange(planes.shape[0], dtype=np.int32), "plane": list(planes.astype(np.float64))}
-    ).to_parquet(f"{FIXDIR}/lsh_hyperplanes.parquet", index=False)
+    if want("video_meta"):
+        print("video_meta ...")
+        make_video_meta().to_parquet(f"{FIXDIR}/video_meta.parquet", index=False)
+
+    if want("lsh_hyperplanes"):
+        print("lsh_hyperplanes ...")
+        planes = _hyperplanes(64, n_bits=6, seed=42)
+        pd.DataFrame(
+            {"bit": np.arange(planes.shape[0], dtype=np.int32), "plane": list(planes.astype(np.float64))}
+        ).to_parquet(f"{FIXDIR}/lsh_hyperplanes.parquet", index=False)
+
+    spark_fixtures = {"minhash_sigs", "simhash_sigs", "ivf_centroids"}
+    if only and not (only & spark_fixtures):
+        for f in sorted(os.listdir(FIXDIR)):
+            print(f, os.path.getsize(os.path.join(FIXDIR, f)))
+        return
 
     spark = get_spark(app_name="make-fixtures", master="local[8]", shuffle_partitions=8)
     mh_slices, sh_slices, cent_slices = [], [], []
