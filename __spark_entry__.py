@@ -795,6 +795,40 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf single-message binary roundtrip via the dependency-free
+    proto3 wire codec + .proto source parser
+    (internal/impl/protobuf/processor_protobuf.go:21-66;
+    operators/protobuf_codec.py — previously descriptor-file + jar gated,
+    now driver-checked like avro/msgpack). Oracle aggregates the source —
+    any value lost on the wire (varint edge, zigzag, double bits) breaks
+    counts or sums. The events table holds no NULL/empty event_type, so
+    proto3 absence semantics cannot alias a group key."""
+    from bento_spark.operators.protobuf_codec import (
+        protobuf_record_decode,
+        protobuf_record_encode,
+    )
+
+    proto = """
+    package wire;
+    message Event {
+      int64 event_id = 1;
+      int64 user_id = 2;
+      string event_type = 3;
+      double value = 4;
+    }
+    """
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    blobs = protobuf_record_encode(
+        ev, ["event_id", "user_id", "event_type", "value"], proto, "wire.Event", out_col="blob")
+    back = protobuf_record_decode(blobs, "blob", proto, "wire.Event")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_ids"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 def q_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP sequence match (streaming/cep.py): view -> click -> purchase
     within 72h per user, first-match semantics, Flink-CEP-style `within`
@@ -1331,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "video_features": q_video_features,
         "frame_sample": q_frame_sample,
+        "protobuf_roundtrip": q_protobuf_roundtrip,
         # -- round-3 additions --
         "audio_features_window": q_audio_features_window,
         "clip_transcript_join": q_clip_transcript_join,
@@ -1919,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
     sql["yaml_cache_set_get"] = sql["cache_enrichment"]
     sql["file_cache_roundtrip"] = sql["cache_enrichment"]
     sql["avro_roundtrip"] = sql["msgpack_roundtrip"]
+    sql["protobuf_roundtrip"] = sql["msgpack_roundtrip"]
     sql["image_features"] = f"""
         SELECT label, count(*) AS n_images,
                CAST(sum(n_pixels) AS BIGINT) AS total_pixels,

@@ -531,6 +531,29 @@ class Pipeline:
             parallelism,
         )
 
+    @staticmethod
+    def _proto_source(o: dict) -> str | None:
+        """Concatenated .proto source for the protobuf processors: inline
+        `proto` and/or `proto_file`/`proto_files` paths (the reference's
+        import_paths model — all sources share one registry). None when
+        only `descriptor_file` is configured (jar-gated path)."""
+        parts = []
+        if o.get("proto"):
+            parts.append(o["proto"])
+        files = o.get("proto_files") or ([o["proto_file"]] if o.get("proto_file") else [])
+        for path in files:
+            with open(path, encoding="utf-8") as fh:
+                parts.append(fh.read())
+        if parts:
+            return "\n".join(parts)
+        if not o.get("descriptor_file"):
+            raise ValueError(
+                "protobuf processor needs a schema: `proto` (inline source), "
+                "`proto_file(s)` (paths), or `descriptor_file` (compiled set, "
+                "requires the spark-protobuf jar)"
+            )
+        return None
+
     # ------------------------------------------------------------- processors
     def _apply_processors(self, df: DataFrame) -> DataFrame:
         procs = (self.conf.get("pipeline") or {}).get("processors") or []
@@ -1047,15 +1070,32 @@ class Pipeline:
             return avro_ocf_scan(df, o.get("column", "content"), keep_cols=o.get("keep", ()),
                                  out_col=o.get("out", "record_json"))
         if name == "protobuf_decode":
+            # .proto SOURCE schemas (`proto` inline / `proto_file` path —
+            # processor_protobuf.go:66 import_paths model) use the
+            # dependency-free wire codec; `descriptor_file` keeps the
+            # jar-gated spark-protobuf path for compiled descriptor sets.
+            o = opts or {}
+            src = self._proto_source(o)
+            if src is not None:
+                from bento_spark.operators.protobuf_codec import protobuf_record_decode
+
+                keep = o.get("keep", [c for c in df.columns if c != o.get("column", "value")])
+                return protobuf_record_decode(df, o.get("column", "value"), src,
+                                              o["message"], keep_cols=keep)
             from bento_spark.operators.codec import protobuf_decode
 
-            o = opts or {}
             return protobuf_decode(df, o.get("column", "value"), o["message"], o["descriptor_file"],
                                    out_col=o.get("out", "record"))
         if name == "protobuf_encode":
+            o = opts or {}
+            src = self._proto_source(o)
+            if src is not None:
+                from bento_spark.operators.protobuf_codec import protobuf_record_encode
+
+                return protobuf_record_encode(df, o["columns"], src, o["message"],
+                                              out_col=o.get("out", "proto_bytes"))
             from bento_spark.operators.codec import protobuf_encode
 
-            o = opts or {}
             return protobuf_encode(df, o["columns"], o["message"], o["descriptor_file"],
                                    out_col=o.get("out", "proto_bytes"))
         if name == "match_sequence":

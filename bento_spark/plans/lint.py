@@ -52,8 +52,8 @@ _REQUIRED = {
     "image_resize": ("width", "height"),
     "frame_sample": ("every",),
     "avro_encode": ("columns", "schema"),
-    "protobuf_decode": ("message", "descriptor_file"),
-    "protobuf_encode": ("columns", "message", "descriptor_file"),
+    "protobuf_decode": ("message",),
+    "protobuf_encode": ("columns", "message"),
 }
 
 
