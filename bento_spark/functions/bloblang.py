@@ -1130,7 +1130,10 @@ class CompiledMapping:
                 # (dropping `error` here would silently unflag errored rows
                 # past the DLQ split).
                 names = {name for name, _ in st[1]}
-                carried = [c for c in ("error", "meta") if c in df.columns and c not in names]
+                # request_id is the sync_response routing key (engine
+                # metadata like error/meta — rides outside the document)
+                carried = [c for c in ("error", "meta", "request_id")
+                           if c in df.columns and c not in names]
                 df = df.select(*[col.alias(name) for name, col in st[1]], *carried)
                 continue
             _, name, col = st

@@ -197,6 +197,9 @@ class Pipeline:
                 o["spool_dir"],
                 whole_body=bool(o.get("whole_body", True)),
                 max_files_per_trigger=o.get("max_files_per_trigger"),
+                # sync mode stamps the spool stem as request_id, the
+                # routing key output.sync_response replies by
+                with_request_id=bool(o.get("sync")),
             )
         if "parquet" in inp:
             opts = inp["parquet"]
@@ -406,7 +409,15 @@ class Pipeline:
             host=host or "127.0.0.1",
             port=int(port or 0),
             path=o.get("path", "/post"),
+            sync_dir=self._sync_dir_of(o) if o.get("sync") else None,
+            sync_timeout=float(o.get("sync_timeout", 15.0)),
         ).start()
+
+    @staticmethod
+    def _sync_dir_of(o: dict) -> str:
+        """The reply handoff dir shared by the listener and the
+        sync_response writer (defaults next to the spool dir)."""
+        return str(o.get("sync_dir") or (str(o["spool_dir"]).rstrip("/") + "_resp"))
 
     def start_http_poller(self):
         """Start the driver-side poller for an `input.http_client` pipeline
@@ -1319,10 +1330,11 @@ class Pipeline:
             or out.get("kafka")
             or out.get("fallback")
             or out.get("http_client")
+            or "sync_response" in out
         ):
             raise ValueError(
                 "output.path (or switch/fan_out/round_robin/kafka/fallback/"
-                "http_client) required for run_stream"
+                "http_client/sync_response) required for run_stream"
             )
         if "path" in out:
             self._sink = IdempotentParquetSink(require_object_store(spark, out["path"]),
@@ -1416,6 +1428,23 @@ class Pipeline:
                 retries=int(h.get("retries", 3)),
                 backoff_s=float(h.get("backoff", 0.25)),
             )
+        elif "sync_response" in out:
+            # reply-to-request output (output_sync_response.go:15): the
+            # processed row answers the HTTP request that produced it,
+            # routed by the request_id the sync http_server input stamped
+            from bento_spark.streaming.sink import sync_response_writer
+
+            hs = (self.conf.get("input") or {}).get("http_server") or {}
+            if not hs.get("sync"):
+                raise ValueError(
+                    "output.sync_response requires input.http_server with "
+                    "`sync: true` (the input must hold requests open and "
+                    "stamp request ids)"
+                )
+            df = self.build_stream(spark)
+            sr = out.get("sync_response") or {}
+            writer = sync_response_writer(
+                self._sync_dir_of(hs), content_col=sr.get("content"))
         elif out.get("fallback"):
             # ordered try-next-sink failover (output_fallback.go:18)
             from bento_spark.streaming.sink import fallback_writer

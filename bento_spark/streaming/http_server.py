@@ -40,17 +40,45 @@ class HttpSpoolServer:
     host: str = "127.0.0.1"
     port: int = 0  # 0 = ephemeral
     path: str = "/post"
+    #: when set, the listener holds each request open until the pipeline
+    #: routes a reply file for it into this dir (`output.sync_response` —
+    #: output_sync_response.go:15: the processed message IS the HTTP
+    #: response). None = classic fire-and-forget 200-on-spool.
+    sync_dir: str | None = None
+    sync_timeout: float = 15.0
     _httpd: object = field(default=None, repr=False)
     _thread: threading.Thread | None = field(default=None, repr=False)
 
     def start(self) -> "HttpSpoolServer":
         import http.server
+        import os
+        import time
 
         spool = Path(self.spool_dir)
         spool.mkdir(parents=True, exist_ok=True)
+        sync_dir, sync_timeout = self.sync_dir, self.sync_timeout
+        if sync_dir:
+            Path(sync_dir).mkdir(parents=True, exist_ok=True)
         route = self.path
         seq = {"n": 0}
         lock = threading.Lock()
+
+        def await_response(request_id: str) -> bytes | None:
+            """File-based reply handoff: executor tasks (separate
+            processes on a real cluster) drop `<request_id>.resp` into the
+            shared sync dir; poll until it lands or the deadline passes."""
+            resp = Path(sync_dir) / f"{request_id}.resp"
+            deadline = time.monotonic() + sync_timeout
+            while time.monotonic() < deadline:
+                if resp.exists():
+                    body = resp.read_bytes()
+                    try:
+                        os.unlink(resp)
+                    except OSError:
+                        pass
+                    return body
+                time.sleep(0.02)
+            return None
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_POST(self) -> None:  # noqa: N802 — stdlib naming
@@ -76,6 +104,18 @@ class HttpSpoolServer:
                     tmp.rename(spool / name)  # atomic: never a partial file
                 except Exception as e:  # noqa: BLE001 — fault -> 500, keep serving
                     self.send_error(500, str(e))
+                    return
+                if sync_dir:
+                    reply = await_response(name[:-len(".msg")])
+                    if reply is None:
+                        # reference gateway semantics: processing didn't
+                        # produce a response in time
+                        self.send_error(504, "sync_response timed out")
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(reply)))
+                    self.end_headers()
+                    self.wfile.write(reply)
                     return
                 self.send_response(200)
                 self.send_header("Content-Length", "0")
@@ -406,13 +446,23 @@ def read_spool_stream(
     spool_dir: str,
     whole_body: bool = True,
     max_files_per_trigger: int | None = None,
+    with_request_id: bool = False,
 ) -> DataFrame:
     """File stream over the spool dir: one row per request body
     (whole_body=True, the reference's message-per-request semantics) or one
-    row per body line (False). Column: `value string`."""
+    row per body line (False). Column: `value string`; `with_request_id`
+    adds the spool file's stem as `request_id` — the routing key a
+    `sync_response` output uses to reply to the originating HTTP request."""
+    from pyspark.sql import functions as F
+
     rd = spark.readStream.format("text").option("wholetext", str(whole_body).lower())
     if max_files_per_trigger is not None:
         rd = rd.option("maxFilesPerTrigger", int(max_files_per_trigger))
     # only completed spool files (dotfiles/tmp are hidden from file sources
     # by Spark's default path filter; the glob keeps it explicit)
-    return rd.load(f"{spool_dir}/*.msg")
+    df = rd.load(f"{spool_dir}/*.msg")
+    if with_request_id:
+        df = df.withColumn(
+            "request_id", F.regexp_extract(F.input_file_name(), r"([^/]+)\.msg$", 1)
+        )
+    return df

@@ -369,3 +369,57 @@ def http_post_writer(
         payloads.foreachPartition(send)
 
     return write_batch
+
+
+def sync_response_writer(sync_dir: str, content_col: str | None = None,
+                         id_col: str = "request_id"):
+    """`sync_response` output (internal/impl/pure/output_sync_response.go:15):
+    the processed message becomes the HTTP response of the request that
+    produced it. Spark mapping of Bento's transaction-scoped response
+    store: the input's spool file stem rides the row as `request_id`
+    (engine metadata — survives `root = {...}` remaps like `error`), and
+    this writer drops one `<request_id>.resp` file into the shared sync
+    dir, where the blocked HttpSpoolServer handler picks it up and
+    replies. Reply files are written EXECUTOR-side (foreachPartition,
+    atomic tmp+rename — the listener never reads a partial reply); on a
+    real cluster the sync dir is shared storage, exactly like the spool.
+
+    Body: `content_col` cast to string when given, else the row as JSON
+    (internal columns `request_id`/`error`/`meta` excluded). Replay
+    semantics: a replayed micro-batch rewrites reply files; the original
+    requester is gone, the orphan is deleted on the next request reusing
+    nothing — best-effort like the reference (a response to a dead
+    request is dropped)."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        if id_col not in batch_df.columns:
+            raise ValueError(
+                f"sync_response output: column {id_col!r} missing — the "
+                "input must be http_server with `sync: true` (it stamps "
+                "the request id on every row)"
+            )
+        if content_col is not None:
+            body = F.col(content_col).cast("string")
+        else:
+            doc = [c for c in batch_df.columns if c not in (id_col, "error", "meta")]
+            body = F.to_json(F.struct(*[F.col(c) for c in doc]))
+        sel = batch_df.select(F.col(id_col).alias("_rid"), body.alias("_body"))
+
+        def reply(rows) -> None:
+            # imported here: worker closures must re-resolve submodules
+            import os
+            import uuid as _uuid
+
+            for r in rows:
+                if not r._rid:
+                    continue
+                final = os.path.join(sync_dir, f"{r._rid}.resp")
+                tmp = os.path.join(sync_dir, f".{r._rid}.{_uuid.uuid4().hex}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(("" if r._body is None else str(r._body)).encode("utf-8"))
+                os.replace(tmp, final)
+
+        sel.foreachPartition(reply)
+
+    return write_batch

@@ -619,3 +619,100 @@ output:
     # through the text source — payload fidelity is covered at spool level)
     assert len(rows) == 3
     assert "msg-one" in rows and "frag-mented" in rows
+
+
+def test_sync_response_end_to_end(spark, tmp_path):
+    """output.sync_response: the processed row answers the originating
+    POST (output_sync_response.go:15). The POST blocks in a background
+    thread until the streaming query routes its reply file."""
+    import threading
+    import time
+    from pathlib import Path
+
+    spool = tmp_path / "sync_spool"
+    p = compile_yaml(
+        f"""
+input:
+  http_server:
+    spool_dir: {spool}
+    path: /rpc
+    sync: true
+    sync_timeout: 60
+pipeline:
+  processors:
+    - mapping: |
+        root.body = this.value.uppercase()
+output:
+  sync_response:
+    content: body
+"""
+    )
+    srv = p.start_http_listener()
+    results: dict[str, tuple[int, bytes]] = {}
+
+    def rpc(name: str, payload: bytes) -> None:
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=90)
+        try:
+            conn.request("POST", "/rpc", body=payload)
+            r = conn.getresponse()
+            results[name] = (r.status, r.read())
+        finally:
+            conn.close()
+
+    threads = [
+        threading.Thread(target=rpc, args=("a", b"hello")),
+        threading.Thread(target=rpc, args=("b", b"spark streams")),
+    ]
+    try:
+        for t in threads:
+            t.start()
+        # both requests must be spooled before the bounded query starts
+        deadline = time.monotonic() + 10
+        while len(list(Path(spool).glob("*.msg"))) < 2:
+            assert time.monotonic() < deadline, "requests never spooled"
+            time.sleep(0.05)
+        q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt_sync"))
+        q.awaitTermination(90)
+        for t in threads:
+            t.join(timeout=60)
+    finally:
+        srv.stop()
+    assert results["a"] == (200, b"HELLO")
+    assert results["b"] == (200, b"SPARK STREAMS")
+    # reply files are consumed on delivery
+    assert list(Path(str(spool) + "_resp").glob("*.resp")) == []
+
+
+def test_sync_response_timeout_and_guards(spark, tmp_path):
+    spool = tmp_path / "sync_spool_to"
+    p = compile_yaml(
+        f"""
+input:
+  http_server:
+    spool_dir: {spool}
+    sync: true
+    sync_timeout: 0.3
+output:
+  sync_response: {{}}
+"""
+    )
+    srv = p.start_http_listener()
+    try:
+        # no query running -> the gateway answers 504 after sync_timeout
+        assert _post(srv.host, srv.port, "/post", b"orphan") == 504
+    finally:
+        srv.stop()
+    # sync_response without a sync http_server input is a config error
+    p2 = compile_yaml(
+        f"""
+input:
+  http_server:
+    spool_dir: {spool}
+output:
+  sync_response: {{}}
+"""
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sync: true"):
+        p2.run_stream(spark, checkpoint=str(tmp_path / "ckpt_sync_to"))
