@@ -287,6 +287,21 @@ class Pipeline:
                 whole_body=True,  # one message per frame, like the reference
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "mqtt" in inp:
+            # MQTT subscription (mqtt/input.go) via the spool bridge —
+            # dependency-free 3.1.1 client (streaming/mqtt.py); the
+            # subscriber starts via start_mqtt_subscriber(). QoS1 PUBACK
+            # fires only after the spool rename, so at-least-once holds
+            # into the replayable file source.
+            o = inp["mqtt"]
+            if not streaming:
+                raise ValueError("mqtt input is streaming-only (push source)")
+            from bento_spark.streaming.mqtt import read_mqtt_stream
+
+            return read_mqtt_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "http_client" in inp:
             # polling HTTP source (input_http_client.go) via the spool
             # bridge; the poller starts via start_http_poller()
@@ -412,6 +427,32 @@ class Pipeline:
             sync_dir=self._sync_dir_of(o) if o.get("sync") else None,
             sync_timeout=float(o.get("sync_timeout", 15.0)),
         ).start()
+
+    def start_mqtt_subscriber(self):
+        """Start the subscriber bridge for an `input.mqtt` pipeline and
+        return its handle (caller owns `.stop()`). Same runtime-resource/
+        plan split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("mqtt")
+        if not o:
+            raise ValueError("pipeline has no input.mqtt section")
+        from bento_spark.streaming.mqtt import MqttSpooler
+
+        host, port = self._mqtt_addr(o)
+        return MqttSpooler(
+            host=host, port=port, topics=list(o["topics"]),
+            spool_dir=o["spool_dir"], qos=int(o.get("qos", 1)),
+            client_id=o.get("client_id"),
+            clean_session=bool(o.get("clean_session", True)),
+        ).start()
+
+    @staticmethod
+    def _mqtt_addr(o: dict) -> tuple[str, int]:
+        """First entry of the reference's `urls` list (tcp://host:port)
+        or a bare `address: host:port`."""
+        url = (o.get("urls") or [o.get("address", "127.0.0.1:1883")])[0]
+        hp = str(url).removeprefix("tcp://").removeprefix("mqtt://")
+        host, _, port = hp.partition(":")
+        return host or "127.0.0.1", int(port or 1883)
 
     @staticmethod
     def _sync_dir_of(o: dict) -> str:
@@ -1330,11 +1371,12 @@ class Pipeline:
             or out.get("kafka")
             or out.get("fallback")
             or out.get("http_client")
+            or out.get("mqtt")
             or "sync_response" in out
         ):
             raise ValueError(
                 "output.path (or switch/fan_out/round_robin/kafka/fallback/"
-                "http_client/sync_response) required for run_stream"
+                "http_client/mqtt/sync_response) required for run_stream"
             )
         if "path" in out:
             self._sink = IdempotentParquetSink(require_object_store(spark, out["path"]),
@@ -1428,6 +1470,16 @@ class Pipeline:
                 retries=int(h.get("retries", 3)),
                 backoff_s=float(h.get("backoff", 0.25)),
             )
+        elif out.get("mqtt"):
+            # dependency-free publisher (mqtt/output.go: topic, qos,
+            # retained) — rows publish as JSON executor-side
+            from bento_spark.streaming.mqtt import mqtt_sink
+
+            df = self.build_stream(spark)
+            m = out["mqtt"]
+            host, port = self._mqtt_addr(m)
+            writer = mqtt_sink(host, port, m["topic"], qos=int(m.get("qos", 1)),
+                               retained=bool(m.get("retained", False)))
         elif "sync_response" in out:
             # reply-to-request output (output_sync_response.go:15): the
             # processed row answers the HTTP request that produced it,
