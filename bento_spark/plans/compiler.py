@@ -302,6 +302,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "nats" in inp:
+            # core-NATS subscription (nats/input.go) via the spool bridge —
+            # dependency-free text-protocol client (streaming/nats.py); the
+            # subscriber starts via start_nats_subscriber(). Core NATS is
+            # at-most-once by protocol (no acks) — everything the spooler
+            # received is durable in the replayable file source.
+            o = inp["nats"]
+            if not streaming:
+                raise ValueError("nats input is streaming-only (push source)")
+            from bento_spark.streaming.nats import read_nats_stream
+
+            return read_nats_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "http_client" in inp:
             # polling HTTP source (input_http_client.go) via the spool
             # bridge; the poller starts via start_http_poller()
@@ -453,6 +468,30 @@ class Pipeline:
         hp = str(url).removeprefix("tcp://").removeprefix("mqtt://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 1883)
+
+    def start_nats_subscriber(self):
+        """Start the subscriber bridge for an `input.nats` pipeline and
+        return its handle (caller owns `.stop()`). Same runtime-resource/
+        plan split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("nats")
+        if not o:
+            raise ValueError("pipeline has no input.nats section")
+        from bento_spark.streaming.nats import NatsSpooler
+
+        host, port = self._nats_addr(o)
+        return NatsSpooler(
+            host=host, port=port, subject=o["subject"],
+            spool_dir=o["spool_dir"], queue=o.get("queue"),
+        ).start()
+
+    @staticmethod
+    def _nats_addr(o: dict) -> tuple[str, int]:
+        """First entry of the reference's `urls` list (nats://host:port)
+        or a bare `address: host:port`."""
+        url = (o.get("urls") or [o.get("address", "127.0.0.1:4222")])[0]
+        hp = str(url).removeprefix("nats://").removeprefix("tcp://")
+        host, _, port = hp.partition(":")
+        return host or "127.0.0.1", int(port or 4222)
 
     @staticmethod
     def _sync_dir_of(o: dict) -> str:
@@ -1372,11 +1411,12 @@ class Pipeline:
             or out.get("fallback")
             or out.get("http_client")
             or out.get("mqtt")
+            or out.get("nats")
             or "sync_response" in out
         ):
             raise ValueError(
                 "output.path (or switch/fan_out/round_robin/kafka/fallback/"
-                "http_client/mqtt/sync_response) required for run_stream"
+                "http_client/mqtt/nats/sync_response) required for run_stream"
             )
         if "path" in out:
             self._sink = IdempotentParquetSink(require_object_store(spark, out["path"]),
@@ -1480,6 +1520,17 @@ class Pipeline:
             host, port = self._mqtt_addr(m)
             writer = mqtt_sink(host, port, m["topic"], qos=int(m.get("qos", 1)),
                                retained=bool(m.get("retained", False)))
+        elif out.get("nats"):
+            # dependency-free core-NATS publisher (nats/output.go:
+            # interpolated subject) — the per-row subject compiles to a
+            # COLUMN (never row-at-a-time Python), rows publish as JSON
+            from bento_spark.streaming.nats import nats_sink
+
+            n = out["nats"]
+            df = self.build_stream(spark).withColumn(
+                "_nats_subject", compile_interpolated(str(n["subject"])))
+            host, port = self._nats_addr(n)
+            writer = nats_sink(host, port, "_nats_subject")
         elif "sync_response" in out:
             # reply-to-request output (output_sync_response.go:15): the
             # processed row answers the HTTP request that produced it,
