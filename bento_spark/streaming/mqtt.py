@@ -227,6 +227,9 @@ class MqttSpooler:
         client = MqttClient(self.host, self.port, client_id=self.client_id,
                             clean_session=self.clean_session)
         client.subscribe(list(self.topics), qos=self.qos)
+        # block forever on push traffic — the connect-time timeout would
+        # otherwise kill an IDLE subscriber after 10s
+        client.sock.settimeout(None)
         self._client = client
         seq = {"n": 0}
 

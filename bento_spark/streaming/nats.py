@@ -201,6 +201,9 @@ class NatsSpooler:
         client = NatsClient(self.host, self.port)
         client.subscribe(self.subject, queue=self.queue)
         client.flush()
+        # block forever on push traffic — the connect-time timeout would
+        # otherwise kill an IDLE subscriber after 10s
+        client.sock.settimeout(None)
         self._client = client
         seq = {"n": 0}
 
