@@ -208,6 +208,8 @@ class FileCache:
     `ttl` before `now_ms` read as absent — mtime-based expiry with zero
     metadata files."""
 
+    single_value = True
+
     def __init__(self, spark: SparkSession, directory: str, key_col: str = "key",
                  value_col: str = "value", ttl: int | float | str | None = None):
         self.spark = spark

@@ -79,9 +79,9 @@ def http_enrich(
         # bare `http` package)
         import http.client
 
-        from bento_spark.operators.rate_limit import TokenBucket
+        from bento_spark.operators.rate_limit import make_limiter
 
-        bucket = TokenBucket(*rate_limit) if rate_limit else None
+        bucket = make_limiter(rate_limit)
         conns: dict[tuple[str, str, int], http.client.HTTPConnection] = {}
 
         def request(raw_url, payload: str | None) -> tuple[str | None, str | None]:

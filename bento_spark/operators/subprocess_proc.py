@@ -126,9 +126,9 @@ def subprocess_map(
         import subprocess as _sp
         import threading as _threading
 
-        from bento_spark.operators.rate_limit import TokenBucket
+        from bento_spark.operators.rate_limit import make_limiter
 
-        bucket = TokenBucket(*rate_limit) if rate_limit else None
+        bucket = make_limiter(rate_limit)
         state: dict = {"proc": None, "q_out": None, "q_err": None}
 
         def start() -> None:
@@ -350,9 +350,9 @@ def command_map(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import subprocess as _sp
 
-        from bento_spark.operators.rate_limit import TokenBucket
+        from bento_spark.operators.rate_limit import make_limiter
 
-        bucket = TokenBucket(*rate_limit) if rate_limit else None
+        bucket = make_limiter(rate_limit)
 
         def one(value, row_args):
             """-> (new_value, stderr_text, error)."""

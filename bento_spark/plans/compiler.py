@@ -317,6 +317,47 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "redis_list" in inp or "redis_pubsub" in inp:
+            # redis list pop / pub-sub subscription (redis/input_list.go,
+            # input_pubsub.go) via the spool bridge — dependency-free RESP2
+            # client (streaming/redis.py); the spooler starts via
+            # start_redis_spooler(). The source key/channel rides the spool
+            # filename and decodes JVM-side into `redis_key`/`redis_channel`.
+            name = "redis_list" if "redis_list" in inp else "redis_pubsub"
+            o = inp[name]
+            if not streaming:
+                raise ValueError(f"{name} input is streaming-only (push source)")
+            from bento_spark.streaming.redis import read_redis_spool_stream
+
+            return read_redis_spool_stream(
+                spark, o["spool_dir"],
+                tag_col="redis_key" if name == "redis_list" else "redis_channel",
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
+        if "redis_streams" in inp:
+            # redis streams consumer group (redis/input_streams.go) via the
+            # spool bridge: XREADGROUP entries spool with a JSON envelope,
+            # XACK fires only after the atomic rename — at-least-once into
+            # the replayable file source
+            o = inp["redis_streams"]
+            if not streaming:
+                raise ValueError("redis_streams input is streaming-only (push source)")
+            from bento_spark.streaming.redis import read_redis_streams_stream
+
+            return read_redis_streams_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
+        if "redis_scan" in inp:
+            # keyspace-as-batch input (redis/input_scan.go): driver-side
+            # SCAN cursor, executor-side pipelined MGET per partition
+            o = inp["redis_scan"]
+            if streaming:
+                raise ValueError("redis_scan input is batch-only (bounded keyspace walk)")
+            from bento_spark.streaming.redis import read_redis_scan
+
+            host, port = self._redis_addr(o)
+            return read_redis_scan(spark, host, port, match=o.get("match", "*"))
         if "http_client" in inp:
             # polling HTTP source (input_http_client.go) via the spool
             # bridge; the poller starts via start_http_poller()
@@ -493,6 +534,57 @@ class Pipeline:
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 4222)
 
+    def start_redis_spooler(self):
+        """Start the subscriber/consumer bridge for a redis_list /
+        redis_pubsub / redis_streams input pipeline and return its handle
+        (caller owns `.stop()`). Same runtime-resource/plan split as
+        start_http_listener."""
+        inp = self.conf.get("input") or {}
+        from bento_spark.streaming.redis import (
+            RedisListSpooler,
+            RedisPubSubSpooler,
+            RedisStreamsSpooler,
+        )
+
+        if "redis_list" in inp:
+            o = inp["redis_list"]
+            host, port = self._redis_addr(o)
+            return RedisListSpooler(
+                host=host, port=port, spool_dir=o["spool_dir"], key=o["key"],
+                command=o.get("command", "blpop"),
+            ).start()
+        if "redis_pubsub" in inp:
+            o = inp["redis_pubsub"]
+            host, port = self._redis_addr(o)
+            return RedisPubSubSpooler(
+                host=host, port=port, spool_dir=o["spool_dir"],
+                channels=list(o["channels"]),
+                use_patterns=bool(o.get("use_patterns", False)),
+            ).start()
+        if "redis_streams" in inp:
+            o = inp["redis_streams"]
+            host, port = self._redis_addr(o)
+            return RedisStreamsSpooler(
+                host=host, port=port, spool_dir=o["spool_dir"],
+                streams=list(o["streams"]),
+                body_key=o.get("body_key", "body"),
+                consumer_group=o.get("consumer_group", "bento_spark"),
+                client_id=o.get("client_id", "bento_spark_consumer"),
+                limit=int(o.get("limit", 10)),
+            ).start()
+        raise ValueError(
+            "pipeline has no redis_list/redis_pubsub/redis_streams input section"
+        )
+
+    @staticmethod
+    def _redis_addr(o: dict) -> tuple[str, int]:
+        """First entry of the reference's `url` field (redis://host:port)
+        or a bare `address: host:port`."""
+        from bento_spark.streaming.redis import parse_redis_url
+
+        url = (o.get("urls") or [None])[0] or o.get("url") or o.get("address", "127.0.0.1:6379")
+        return parse_redis_url(str(url))
+
     @staticmethod
     def _sync_dir_of(o: dict) -> str:
         """The reply handoff dir shared by the listener and the
@@ -576,9 +668,24 @@ class Pipeline:
                             f"cache resource {resource!r}: parquet backend needs `path`"
                         )
                     return KeyValueCache(spark, p["path"], key_col=key_col)
+                if "redis" in r:
+                    d = r["redis"] or {}
+                    if "url" not in d:
+                        raise ValueError(
+                            f"cache resource {resource!r}: redis backend needs `url`"
+                        )
+                    from bento_spark.streaming.redis import RedisCache
+
+                    return RedisCache(
+                        spark, d["url"], key_col=key_col,
+                        value_col=d.get("value_col", "value"),
+                        prefix=d.get("prefix", ""),
+                        default_ttl=d.get("default_ttl"),
+                    )
                 raise ValueError(
                     f"cache resource {resource!r} needs a backend section "
-                    "(file: {directory: ...} or parquet: {path: ...})"
+                    "(file: {directory: ...}, parquet: {path: ...}, or "
+                    "redis: {url: ...})"
                 )
         return KeyValueCache(spark, resource, key_col=key_col)
 
@@ -600,17 +707,34 @@ class Pipeline:
             "— add it under top-level rate_limit_resources:)"
         )
 
-    def _rate_limit_share(self, label, df: DataFrame) -> tuple[float, float] | None:
-        """Resolve a component's `rate_limit: label` reference to this
-        stage's per-partition (rate_per_s, burst) token-bucket share. The
-        aggregate cap argument lives in operators/rate_limit.py: dividing
-        by max task concurrency bounds the cluster-wide rate without
-        cross-worker coordination."""
+    def _rate_limit_share(self, label, df: DataFrame):
+        """Resolve a component's `rate_limit: label` reference to a
+        picklable limiter spec for operators/rate_limit.make_limiter:
+        the default local resource becomes a per-partition
+        (rate_per_s, burst) token-bucket share (dividing by max task
+        concurrency bounds the cluster-wide rate without coordination);
+        a `redis:` resource becomes a shared fixed-window spec — ONE
+        Redis-keyed window for every worker and every pipeline naming
+        the resource (rate_limit.go:89), no division needed."""
         if label is None:
             return None
         body = self._rate_limit_conf(str(label))
-        from bento_spark.operators.rate_limit import per_partition_share
         from bento_spark.streaming.cep import duration_ms
+
+        if isinstance(body.get("redis"), dict):
+            rd = body["redis"]
+            from bento_spark.streaming.redis import parse_redis_url
+
+            host, port = parse_redis_url(rd.get("url", "tcp://127.0.0.1:6379"))
+            return {
+                "kind": "redis",
+                "host": host,
+                "port": port,
+                "key": str(rd.get("key", f"bento_rl_{label}")),
+                "count": int(rd.get("count", body.get("count", 1000))),
+                "interval_ms": duration_ms(str(rd.get("interval", body.get("interval", "1s")))),
+            }
+        from bento_spark.operators.rate_limit import per_partition_share
 
         parallelism = int(
             body.get("parallelism")
@@ -765,7 +889,11 @@ class Pipeline:
             o = dict(opts or {})
             if "resource" in o:
                 body = self._rate_limit_conf(str(o.pop("resource")))
-                o.setdefault("interval", body.get("interval", "1s"))
+                o.setdefault(
+                    "interval",
+                    body.get("interval")
+                    or (body.get("redis") or {}).get("interval", "1s"),
+                )
             self.conf.setdefault("_rate_limit", o)
             return df
         if name == "filter":
@@ -915,8 +1043,6 @@ class Pipeline:
             # per-batch get/set/add/delete on a named keyed state table
             # (processor_cache.go:125; the key field is interpolated in the
             # reference — here `key` names the column holding it)
-            from bento_spark.operators.cache import FileCache
-
             o = opts or {}
             cache = self._cache_backend(
                 o["resource"], df.sparkSession, key_col=o.get("key_col", "key")
@@ -931,12 +1057,13 @@ class Pipeline:
             if df.isStreaming:
                 raise ValueError(f"cache {op} is batch-only in YAML pipelines; stream writes go through outputs")
             cols = o.get("columns") or [c for c in df.columns if c != key]
-            if isinstance(cache, FileCache) and op in ("set", "add"):
-                # one file per key holds ONE value (cache_file.go: content IS
-                # the value) — a multi-column write has no file encoding
+            if getattr(cache, "single_value", False) and op in ("set", "add"):
+                # one entry holds ONE string value (file: the content IS the
+                # value, cache_file.go; redis: SET k v) — a multi-column
+                # write has no encoding in these backends
                 if len(cols) != 1:
                     raise ValueError(
-                        f"file cache {o['resource']!r} stores a single value column; "
+                        f"cache {o['resource']!r} stores a single value column; "
                         f"got columns={cols} (pick one with `columns: [col]`)"
                     )
                 sel = df.select(key, F.col(cols[0]).cast("string").alias(cache.value_col))
@@ -1412,11 +1539,15 @@ class Pipeline:
             or out.get("http_client")
             or out.get("mqtt")
             or out.get("nats")
+            or out.get("redis_list")
+            or out.get("redis_pubsub")
+            or out.get("redis_streams")
+            or out.get("redis_hash")
             or "sync_response" in out
         ):
             raise ValueError(
                 "output.path (or switch/fan_out/round_robin/kafka/fallback/"
-                "http_client/mqtt/nats/sync_response) required for run_stream"
+                "http_client/mqtt/nats/redis_*/sync_response) required for run_stream"
             )
         if "path" in out:
             self._sink = IdempotentParquetSink(require_object_store(spark, out["path"]),
@@ -1531,6 +1662,33 @@ class Pipeline:
                 "_nats_subject", compile_interpolated(str(n["subject"])))
             host, port = self._nats_addr(n)
             writer = nats_sink(host, port, "_nats_subject")
+        elif any(out.get(k) for k in ("redis_list", "redis_pubsub", "redis_streams", "redis_hash")):
+            # redis outputs (redis/output_list.go, output_pubsub.go,
+            # output_streams.go:154, output_hash.go:193): the interpolated
+            # key/channel/stream compiles to a COLUMN, rows write as one
+            # pipelined round-trip per partition
+            from bento_spark.streaming import redis as _redis
+
+            name = next(k for k in ("redis_list", "redis_pubsub", "redis_streams", "redis_hash") if out.get(k))
+            r = out[name]
+            host, port = self._redis_addr(r)
+            df = self.build_stream(spark)
+            if name == "redis_list":
+                df = df.withColumn("_redis_key", compile_interpolated(str(r["key"])))
+                writer = _redis.redis_list_sink(host, port, "_redis_key")
+            elif name == "redis_pubsub":
+                df = df.withColumn("_redis_channel", compile_interpolated(str(r["channel"])))
+                writer = _redis.redis_pubsub_sink(host, port, "_redis_channel")
+            elif name == "redis_streams":
+                df = df.withColumn("_redis_stream", compile_interpolated(str(r["stream"])))
+                writer = _redis.redis_streams_sink(
+                    host, port, "_redis_stream", body_key=r.get("body_key", "body"),
+                    meta_cols=r.get("metadata"), max_length=r.get("max_length"),
+                )
+            else:
+                df = df.withColumn("_redis_hkey", compile_interpolated(str(r["key"])))
+                writer = _redis.redis_hash_sink(host, port, "_redis_hkey",
+                                                fields=r.get("fields"))
         elif "sync_response" in out:
             # reply-to-request output (output_sync_response.go:15): the
             # processed row answers the HTTP request that produced it,

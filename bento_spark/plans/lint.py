@@ -174,9 +174,18 @@ def lint_yaml(src: str, env: dict | None = None) -> list[str]:
         elif "parquet" in r:
             if not isinstance(r["parquet"], dict) or "path" not in r["parquet"]:
                 issues.append(f"cache_resources[{i}] (parquet): missing 'path'")
+        elif "redis" in r:
+            if not isinstance(r["redis"], dict) or "url" not in r["redis"]:
+                issues.append(f"cache_resources[{i}] (redis): missing 'url'")
+            elif r["redis"].get("default_ttl") is not None:
+                _lint_duration(
+                    f"cache_resources[{i}].redis.default_ttl",
+                    r["redis"]["default_ttl"], issues,
+                )
         else:
             issues.append(
-                f"cache_resources[{i}]: needs a backend (file: {{directory}} or parquet: {{path}})"
+                f"cache_resources[{i}]: needs a backend (file: {{directory}}, "
+                "parquet: {path}, or redis: {url})"
             )
 
     rls = conf.get("rate_limit_resources")
@@ -190,6 +199,14 @@ def lint_yaml(src: str, env: dict | None = None) -> list[str]:
         if not isinstance(body, dict):
             issues.append(f"rate_limit_resources[{i}]: 'local' must be a mapping")
             continue
+        if "redis" in body:  # distributed fixed window (redis/rate_limit.go)
+            rd = body["redis"]
+            if not isinstance(rd, dict) or "url" not in rd:
+                issues.append(f"rate_limit_resources[{i}] (redis): missing 'url'")
+                continue
+            if rd.get("interval") is not None:
+                _lint_duration(f"rate_limit_resources[{i}].redis.interval", rd["interval"], issues)
+            body = {**body, **{k: rd[k] for k in ("count",) if k in rd}}
         try:
             if int(body.get("count", 1000)) <= 0:
                 issues.append(f"rate_limit_resources[{i}]: count must be > 0")

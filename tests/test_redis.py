@@ -228,3 +228,166 @@ def test_read_redis_scan_distributed(spark, server):
     df = read_redis_scan(spark, server.host, server.port, match="doc:*")
     rows = {r.key: r.value for r in df.collect()}
     assert len(rows) == 25 and rows["doc:07"] == "v7"
+
+
+def test_yaml_redis_pubsub_input_end_to_end(spark, server, tmp_path):
+    from bento_spark.plans.compiler import compile_yaml
+    from bento_spark.streaming.sink import IdempotentParquetSink
+
+    spool = tmp_path / "spool_in"
+    p = compile_yaml(f"""
+input:
+  redis_pubsub:
+    url: tcp://{server.host}:{server.port}
+    channels: ["news.*"]
+    use_patterns: true
+    spool_dir: {spool}
+pipeline:
+  processors:
+    - mapping: |
+        root.body = this.value.uppercase()
+        root.chan = this.redis_channel
+output:
+  path: {tmp_path}/out
+""")
+    sp = p.start_redis_spooler()
+    try:
+        pub = RedisClient(server.host, server.port)
+        deadline = time.monotonic() + 10
+        while int(pub.cmd("PUBLISH", "news.x", "probe")) < 1:
+            assert time.monotonic() < deadline, "subscriber never registered"
+            time.sleep(0.05)
+        pub.cmd("PUBLISH", "news.y", "cold")
+        pub.close()
+        deadline = time.monotonic() + 10
+        while len(list(spool.glob("*.msg"))) < 2:
+            assert time.monotonic() < deadline
+            time.sleep(0.05)
+        q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt_in"))
+        q.awaitTermination(90)
+    finally:
+        sp.stop()
+    rows = sorted(
+        (r.chan, r.body)
+        for r in IdempotentParquetSink(str(tmp_path / "out")).read(spark).collect()
+    )
+    assert rows == [("news.x", "PROBE"), ("news.y", "COLD")]
+
+
+def test_yaml_redis_list_roundtrip(spark, server, tmp_path):
+    """output.redis_list publishes, input.redis_list consumes — the two
+    halves meet in one live server."""
+    from bento_spark.plans.compiler import compile_yaml
+    from bento_spark.streaming.sink import IdempotentParquetSink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("r1\nr2\nr3")
+    q = compile_yaml(f"""
+input:
+  lines:
+    path: {src}
+output:
+  redis_list:
+    url: tcp://{server.host}:{server.port}
+    key: jobs
+""").run_stream(spark, checkpoint=str(tmp_path / "ckpt_out"))
+    q.awaitTermination(90)
+    direct = RedisClient(server.host, server.port)
+    assert int(direct.cmd("LLEN", "jobs")) == 3
+    direct.close()
+
+    spool = tmp_path / "spool_list"
+    p = compile_yaml(f"""
+input:
+  redis_list:
+    url: tcp://{server.host}:{server.port}
+    key: jobs
+    spool_dir: {spool}
+pipeline:
+  processors:
+    - mapping: 'root.line = this.value.parse_json("line string").line'
+output:
+  path: {tmp_path}/out2
+""")
+    sp = p.start_redis_spooler()
+    try:
+        deadline = time.monotonic() + 10
+        while len(list(spool.glob("*.msg"))) < 3:
+            assert time.monotonic() < deadline
+            time.sleep(0.05)
+        q2 = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt_in2"))
+        q2.awaitTermination(90)
+    finally:
+        sp.stop()
+    got = sorted(
+        r.line for r in IdempotentParquetSink(str(tmp_path / "out2")).read(spark).collect()
+    )
+    assert got == ["r1", "r2", "r3"]
+
+
+def test_yaml_redis_scan_batch_input(spark, server):
+    from bento_spark.plans.compiler import compile_yaml
+
+    direct = RedisClient(server.host, server.port)
+    for i in range(5):
+        direct.cmd("SET", f"doc:{i}", f"v{i}")
+    direct.cmd("SET", "other", "x")
+    direct.close()
+    df = compile_yaml(f"""
+input:
+  redis_scan:
+    url: tcp://{server.host}:{server.port}
+    match: "doc:*"
+pipeline:
+  processors:
+    - mapping: 'root.key = this.key'
+""").build_batch(spark)
+    assert sorted(r.key for r in df.collect()) == [f"doc:{i}" for i in range(5)]
+
+
+def test_lint_knows_redis():
+    from bento_spark.plans.lint import known_inputs
+
+    for name in ("redis_list", "redis_pubsub", "redis_streams", "redis_scan"):
+        assert name in known_inputs()
+
+
+def test_yaml_redis_streams_and_hash_outputs(spark, server, tmp_path):
+    from bento_spark.plans.compiler import compile_yaml
+
+    src = tmp_path / "srcsh"
+    src.mkdir()
+    (src / "a.txt").write_text("x\ny")
+    compile_yaml(f"""
+input:
+  lines:
+    path: {src}
+output:
+  redis_streams:
+    url: tcp://{server.host}:{server.port}
+    stream: events
+""").run_stream(spark, checkpoint=str(tmp_path / "ckpt_s")).awaitTermination(90)
+    direct = RedisClient(server.host, server.port)
+    assert int(direct.cmd("XLEN", "events")) == 2
+    entries = direct.cmd("XRANGE", "events", "-", "+")
+    bodies = sorted(json.loads(dict(zip(kv[::2], kv[1::2]))[b"body"])["line"]
+                    for _id, kv in entries)
+    assert bodies == ["x", "y"]
+
+    compile_yaml(f"""
+input:
+  lines:
+    path: {src}
+pipeline:
+  processors:
+    - mapping: 'root.hk = "h:" + this.line'
+output:
+  redis_hash:
+    url: tcp://{server.host}:{server.port}
+    key: "${{! hk }}"
+    fields: [line]
+""").run_stream(spark, checkpoint=str(tmp_path / "ckpt_h")).awaitTermination(90)
+    got = direct.cmd("HGETALL", "h:x")
+    assert got == [b"line", b"x"]
+    direct.close()
