@@ -1094,6 +1094,49 @@ pipeline:
     )
 
 
+def q_sqlite_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sql` cache backend over stdlib sqlite3 (cache_sql.go:84) declared
+    as a named cache_resources entry: one table row per key, upsert set.
+    Two INDEPENDENT pipelines share enrichment state through the database
+    file — the same restart-surviving contract file_cache_roundtrip
+    proves for the file backend, here with SQL-table interop."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    cache_dir = _scratch_dir(f"sqlite_cache_{os.path.basename(sf_dir.rstrip('/'))}", fresh=True)
+    resources = f"""
+cache_resources:
+  - label: nations
+    sqlite: {{path: {cache_dir}/nations.db, table: nations}}
+"""
+    setter = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/nation.parquet}}
+{resources}
+pipeline:
+  processors:
+    - mapping: |
+        root.k = this.n_nationkey.string()
+        root.nation_name = this.n_name
+    - cache: {{resource: nations, operator: set, key: k, columns: [nation_name]}}
+""")
+    setter.build_batch(spark)
+    getter = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/customer.parquet}}
+{resources}
+pipeline:
+  processors:
+    - mapping: 'root.k = this.c_nationkey.string()'
+    - cache: {{resource: nations, operator: get, key: k}}
+""")
+    return getter.build_batch(spark).groupBy(
+        F.col("value").alias("nation_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
+    )
+
+
 def q_yaml_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lookup (broadcast dimension join) section via YAML. Shares
     lookup_join's oracle."""
@@ -1360,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         # -- round-4 additions --
         "file_cache_roundtrip": q_file_cache_roundtrip,
+        "sqlite_cache_roundtrip": q_sqlite_cache_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "jmespath_projection": q_jmespath_projection,
         "image_features": q_image_features,
@@ -1953,6 +1997,7 @@ def oracle_sql() -> dict[str, str]:
     sql["yaml_select_parts"] = sql["select_parts"]
     sql["yaml_cache_set_get"] = sql["cache_enrichment"]
     sql["file_cache_roundtrip"] = sql["cache_enrichment"]
+    sql["sqlite_cache_roundtrip"] = sql["cache_enrichment"]
     sql["avro_roundtrip"] = sql["msgpack_roundtrip"]
     sql["protobuf_roundtrip"] = sql["msgpack_roundtrip"]
     sql["image_features"] = f"""

@@ -349,6 +349,192 @@ class FileCache:
         return df.join(side, key, "left")
 
 
+class SqliteCache:
+    """`sql` cache backend over a SQLite file
+    (/root/reference/internal/impl/sql/cache_sql.go:84 — one row per
+    key/value pair in a named table; `set` is an upsert, `add` a plain
+    insert that errors on conflict, no TTL support: cache_sql.go's Set
+    discards the duration, matching `init_statement`-style plain tables).
+    The reference reaches any database/sql driver; the repo's JDBC path
+    (operators/sql_connector.py) is jar-gated, so this stdlib-sqlite3
+    backend is the sandbox-testable instance — same single-shared-file
+    deployment model as FileCache (a posix/shared filesystem).
+
+    Spark-first mapping: `get` SELECTs only the batch's DISTINCT keys,
+    one `IN (...)` query per partition executor-side, broadcast-joined
+    back — never a per-row round-trip (the reference amortizes multi-gets
+    the same way). Writes run executor-side per partition in one
+    transaction each; WAL journal + busy_timeout serialize concurrent
+    partition writers safely. `add`'s accepted/rejected split is
+    localCheckpoint-ed eagerly — re-evaluating a lazy plan would re-run
+    the inserts against state the first run created (the FileCache.add
+    trap)."""
+
+    single_value = True
+
+    def __init__(self, spark: SparkSession, path: str, table: str = "bento_cache",
+                 key_col: str = "key", value_col: str = "value"):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+            raise ValueError(f"sqlite cache table must be an identifier, got {table!r}")
+        self.spark = spark
+        self.path = path
+        self.table = table
+        self.key_col, self.value_col = key_col, value_col
+        import sqlite3
+
+        with sqlite3.connect(path) as con:
+            con.execute("PRAGMA journal_mode=WAL")
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {table} (k TEXT PRIMARY KEY, v TEXT)"
+            )
+
+    # executor-side connection helper (pickled by value into closures)
+    @staticmethod
+    def _connect(path: str):
+        import sqlite3
+
+        con = sqlite3.connect(path, timeout=30.0)
+        con.execute("PRAGMA busy_timeout=30000")
+        return con
+
+    def set(self, df: DataFrame, ttl=None, now_ms=None) -> None:
+        """Upsert (INSERT .. ON CONFLICT DO UPDATE — cache_sql.go:144's
+        upsertBuilder). `ttl` is ignored, like the reference."""
+        path, table = self.path, self.table
+        rows = df.dropDuplicates([self.key_col]).select(
+            F.col(self.key_col).cast("string").alias("k"),
+            F.col(self.value_col).cast("string").alias("v"),
+        )
+
+        def write(part) -> None:
+            from bento_spark.operators.cache import SqliteCache as _S
+
+            con = _S._connect(path)
+            try:
+                con.executemany(
+                    f"INSERT INTO {table}(k, v) VALUES(?, ?) "
+                    "ON CONFLICT(k) DO UPDATE SET v=excluded.v",
+                    [(r.k, r.v) for r in part],
+                )
+                con.commit()
+            finally:
+                con.close()
+
+        rows.foreachPartition(write)
+
+    def add(self, df: DataFrame, ttl=None, now_ms=None) -> DataFrame:
+        """Insert-if-absent (INSERT OR IGNORE; an ignored row = the
+        reference's constraint-violation error). Returns rejected rows."""
+        path, table = self.path, self.table
+        key_col, value_col = self.key_col, self.value_col
+        fresh = df.dropDuplicates([key_col])
+
+        def attempt(iter_pdf):
+            import pandas as pd
+
+            from bento_spark.operators.cache import SqliteCache as _S
+
+            con = _S._connect(path)
+            try:
+                for pdf in iter_pdf:
+                    accepted = []
+                    for k, v in zip(pdf[key_col], pdf[value_col]):
+                        cur = con.execute(
+                            f"INSERT OR IGNORE INTO {table}(k, v) VALUES(?, ?)",
+                            (str(k), None if v is None else str(v)),
+                        )
+                        accepted.append(cur.rowcount == 1)
+                    con.commit()
+                    yield pd.DataFrame({
+                        key_col: [str(k) for k in pdf[key_col]],
+                        "_accepted": accepted,
+                    })
+            finally:
+                con.close()
+
+        verdicts = (
+            fresh.select(F.col(key_col).cast("string").alias(key_col), value_col)
+            .mapInPandas(attempt, f"{key_col} string, _accepted boolean")
+            .localCheckpoint(eager=True)  # exactly-once insert attempt
+        )
+        rejected_keys = verdicts.filter(~F.col("_accepted")).select(key_col)
+        return fresh.join(F.broadcast(rejected_keys), key_col, "left_semi")
+
+    def delete(self, keys: DataFrame) -> None:
+        path, table = self.path, self.table
+
+        def rm(part) -> None:
+            from bento_spark.operators.cache import SqliteCache as _S
+
+            con = _S._connect(path)
+            try:
+                con.executemany(
+                    f"DELETE FROM {table} WHERE k = ?",
+                    [(str(r[0]),) for r in part],
+                )
+                con.commit()
+            finally:
+                con.close()
+
+        keys.select(F.col(self.key_col).cast("string")).foreachPartition(rm)
+
+    def get(self, df: DataFrame, on: str | None = None, broadcast: bool = True,
+            now_ms=None) -> DataFrame:
+        """Enrich df with the cached value by key (miss = NULL value,
+        same contract as the other backends)."""
+        key = on or self.key_col
+        path, table = self.path, self.table
+        key_col, value_col = self.key_col, self.value_col
+        distinct = df.select(F.col(key).cast("string").alias(key_col)).distinct()
+
+        def fetch(iter_pdf):
+            import pandas as pd
+
+            from bento_spark.operators.cache import SqliteCache as _S
+
+            con = _S._connect(path)
+            try:
+                for pdf in iter_pdf:
+                    ks = [str(k) for k in pdf[key_col]]
+                    found: dict[str, str] = {}
+                    # SQLite caps bound parameters (999 pre-3.32) — chunk
+                    for i in range(0, len(ks), 500):
+                        chunk = ks[i:i + 500]
+                        marks = ",".join("?" * len(chunk))
+                        found.update(con.execute(
+                            f"SELECT k, v FROM {table} WHERE k IN ({marks})", chunk
+                        ).fetchall())
+                    yield pd.DataFrame({
+                        key_col: ks,
+                        value_col: [found.get(k) for k in ks],
+                    })
+            finally:
+                con.close()
+
+        side = distinct.mapInPandas(fetch, f"{key_col} string, {value_col} string")
+        side = side.filter(F.col(value_col).isNotNull())
+        if key != key_col:
+            side = side.withColumnRenamed(key_col, key)
+        if broadcast:
+            side = F.broadcast(side)
+        return df.join(side, key, "left")
+
+    def snapshot(self, now_ms=None) -> DataFrame | None:
+        """Full table as (key, value) — debug/compat surface; data paths
+        use get()'s keyed fetch (one driver-side read here is fine: the
+        backend's deployment model is dimension-scale shared-file state)."""
+        con = self._connect(self.path)
+        try:
+            rows = con.execute(f"SELECT k, v FROM {self.table}").fetchall()
+        finally:
+            con.close()
+        if not rows:
+            return None
+        return self.spark.createDataFrame(
+            rows, f"{self.key_col} string, {self.value_col} string"
+        )
+
+
 def cached(
     cache: KeyValueCache,
     key_cols: Sequence[str],

@@ -317,6 +317,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "amqp_0_9" in inp:
+            # AMQP 0.9.1 consume (amqp09/input.go) via the spool bridge —
+            # dependency-free spec client (streaming/amqp.py); the consumer
+            # starts via start_amqp_consumer(). basic.ack fires only after
+            # the spool rename, so at-least-once holds into the replayable
+            # file source.
+            o = inp["amqp_0_9"]
+            if not streaming:
+                raise ValueError("amqp_0_9 input is streaming-only (push source)")
+            from bento_spark.streaming.amqp import read_amqp_stream
+
+            return read_amqp_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "redis_list" in inp or "redis_pubsub" in inp:
             # redis list pop / pub-sub subscription (redis/input_list.go,
             # input_pubsub.go) via the spool bridge — dependency-free RESP2
@@ -534,6 +549,29 @@ class Pipeline:
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 4222)
 
+    def start_amqp_consumer(self):
+        """Start the consumer bridge for an `input.amqp_0_9` pipeline and
+        return its handle (caller owns `.stop()`). Same runtime-resource/
+        plan split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("amqp_0_9")
+        if not o:
+            raise ValueError("pipeline has no input.amqp_0_9 section")
+        from bento_spark.streaming.amqp import AmqpSpooler, parse_amqp_url
+
+        url = (o.get("urls") or [o.get("url", "amqp://127.0.0.1:5672")])[0]
+        host, port, vhost = parse_amqp_url(str(url))
+        qd = o.get("queue_declare") or {}
+        binds = [
+            (b["exchange"], b.get("key", ""))
+            for b in o.get("bindings_declare") or []
+        ]
+        return AmqpSpooler(
+            host=host, port=port, queue=o["queue"], spool_dir=o["spool_dir"],
+            vhost=vhost, declare=bool(qd.get("enabled", False)), bindings=binds,
+            consumer_tag=o.get("consumer_tag", "bento_spark"),
+            prefetch_count=int(o.get("prefetch_count", 64)),
+        ).start()
+
     def start_redis_spooler(self):
         """Start the subscriber/consumer bridge for a redis_list /
         redis_pubsub / redis_streams input pipeline and return its handle
@@ -668,6 +706,18 @@ class Pipeline:
                             f"cache resource {resource!r}: parquet backend needs `path`"
                         )
                     return KeyValueCache(spark, p["path"], key_col=key_col)
+                if "sqlite" in r:
+                    s = r["sqlite"] or {}
+                    if "path" not in s:
+                        raise ValueError(
+                            f"cache resource {resource!r}: sqlite backend needs `path`"
+                        )
+                    from bento_spark.operators.cache import SqliteCache
+
+                    return SqliteCache(
+                        spark, s["path"], table=s.get("table", "bento_cache"),
+                        key_col=key_col, value_col=s.get("value_col", "value"),
+                    )
                 if "redis" in r:
                     d = r["redis"] or {}
                     if "url" not in d:
@@ -684,8 +734,8 @@ class Pipeline:
                     )
                 raise ValueError(
                     f"cache resource {resource!r} needs a backend section "
-                    "(file: {directory: ...}, parquet: {path: ...}, or "
-                    "redis: {url: ...})"
+                    "(file: {directory: ...}, parquet: {path: ...}, "
+                    "sqlite: {path: ...}, or redis: {url: ...})"
                 )
         return KeyValueCache(spark, resource, key_col=key_col)
 
@@ -1543,11 +1593,12 @@ class Pipeline:
             or out.get("redis_pubsub")
             or out.get("redis_streams")
             or out.get("redis_hash")
+            or out.get("amqp_0_9")
             or "sync_response" in out
         ):
             raise ValueError(
                 "output.path (or switch/fan_out/round_robin/kafka/fallback/"
-                "http_client/mqtt/nats/redis_*/sync_response) required for run_stream"
+                "http_client/mqtt/nats/redis_*/amqp_0_9/sync_response) required for run_stream"
             )
         if "path" in out:
             self._sink = IdempotentParquetSink(require_object_store(spark, out["path"]),
@@ -1662,6 +1713,29 @@ class Pipeline:
                 "_nats_subject", compile_interpolated(str(n["subject"])))
             host, port = self._nats_addr(n)
             writer = nats_sink(host, port, "_nats_subject")
+        elif out.get("amqp_0_9"):
+            # AMQP 0.9.1 publisher (amqp09/output.go: interpolated exchange
+            # `key`) — the routing key compiles to a COLUMN, rows publish
+            # as JSON executor-side
+            from bento_spark.streaming.amqp import amqp_sink, parse_amqp_url
+
+            a = out["amqp_0_9"]
+            url = (a.get("urls") or [a.get("url", "amqp://127.0.0.1:5672")])[0]
+            host, port, vhost = parse_amqp_url(str(url))
+            df = self.build_stream(spark).withColumn(
+                "_amqp_key", compile_interpolated(str(a.get("key", ""))))
+            ex = a.get("exchange", "")
+            exd = a.get("exchange_declare") or {}
+            if exd.get("enabled"):
+                from bento_spark.streaming.amqp import AmqpClient
+
+                c = AmqpClient(host, port, vhost=vhost)
+                try:
+                    c.exchange_declare(ex, exd.get("type", "direct"),
+                                       durable=bool(exd.get("durable", False)))
+                finally:
+                    c.close()
+            writer = amqp_sink(host, port, ex, "_amqp_key", vhost=vhost)
         elif any(out.get(k) for k in ("redis_list", "redis_pubsub", "redis_streams", "redis_hash")):
             # redis outputs (redis/output_list.go, output_pubsub.go,
             # output_streams.go:154, output_hash.go:193): the interpolated

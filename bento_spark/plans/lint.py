@@ -174,6 +174,9 @@ def lint_yaml(src: str, env: dict | None = None) -> list[str]:
         elif "parquet" in r:
             if not isinstance(r["parquet"], dict) or "path" not in r["parquet"]:
                 issues.append(f"cache_resources[{i}] (parquet): missing 'path'")
+        elif "sqlite" in r:
+            if not isinstance(r["sqlite"], dict) or "path" not in r["sqlite"]:
+                issues.append(f"cache_resources[{i}] (sqlite): missing 'path'")
         elif "redis" in r:
             if not isinstance(r["redis"], dict) or "url" not in r["redis"]:
                 issues.append(f"cache_resources[{i}] (redis): missing 'url'")
