@@ -582,3 +582,247 @@ def cached(
         return out.drop(key)
 
     return run
+
+
+class NoopCache:
+    """`noop` backend (/root/reference/internal/impl/pure/cache_noop.go):
+    every get misses, writes vanish, `add` accepts everything — the
+    reference ships it for benchmarking pipelines with cache interactions
+    stubbed out; same purpose here."""
+
+    single_value = True
+
+    def __init__(self, spark: SparkSession, key_col: str = "key",
+                 value_col: str = "value"):
+        self.spark = spark
+        self.key_col, self.value_col = key_col, value_col
+
+    def set(self, df: DataFrame, ttl=None, now_ms=None) -> None:
+        pass
+
+    def add(self, df: DataFrame, ttl=None, now_ms=None) -> DataFrame:
+        # reference Add returns nil — nothing is ever rejected
+        return df.limit(0).select(F.col(self.key_col))
+
+    def delete(self, keys: DataFrame) -> None:
+        pass
+
+    def get(self, df: DataFrame, on: str | None = None, broadcast: bool = True,
+            now_ms: int | None = None) -> DataFrame:
+        return df.withColumn(self.value_col, F.lit(None).cast("string"))
+
+    def snapshot(self, now_ms: int | None = None) -> DataFrame | None:
+        return None
+
+
+class MemoryCache:
+    """In-process driver-side cache covering the reference's `memory`,
+    `lru` and `ttlru` kinds (cache_memory.go, cache_lru.go:31,
+    cache_ttlru.go:15): `cap` entries max, optional `default_ttl`
+    (ttlru's 5m default), `init_values` pre-population. Like the
+    reference these live and die with the process — restart-survival is
+    what the file/sqlite/redis backends are for.
+
+    Scale note: this is CONTROL-PLANE state (≤ cap entries, cap defaults
+    to ~1k). `get` broadcasts the snapshot into a left join, so the data
+    side never collects; `set`/`add`/`delete` DO collect their input —
+    callers feed them key batches, not the data stream (the same
+    single-process contract as the reference's in-memory kinds).
+
+    Batch-semantics delta vs the reference, documented: recency for LRU
+    eviction advances on WRITES (set/add), not on get — a batch get is
+    one join and deliberately never collects the probe side's keys, so
+    per-key access order is unobservable. Eviction order is therefore
+    least-recently-WRITTEN. The reference's `algorithm` variants
+    (arc/two_queues) collapse onto this same write-order policy."""
+
+    single_value = True
+
+    def __init__(self, spark: SparkSession, cap: int | None = None,
+                 default_ttl: int | float | str | None = None,
+                 init_values: dict | None = None,
+                 key_col: str = "key", value_col: str = "value"):
+        from collections import OrderedDict
+
+        self.spark = spark
+        self.cap = int(cap) if cap else None
+        self.default_ttl = default_ttl
+        self.key_col, self.value_col = key_col, value_col
+        self._d: "OrderedDict[str, tuple[str, int | None]]" = OrderedDict()
+        for k, v in (init_values or {}).items():
+            self._put(str(k), str(v), None)
+
+    # -- driver-side store ---------------------------------------------------
+    def _put(self, k: str, v: str, expires: int | None) -> None:
+        self._d[k] = (v, expires)
+        self._d.move_to_end(k)
+        while self.cap is not None and len(self._d) > self.cap:
+            self._d.popitem(last=False)
+
+    def _sweep(self, now: int) -> None:
+        dead = [k for k, (_, exp) in self._d.items() if exp is not None and exp <= now]
+        for k in dead:
+            del self._d[k]
+
+    def _expires(self, ttl, now: int) -> int | None:
+        ttl = self.default_ttl if ttl is None else ttl
+        return None if ttl is None else now + _ttl_ms(ttl)
+
+    # -- DataFrame contract --------------------------------------------------
+    def set(self, df: DataFrame, ttl=None, now_ms=None) -> None:
+        now = _now_ms(now_ms)
+        self._sweep(now)
+        exp = self._expires(ttl, now)
+        for r in df.dropDuplicates([self.key_col]).select(
+            F.col(self.key_col).cast("string").alias("k"),
+            F.col(self.value_col).cast("string").alias("v"),
+        ).collect():
+            self._put(r.k, r.v, exp)
+
+    def add(self, df: DataFrame, ttl=None, now_ms=None) -> DataFrame:
+        now = _now_ms(now_ms)
+        self._sweep(now)
+        exp = self._expires(ttl, now)
+        rejected = []
+        for r in df.dropDuplicates([self.key_col]).select(
+            F.col(self.key_col).cast("string").alias("k"),
+            F.col(self.value_col).cast("string").alias("v"),
+        ).collect():
+            if r.k in self._d:
+                rejected.append((r.k,))
+            else:
+                self._put(r.k, r.v, exp)
+        return self.spark.createDataFrame(rejected, f"{self.key_col} string")
+
+    def delete(self, keys: DataFrame) -> None:
+        for r in keys.select(F.col(self.key_col).cast("string").alias("k")).collect():
+            self._d.pop(r.k, None)
+
+    def snapshot(self, now_ms: int | None = None) -> DataFrame | None:
+        self._sweep(_now_ms(now_ms))
+        if not self._d:
+            return None
+        return self.spark.createDataFrame(
+            [(k, v) for k, (v, _) in self._d.items()],
+            f"{self.key_col} string, {self.value_col} string",
+        )
+
+    def get(self, df: DataFrame, on: str | None = None, broadcast: bool = True,
+            now_ms: int | None = None) -> DataFrame:
+        cur = self.snapshot(now_ms)
+        key = on or self.key_col
+        if cur is None:
+            return df.withColumn(self.value_col, F.lit(None).cast("string"))
+        side = cur.withColumnRenamed(self.key_col, key) if key != self.key_col else cur
+        return df.join(F.broadcast(side) if broadcast else side, key, "left")
+
+
+class MultilevelCache:
+    """`multilevel` backend (cache_multilevel.go:108-198): an ordered
+    list of child caches. Get resolves shallowest-first and passively
+    populates the levels above the hit; Set/Delete write through every
+    level; Add rejects a key present at ANY level, otherwise inserts
+    everywhere (the reference adds deepest-first then climbs — same
+    net outcome, computed set-wise here).
+
+    Batch-semantics delta, documented: the reference promotes only the
+    single key each Get touched; a batch get is one broadcast join that
+    never observes which probe keys hit, so promotion copies every entry
+    a shallower level is missing. Capped in-memory upper levels evict
+    their overflow, so the promotion stays bounded by each level's cap."""
+
+    single_value = True
+
+    def __init__(self, levels: Sequence, key_col: str = "key",
+                 value_col: str = "value", promote_on_get: bool = True):
+        if len(levels) < 2:
+            raise ValueError("multilevel cache needs at least two child caches")
+        self.levels = list(levels)
+        self.spark = self.levels[0].spark
+        self.key_col, self.value_col = key_col, value_col
+        self.promote = promote_on_get
+
+    def _level_snap(self, i: int, now_ms: int | None) -> DataFrame | None:
+        c = self.levels[i]
+        s = c.snapshot(now_ms)
+        if s is None:
+            return None
+        return s.select(
+            F.col(c.key_col).cast("string").alias(self.key_col),
+            F.col(c.value_col).cast("string").alias(self.value_col),
+            F.lit(i).alias("_lvl"),
+        )
+
+    def _merged(self, now_ms: int | None) -> DataFrame | None:
+        """One row per key, shallowest level wins (Get's first-hit order)."""
+        snaps = [s for s in (self._level_snap(i, now_ms) for i in range(len(self.levels)))
+                 if s is not None]
+        if not snaps:
+            return None
+        allrows = snaps[0]
+        for s in snaps[1:]:
+            allrows = allrows.unionByName(s)
+        w = Window.partitionBy(self.key_col).orderBy(F.asc("_lvl"))
+        return (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def snapshot(self, now_ms: int | None = None) -> DataFrame | None:
+        m = self._merged(now_ms)
+        return None if m is None else m.drop("_lvl")
+
+    def get(self, df: DataFrame, on: str | None = None, broadcast: bool = True,
+            now_ms: int | None = None) -> DataFrame:
+        m = self._merged(now_ms)
+        key = on or self.key_col
+        if m is None:
+            return df.withColumn(self.value_col, F.lit(None).cast("string"))
+        m = m.localCheckpoint(eager=True)  # promotion writes below must not re-scan children
+        for i in range(len(self.levels) - 1):
+            deeper = m.filter(F.col("_lvl") > i).drop("_lvl")
+            if self.promote and deeper.limit(1).count():
+                self._child_write(i, deeper, "set", None, now_ms)
+        side = m.drop("_lvl")
+        side = side.withColumnRenamed(self.key_col, key) if key != self.key_col else side
+        return df.join(F.broadcast(side) if broadcast else side, key, "left")
+
+    def _child_write(self, i: int, rows: DataFrame, op: str, ttl, now_ms) -> None:
+        c = self.levels[i]
+        sel = rows.select(
+            F.col(self.key_col).alias(c.key_col),
+            F.col(self.value_col).alias(c.value_col),
+        )
+        if op == "set":
+            c.set(sel, ttl=ttl, now_ms=now_ms)
+
+    def set(self, df: DataFrame, ttl=None, now_ms=None) -> None:
+        sel = df.dropDuplicates([self.key_col]).select(
+            F.col(self.key_col).cast("string"), F.col(self.value_col).cast("string")
+        ).localCheckpoint(eager=True)  # write-through must not re-evaluate per level
+        for i in range(len(self.levels)):
+            self._child_write(i, sel, "set", ttl, now_ms)
+
+    def add(self, df: DataFrame, ttl=None, now_ms=None) -> DataFrame:
+        fresh = df.dropDuplicates([self.key_col]).select(
+            F.col(self.key_col).cast("string"), F.col(self.value_col).cast("string")
+        ).localCheckpoint(eager=True)
+        cur = self.snapshot(now_ms)
+        if cur is None:
+            rejected = fresh.limit(0).select(self.key_col)
+            accepted = fresh
+        else:
+            present = cur.select(self.key_col)
+            rejected = fresh.join(present, self.key_col, "left_semi").select(self.key_col)
+            accepted = fresh.join(present, self.key_col, "left_anti")
+            rejected = rejected.localCheckpoint(eager=True)
+            accepted = accepted.localCheckpoint(eager=True)
+        for i in range(len(self.levels) - 1, -1, -1):  # deepest-first, like the reference
+            self._child_write(i, accepted, "set", ttl, now_ms)
+        return rejected
+
+    def delete(self, keys: DataFrame) -> None:
+        ks = keys.select(F.col(self.key_col).cast("string")).localCheckpoint(eager=True)
+        for c in self.levels:
+            c.delete(ks.withColumnRenamed(self.key_col, c.key_col))

@@ -684,11 +684,49 @@ class Pipeline:
         registers caches as named resources — config/schema.go's
         cache_resources section, 16 backends under internal/impl/*/
         cache_*.go); an undeclared resource falls back to the historical
-        behavior of treating the string as a parquet KeyValueCache path."""
+        behavior of treating the string as a parquet KeyValueCache path.
+
+        In-process kinds (memory/lru/ttlru/noop) and multilevel compositions
+        are memoized per Pipeline by label — a `set` in one processor and a
+        `get` in a later one must hit the SAME store, exactly as the
+        reference shares one registered resource instance across components."""
         from bento_spark.operators.cache import FileCache, KeyValueCache
 
+        mem = self.__dict__.setdefault("_mem_cache_instances", {})
+        if resource in mem:
+            return mem[resource]
         for r in self.conf.get("cache_resources") or []:
             if isinstance(r, dict) and r.get("label") == resource:
+                if any(k in r for k in ("memory", "lru", "ttlru")):
+                    from bento_spark.operators.cache import MemoryCache
+
+                    kind = "memory" if "memory" in r else ("lru" if "lru" in r else "ttlru")
+                    o = r[kind] or {}
+                    # reference defaults: lru cap 1000 (cache_lru.go:17),
+                    # ttlru cap 1024 + default_ttl 5m (cache_ttlru.go:15-19),
+                    # memory uncapped + default_ttl 5m (cache_memory.go)
+                    cap = o.get("cap", {"lru": 1000, "ttlru": 1024}.get(kind))
+                    ttl = o.get("default_ttl", "5m" if kind in ("memory", "ttlru") else None)
+                    mem[resource] = MemoryCache(
+                        spark, cap=cap, default_ttl=ttl,
+                        init_values=o.get("init_values"),
+                    )
+                    return mem[resource]
+                if "noop" in r:
+                    from bento_spark.operators.cache import NoopCache
+
+                    mem[resource] = NoopCache(spark)
+                    return mem[resource]
+                if "multilevel" in r:
+                    from bento_spark.operators.cache import MultilevelCache
+
+                    names = r["multilevel"] or []
+                    if resource in names:
+                        raise ValueError(f"multilevel cache {resource!r} references itself")
+                    mem[resource] = MultilevelCache(
+                        [self._cache_backend(str(n), spark) for n in names]
+                    )
+                    return mem[resource]
                 if "file" in r:
                     f = r["file"] or {}
                     if "directory" not in f:
@@ -735,7 +773,9 @@ class Pipeline:
                 raise ValueError(
                     f"cache resource {resource!r} needs a backend section "
                     "(file: {directory: ...}, parquet: {path: ...}, "
-                    "sqlite: {path: ...}, or redis: {url: ...})"
+                    "sqlite: {path: ...}, redis: {url: ...}, "
+                    "memory/lru/ttlru: {cap, default_ttl, init_values}, "
+                    "noop: {}, or multilevel: [labels...])"
                 )
         return KeyValueCache(spark, resource, key_col=key_col)
 

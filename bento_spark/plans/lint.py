@@ -185,10 +185,46 @@ def lint_yaml(src: str, env: dict | None = None) -> list[str]:
                     f"cache_resources[{i}].redis.default_ttl",
                     r["redis"]["default_ttl"], issues,
                 )
+        elif any(k in r for k in ("memory", "lru", "ttlru")):
+            kind = "memory" if "memory" in r else ("lru" if "lru" in r else "ttlru")
+            o = r[kind] or {}
+            if not isinstance(o, dict):
+                issues.append(f"cache_resources[{i}] ({kind}): options must be a mapping")
+            else:
+                if o.get("cap") is not None and not isinstance(o["cap"], int):
+                    issues.append(f"cache_resources[{i}] ({kind}): 'cap' must be an integer")
+                if o.get("default_ttl") is not None:
+                    _lint_duration(
+                        f"cache_resources[{i}].{kind}.default_ttl", o["default_ttl"], issues
+                    )
+                if o.get("init_values") is not None and not isinstance(o["init_values"], dict):
+                    issues.append(
+                        f"cache_resources[{i}] ({kind}): 'init_values' must be a mapping"
+                    )
+        elif "noop" in r:
+            pass
+        elif "multilevel" in r:
+            levels = r["multilevel"]
+            if not isinstance(levels, list) or len(levels) < 2:
+                issues.append(
+                    f"cache_resources[{i}] (multilevel): needs a list of >=2 cache labels"
+                )
+            else:
+                known = {
+                    c.get("label") for c in crs or [] if isinstance(c, dict)
+                }
+                for n in levels:
+                    if n == r.get("label"):
+                        issues.append(f"cache_resources[{i}] (multilevel): references itself")
+                    elif n not in known:
+                        issues.append(
+                            f"cache_resources[{i}] (multilevel): unknown cache label {n!r}"
+                        )
         else:
             issues.append(
                 f"cache_resources[{i}]: needs a backend (file: {{directory}}, "
-                "parquet: {path}, or redis: {url})"
+                "parquet: {path}, sqlite: {path}, redis: {url}, "
+                "memory/lru/ttlru: {...}, noop: {}, or multilevel: [labels])"
             )
 
     rls = conf.get("rate_limit_resources")

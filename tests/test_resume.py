@@ -151,7 +151,10 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # assert the availableNow run actually finished — a bare awaitTermination
+    # that times out on a cold/contended JVM falls through to an empty sink
+    # and reports a false failure
+    assert q.awaitTermination(300), "availableNow query did not finish in 300s"
     rows = {
         r.clip_id: r.transcript
         for r in sink.read(spark).collect()
