@@ -1627,6 +1627,7 @@ class Pipeline:
             or out.get("kafka")
             or out.get("fallback")
             or out.get("http_client")
+            or out.get("elasticsearch")
             or out.get("mqtt")
             or out.get("nats")
             or out.get("redis_list")
@@ -1638,7 +1639,8 @@ class Pipeline:
         ):
             raise ValueError(
                 "output.path (or switch/fan_out/round_robin/kafka/fallback/"
-                "http_client/mqtt/nats/redis_*/amqp_0_9/sync_response) required for run_stream"
+                "http_client/elasticsearch/mqtt/nats/redis_*/amqp_0_9/"
+                "sync_response) required for run_stream"
             )
         if "path" in out:
             self._sink = IdempotentParquetSink(require_object_store(spark, out["path"]),
@@ -1731,6 +1733,54 @@ class Pipeline:
                 timeout=float(h.get("timeout", 10)),
                 retries=int(h.get("retries", 3)),
                 backoff_s=float(h.get("backoff", 0.25)),
+            )
+        elif out.get("elasticsearch"):
+            # bulk indexer (elasticsearch/output.go): index/action/id/
+            # routing/pipeline interpolate PER MESSAGE (:353-363) — each
+            # compiles to a COLUMN, and both NDJSON bulk lines are built
+            # JVM-side; the executor loop only chunks bytes and POSTs
+            from bento_spark.streaming.elasticsearch import ACTIONS, es_bulk_writer
+
+            e = out["elasticsearch"]
+            url = (e.get("urls") or [e.get("url", "http://127.0.0.1:9200")])[0]
+            if "index" not in e:
+                raise ValueError("output.elasticsearch requires `index`")
+            action = str(e.get("action", "index"))
+            if "${!" not in action and action not in ACTIONS:
+                raise ValueError(
+                    f"elasticsearch action {action!r} is not allowed "
+                    f"(one of {', '.join(ACTIONS)})"  # output.go:499
+                )
+            act = compile_interpolated(action)
+            # an interpolated action resolving outside the allowed set fails
+            # the row at runtime, like the reference's build error
+            act = F.when(act.isin(*ACTIONS), act).otherwise(
+                F.raise_error(F.concat(F.lit("elasticsearch action not allowed: "), act))
+            )
+            hdrs = dict(e.get("headers") or {})
+            auth = e.get("basic_auth") or {}
+            if auth.get("enabled"):
+                import base64
+
+                tok = base64.b64encode(
+                    f"{auth.get('username', '')}:{auth.get('password', '')}".encode()
+                ).decode()
+                hdrs["Authorization"] = f"Basic {tok}"
+            df = (
+                self.build_stream(spark)
+                .withColumn("_es_index", compile_interpolated(str(e["index"])))
+                .withColumn("_es_action", act)
+                .withColumn("_es_id", compile_interpolated(str(e.get("id", ""))))
+                .withColumn("_es_routing", compile_interpolated(str(e.get("routing", ""))))
+                .withColumn("_es_pipeline", compile_interpolated(str(e.get("pipeline", ""))))
+            )
+            writer = es_bulk_writer(
+                str(url),
+                max_batch_bytes=int(e.get("max_batch_bytes", 4 * 2**20)),
+                timeout=float(e.get("timeout", 10)),
+                retries=int(e.get("retries", 3)),
+                backoff_s=float(e.get("backoff", 0.25)),
+                headers=hdrs,
             )
         elif out.get("mqtt"):
             # dependency-free publisher (mqtt/output.go: topic, qos,
