@@ -1437,6 +1437,24 @@ class Pipeline:
                 retries=int(o.get("retries", 1)),
                 rate_limit=self._rate_limit_share(o.get("rate_limit"), df),
             )
+        if name == "awk":
+            # per-message AWK run over the system binary with the
+            # reference's custom json_*/metadata_*/timestamp functions
+            # (awk/processor.go; codecs none|text|json) — slow path like
+            # `command`, a fork per message
+            from bento_spark.operators.awk_proc import awk_map
+
+            o = opts or {}
+            return awk_map(
+                df,
+                o["program"],
+                codec=o.get("codec", "text"),
+                col=o.get("column", "text"),
+                meta_cols=o.get("meta_columns"),
+                binary=o.get("binary", "awk"),
+                timeout=float(o.get("timeout", 10)),
+                now_unix=o.get("now_unix"),
+            )
         if name == "subprocess":
             # long-lived child per partition, lockstep line protocol
             # (processor_subprocess.go:47-66); stderr -> error column
