@@ -238,6 +238,24 @@ class Pipeline:
                 rd = rd.option("wholetext", "true")
             return rd.load(require_object_store(spark, opts["path"])).withColumnRenamed(
                 "value", opts.get("column", "line"))
+        if "mongodb" in inp:
+            # collection find as a batch source (mongodb/input.go) —
+            # driver-side single-batch read for control-plane-sized
+            # collections; bulk data belongs in parquet/Iceberg
+            o = inp["mongodb"]
+            if streaming:
+                raise ValueError("mongodb input is batch-only (a bounded find query)")
+            from bento_spark.streaming.mongodb import mongodb_read
+
+            import json as _json
+
+            flt = o.get("filter")
+            if isinstance(flt, str):
+                flt = _json.loads(flt)
+            return mongodb_read(
+                spark, str(o["url"]), str(o.get("database", "bento")),
+                str(o["collection"]), flt=flt, limit=int(o.get("limit", 0)),
+            )
         if "binary_file" in inp:
             # whole-file binary rows (path, modificationTime, length,
             # content) — the byte-stream the reference's scanners consume;
@@ -755,6 +773,21 @@ class Pipeline:
                     return SqliteCache(
                         spark, s["path"], table=s.get("table", "bento_cache"),
                         key_col=key_col, value_col=s.get("value_col", "value"),
+                    )
+                if "mongodb" in r:
+                    d = r["mongodb"] or {}
+                    if "url" not in d:
+                        raise ValueError(
+                            f"cache resource {resource!r}: mongodb backend needs `url`"
+                        )
+                    from bento_spark.streaming.mongodb import MongoCache
+
+                    return MongoCache(
+                        spark, d["url"], database=d.get("database", "bento"),
+                        collection=d.get("collection", "cache"),
+                        key_field=d.get("key_field", "key"),
+                        value_field=d.get("value_field", "value"),
+                        key_col=key_col, value_col=d.get("value_col", "value"),
                     )
                 if "redis" in r:
                     d = r["redis"] or {}
@@ -1437,6 +1470,32 @@ class Pipeline:
                 retries=int(o.get("retries", 1)),
                 rate_limit=self._rate_limit_share(o.get("rate_limit"), df),
             )
+        if name == "mongodb":
+            # find-one enrichment (mongodb/processor.go): filter_map fields
+            # compile to a JVM-side to_json struct; the matched document
+            # lands as a JSON string column (NULL on miss)
+            from bento_spark.streaming.mongodb import mongodb_find_one
+
+            o = opts or {}
+            if str(o.get("operation", "find-one")) != "find-one":
+                raise ValueError(
+                    "mongodb processor supports operation: find-one "
+                    "(write operations belong on output.mongodb)"
+                )
+            flt = o.get("filter_map") or {}
+            if not flt:
+                raise ValueError("mongodb processor requires `filter_map`")
+            df = df.withColumn(
+                "_mongo_filter",
+                F.to_json(F.struct(*[
+                    compile_expr(str(v)).alias(str(k)) for k, v in flt.items()
+                ])),
+            )
+            return mongodb_find_one(
+                df, str(o["url"]), str(o.get("database", "bento")),
+                str(o["collection"]), "_mongo_filter",
+                out_col=o.get("out_col", "mongodb"),
+            ).drop("_mongo_filter")
         if name == "awk":
             # per-message AWK run over the system binary with the
             # reference's custom json_*/metadata_*/timestamp functions
@@ -1646,6 +1705,7 @@ class Pipeline:
             or out.get("fallback")
             or out.get("http_client")
             or out.get("elasticsearch")
+            or out.get("mongodb")
             or out.get("mqtt")
             or out.get("nats")
             or out.get("redis_list")
@@ -1799,6 +1859,42 @@ class Pipeline:
                 retries=int(e.get("retries", 3)),
                 backoff_s=float(e.get("backoff", 0.25)),
                 headers=hdrs,
+            )
+        elif out.get("mongodb"):
+            # write operations per message (mongodb/output.go via
+            # common.go:102-126): document_map/filter_map are maps of
+            # field -> Bloblang expression, each compiling to a COLUMN and
+            # folding into ONE JVM-side to_json struct — the executor only
+            # converts JSON->BSON and batches commands per partition
+            from bento_spark.streaming.mongodb import mongodb_writer
+
+            mg = out["mongodb"]
+            op = str(mg.get("operation", "insert-one"))
+            df = self.build_stream(spark)
+
+            def _json_map(spec, default_all: bool) -> Column:
+                if spec:
+                    return F.to_json(F.struct(*[
+                        compile_expr(str(v)).alias(str(k)) for k, v in spec.items()
+                    ]))
+                if not default_all:
+                    raise ValueError(
+                        f"output.mongodb operation {op!r} requires `filter_map`"
+                    )
+                return F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+
+            if op not in ("delete-one", "delete-many"):
+                df = df.withColumn(
+                    "_mongo_doc", _json_map(mg.get("document_map"), default_all=True)
+                )
+            if op != "insert-one":
+                df = df.withColumn(
+                    "_mongo_filter", _json_map(mg.get("filter_map"), default_all=False)
+                )
+            writer = mongodb_writer(
+                str(mg["url"]), str(mg.get("database", "bento")),
+                str(mg["collection"]), operation=op,
+                upsert=bool(mg.get("upsert", False)),
             )
         elif out.get("mqtt"):
             # dependency-free publisher (mqtt/output.go: topic, qos,

@@ -177,6 +177,9 @@ def lint_yaml(src: str, env: dict | None = None) -> list[str]:
         elif "sqlite" in r:
             if not isinstance(r["sqlite"], dict) or "path" not in r["sqlite"]:
                 issues.append(f"cache_resources[{i}] (sqlite): missing 'path'")
+        elif "mongodb" in r:
+            if not isinstance(r["mongodb"], dict) or "url" not in r["mongodb"]:
+                issues.append(f"cache_resources[{i}] (mongodb): missing 'url'")
         elif "redis" in r:
             if not isinstance(r["redis"], dict) or "url" not in r["redis"]:
                 issues.append(f"cache_resources[{i}] (redis): missing 'url'")
