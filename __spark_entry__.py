@@ -1094,6 +1094,114 @@ pipeline:
     )
 
 
+def q_mongodb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB connector family end-to-end (mongodb/{output,input}.go over
+    the dependency-free BSON+OP_MSG wire layer): nations bulk-insert
+    through the output writer (document_map -> one JVM-side to_json
+    struct, executors speak BSON), then the collection reads back through
+    input.mongodb and reshapes via parse_json. The in-process
+    MiniMongoServer stands in for the cluster."""
+    from bento_spark.plans.compiler import compile_yaml
+    from bento_spark.streaming.mongodb import MiniMongoServer, mongodb_writer
+
+    srv = MiniMongoServer().start()
+    try:
+        docs = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.col("n_nationkey").alias("nk"),
+                        F.col("n_name").alias("name"),
+                        (F.col("n_regionkey") * 10).alias("score"),
+                    )
+                ).alias("_mongo_doc")
+            )
+        )
+        mongodb_writer(srv.url, "bento", "nations")(docs, 0)
+        reader = compile_yaml(f"""
+input:
+  mongodb: {{url: {srv.url}, database: bento, collection: nations}}
+pipeline:
+  processors:
+    - mapping: |
+        root.n_nationkey = this.text.parse_json("nk int").nk
+        root.nation_name = this.text.parse_json("name string").name
+        root.score = this.text.parse_json("score bigint").score
+""")
+        # input.mongodb materializes driver-side at build time, so the
+        # server may stop before the caller collects
+        return reader.build_batch(spark).drop("text")
+    finally:
+        srv.stop()
+
+
+def q_es_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch output end-to-end (elasticsearch/output.go): nations
+    bulk-index with a per-message interpolated index (two indices split by
+    region parity) and deterministic ids; the asserted result is the
+    cluster state read back from the in-process MiniEsServer."""
+    import json as _json
+
+    from bento_spark.streaming.elasticsearch import MiniEsServer, es_bulk_writer
+
+    srv = MiniEsServer().start()
+    try:
+        df = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select(
+                F.concat(
+                    F.lit("nations-"), (F.col("n_regionkey") % 2).cast("string")
+                ).alias("_es_index"),
+                F.lit("index").alias("_es_action"),
+                F.col("n_nationkey").cast("string").alias("_es_id"),
+                F.lit("").alias("_es_routing"),
+                F.lit("").alias("_es_pipeline"),
+                F.col("n_name").alias("nation_name"),
+                F.col("n_regionkey").alias("region_key"),
+            )
+        )
+        es_bulk_writer(srv.url)(df, 0)
+        rows = [
+            (idx, int(doc_id), d["nation_name"], d["region_key"])
+            for idx, docs in srv.indices.items()
+            for doc_id, d in docs.items()
+        ]
+        return spark.createDataFrame(
+            rows, "es_index string, n_nationkey int, nation_name string, region_key int"
+        )
+    finally:
+        srv.stop()
+
+
+def q_awk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`awk` processor (awk/processor.go) over the system awk binary:
+    codec json flattens each nation document into variables, the program
+    mutates the document via json_set/json_set_int, and the pipeline
+    reshapes the result. One fork per message — nation's 25 rows keep the
+    documented slow path cheap."""
+    from bento_spark.plans.compiler import compile_yaml
+
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/nation.parquet}}
+pipeline:
+  processors:
+    - mapping: |
+        root.n_nationkey = this.n_nationkey
+        root.text = "{{\\"name\\":\\"" + this.n_name + "\\",\\"rk\\":" + this.n_regionkey.string() + "}}"
+    - awk:
+        codec: json
+        column: text
+        program: '{{ json_set("label", name "-" rk); json_set_int("score", rk * 10 + 7) }}'
+    - mapping: |
+        root.n_nationkey = this.n_nationkey
+        root.label = this.text.parse_json("label string").label
+        root.score = this.text.parse_json("score int").score
+""")
+    return p.build_batch(spark).select("n_nationkey", "label", "score")
+
+
 def q_sqlite_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sql` cache backend over stdlib sqlite3 (cache_sql.go:84) declared
     as a named cache_resources entry: one table row per key, upsert set.
@@ -1410,6 +1518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "frame_sample": q_frame_sample,
         "protobuf_roundtrip": q_protobuf_roundtrip,
+        "mongodb_roundtrip": q_mongodb_roundtrip,
+        "es_roundtrip": q_es_roundtrip,
+        "awk_extract": q_awk_extract,
         # -- round-3 additions --
         "audio_features_window": q_audio_features_window,
         "clip_transcript_join": q_clip_transcript_join,
@@ -2000,6 +2111,22 @@ def oracle_sql() -> dict[str, str]:
     sql["sqlite_cache_roundtrip"] = sql["cache_enrichment"]
     sql["avro_roundtrip"] = sql["msgpack_roundtrip"]
     sql["protobuf_roundtrip"] = sql["msgpack_roundtrip"]
+    sql["mongodb_roundtrip"] = """
+        SELECT n_nationkey, n_name AS nation_name,
+               CAST(n_regionkey * 10 AS BIGINT) AS score
+        FROM nation
+    """
+    sql["es_roundtrip"] = """
+        SELECT 'nations-' || CAST(n_regionkey % 2 AS VARCHAR) AS es_index,
+               n_nationkey, n_name AS nation_name, n_regionkey AS region_key
+        FROM nation
+    """
+    sql["awk_extract"] = """
+        SELECT n_nationkey,
+               n_name || '-' || CAST(n_regionkey AS VARCHAR) AS label,
+               n_regionkey * 10 + 7 AS score
+        FROM nation
+    """
     sql["image_features"] = f"""
         SELECT label, count(*) AS n_images,
                CAST(sum(n_pixels) AS BIGINT) AS total_pixels,

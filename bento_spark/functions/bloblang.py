@@ -157,16 +157,23 @@ class _Parser:
             # types are unknown at compile time, but a string LITERAL on
             # either side is a reliable signal; col+col strings still need
             # format()/concat methods (documented).
-            if isinstance(a.__dict__.get("_bl_lit"), str) or isinstance(
-                b.__dict__.get("_bl_lit"), str
-            ):
+            def _stringy(c: Column) -> bool:
+                return isinstance(c.__dict__.get("_bl_lit"), str) or c.__dict__.get(
+                    "_bl_is_str", False
+                )
+
+            if _stringy(a) or _stringy(b):
                 # NULL operands render as 'null' (the compile_interpolated
                 # precedent) — a bare concat would NULL the whole result and
                 # silently blank the field
                 null = F.lit("null")
-                return F.concat(
+                out = F.concat(
                     F.coalesce(a.cast("string"), null), F.coalesce(b.cast("string"), null)
                 )
+                # string-ness propagates so `"a" + x + y.string() + "b"`
+                # stays a concatenation at every step of the left-assoc fold
+                out.__dict__["_bl_is_str"] = True
+                return out
             return a + b
         if op == "-":
             return a - b
@@ -487,6 +494,15 @@ _ARRAY_PRODUCERS = {
     "key_values",
 }
 
+# methods whose result is definitely a string — lets `+` compile to
+# concatenation past the first literal (see the `+` operator)
+_STRING_PRODUCERS = {
+    "string", "uppercase", "lowercase", "trim", "trim_prefix", "trim_suffix",
+    "capitalize", "reverse_string", "quote", "unquote", "slug", "join",
+    "format_timestamp", "encode", "concat", "replace_all", "re_replace_all",
+    "substr", "slice_string", "repeat",
+}
+
 
 def _apply_method(name: str, col: Column, args: list[Column]) -> Column:
     # NB: plain getattr would hit Column.__getattr__ and build a field access
@@ -498,6 +514,10 @@ def _apply_method(name: str, col: Column, args: list[Column]) -> Column:
     out = m(col, *args)
     if name in _ARRAY_PRODUCERS:
         out.__dict__["_bl_is_array"] = True
+    if name in _STRING_PRODUCERS:
+        # lets `+` treat the result as concatenation (Bloblang arithmetic.go
+        # Add concatenates strings; see the `+` operator above)
+        out.__dict__["_bl_is_str"] = True
     return out
 
 
