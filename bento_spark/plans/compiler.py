@@ -449,6 +449,22 @@ class Pipeline:
                 value_schema=opts.get("value_schema"),
                 value_format=opts.get("value_format", "json"),
             )
+        if "kafka_franz" in inp:
+            # dependency-free Kafka consumption (kafka/input_kafka_franz.go:
+            # seed_brokers/topics/checkpoint_limit) via the spool bridge —
+            # wire-protocol client (streaming/kafka_wire.py); the consumer
+            # starts via start_kafka_franz_consumer(). Offsets commit only
+            # AFTER the spool rename, so at-least-once holds into the
+            # replayable file source. kafka_* metadata decodes JVM-side.
+            o = inp["kafka_franz"]
+            if not streaming:
+                raise ValueError("kafka_franz input is streaming-only (push source)")
+            from bento_spark.streaming.kafka_wire import read_kafka_wire_stream
+
+            return read_kafka_wire_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "read_until" in inp:
             # consume the child input until a predicate fires
             # (input_read_until.go:34). Granularity is the micro-batch: the
@@ -542,6 +558,30 @@ class Pipeline:
         hp = str(url).removeprefix("tcp://").removeprefix("mqtt://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 1883)
+
+    def start_kafka_franz_consumer(self):
+        """Start the consumer bridge for an `input.kafka_franz` pipeline and
+        return its handle (caller owns `.stop()`). Same runtime-resource/
+        plan split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("kafka_franz")
+        if not o:
+            raise ValueError("pipeline has no input.kafka_franz section")
+        from bento_spark.streaming.kafka_wire import KafkaSpooler
+
+        host, port = self._kafka_addr(o)
+        return KafkaSpooler(
+            host=host, port=port, topics=list(o["topics"]),
+            spool_dir=o["spool_dir"],
+            checkpoint_limit=int(o.get("checkpoint_limit", 4096)),
+        ).start()
+
+    @staticmethod
+    def _kafka_addr(o: dict) -> tuple[str, int]:
+        """First entry of the reference's `seed_brokers` list (host:port)."""
+        hp = str((o.get("seed_brokers") or ["127.0.0.1:9092"])[0])
+        hp = hp.removeprefix("kafka://").removeprefix("tcp://")
+        host, _, port = hp.partition(":")
+        return host or "127.0.0.1", int(port or 9092)
 
     def start_nats_subscriber(self):
         """Start the subscriber bridge for an `input.nats` pipeline and
@@ -1702,6 +1742,7 @@ class Pipeline:
             or out.get("fan_out")
             or out.get("round_robin")
             or out.get("kafka")
+            or out.get("kafka_franz")
             or out.get("fallback")
             or out.get("http_client")
             or out.get("elasticsearch")
@@ -1799,6 +1840,21 @@ class Pipeline:
             df = self.build_stream(spark)
             k = out["kafka"]
             writer = kafka_sink(spark, k["addresses"], k["topic"], key_col=k.get("key"))
+        elif out.get("kafka_franz"):
+            # dependency-free wire-protocol producer
+            # (kafka/output_kafka_franz.go: seed_brokers, topic,
+            # interpolated key, murmur2 default partitioner) — the per-row
+            # key compiles to a COLUMN, value serializes JVM-side
+            from bento_spark.streaming.kafka_wire import kafka_wire_sink
+
+            k = out["kafka_franz"]
+            df = self.build_stream(spark)
+            key_col = None
+            if k.get("key"):
+                df = df.withColumn("_kafka_key", compile_interpolated(str(k["key"])))
+                key_col = "_kafka_key"
+            host, port = self._kafka_addr(k)
+            writer = kafka_wire_sink(host, port, str(k["topic"]), key_col=key_col)
         elif out.get("http_client"):
             # per-row JSON POSTs, executor-side pooled connections,
             # at-least-once via micro-batch retry (output_http_client.go)
