@@ -1174,6 +1174,52 @@ def q_es_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.stop()
 
 
+def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka connector family end-to-end (kafka/output_kafka_franz.go +
+    input_kafka_franz.go over the dependency-free wire-protocol layer):
+    nations produce through the murmur2-partitioned output writer (value
+    serialized JVM-side, record batch v2 + CRC32C on executors), then every
+    partition fetches back through the client. The in-process
+    MiniKafkaBroker stands in for the cluster; the fetch is driver-side
+    control-plane (25 rows) — bulk data rides parquet/Iceberg."""
+    from bento_spark.streaming.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+        kafka_wire_sink,
+    )
+
+    srv = MiniKafkaBroker(num_partitions=2).start()
+    try:
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            F.col("n_name").alias("k"),
+            F.col("n_nationkey").alias("nk"),
+            (F.col("n_regionkey") * 10).cast("long").alias("score"),
+        )
+        kafka_wire_sink("127.0.0.1", srv.port, "nations", key_col="k")(df, 0)
+        client = KafkaWireClient("127.0.0.1", srv.port)
+        try:
+            rows = []
+            for pid in (0, 1):
+                _hw, recs = client.fetch(
+                    "nations", pid, 0, max_wait_ms=50, max_bytes=1 << 22
+                )
+                rows.extend(
+                    (key.decode("utf-8"), value.decode("utf-8"))
+                    for _o, _ts, key, value, _h in recs
+                )
+        finally:
+            client.close()
+        out = spark.createDataFrame(rows, "kafka_key string, value string")
+        rec = F.from_json("value", "nk int, score bigint")
+        return out.select(
+            F.col("kafka_key").alias("nation_name"),
+            rec.getField("nk").alias("n_nationkey"),
+            rec.getField("score").alias("score"),
+        )
+    finally:
+        srv.stop()
+
+
 def q_awk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`awk` processor (awk/processor.go) over the system awk binary:
     codec json flattens each nation document into variables, the program
@@ -1518,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "frame_sample": q_frame_sample,
         "protobuf_roundtrip": q_protobuf_roundtrip,
+        "kafka_roundtrip": q_kafka_roundtrip,
         "mongodb_roundtrip": q_mongodb_roundtrip,
         "es_roundtrip": q_es_roundtrip,
         "awk_extract": q_awk_extract,
@@ -2111,6 +2158,11 @@ def oracle_sql() -> dict[str, str]:
     sql["sqlite_cache_roundtrip"] = sql["cache_enrichment"]
     sql["avro_roundtrip"] = sql["msgpack_roundtrip"]
     sql["protobuf_roundtrip"] = sql["msgpack_roundtrip"]
+    sql["kafka_roundtrip"] = """
+        SELECT n_name AS nation_name, n_nationkey,
+               CAST(n_regionkey * 10 AS BIGINT) AS score
+        FROM nation
+    """
     sql["mongodb_roundtrip"] = """
         SELECT n_nationkey, n_name AS nation_name,
                CAST(n_regionkey * 10 AS BIGINT) AS score
