@@ -829,6 +829,21 @@ class Pipeline:
                         value_field=d.get("value_field", "value"),
                         key_col=key_col, value_col=d.get("value_col", "value"),
                     )
+                if "memcached" in r:
+                    d = r["memcached"] or {}
+                    if "addresses" not in d:
+                        raise ValueError(
+                            f"cache resource {resource!r}: memcached backend "
+                            "needs `addresses`"
+                        )
+                    from bento_spark.streaming.memcached import MemcachedCache
+
+                    return MemcachedCache(
+                        spark, str(d["addresses"][0]), key_col=key_col,
+                        value_col=d.get("value_col", "value"),
+                        prefix=d.get("prefix", ""),
+                        default_ttl=d.get("default_ttl", "300s"),
+                    )
                 if "redis" in r:
                     d = r["redis"] or {}
                     if "url" not in d:
@@ -847,6 +862,7 @@ class Pipeline:
                     f"cache resource {resource!r} needs a backend section "
                     "(file: {directory: ...}, parquet: {path: ...}, "
                     "sqlite: {path: ...}, redis: {url: ...}, "
+                    "memcached: {addresses: [...]}, "
                     "memory/lru/ttlru: {cap, default_ttl, init_values}, "
                     "noop: {}, or multilevel: [labels...])"
                 )
