@@ -335,6 +335,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "nsq" in inp:
+            # NSQ channel subscription (nsq/input.go) via the spool bridge —
+            # dependency-free V2-protocol client (streaming/nsq.py); the
+            # consumer starts via start_nsq_consumer(). FIN fires only after
+            # the spool rename, so at-least-once holds into the replayable
+            # file source.
+            o = inp["nsq"]
+            if not streaming:
+                raise ValueError("nsq input is streaming-only (push source)")
+            from bento_spark.streaming.nsq import read_nsq_stream
+
+            return read_nsq_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "amqp_0_9" in inp:
             # AMQP 0.9.1 consume (amqp09/input.go) via the spool bridge —
             # dependency-free spec client (streaming/amqp.py); the consumer
@@ -606,6 +621,25 @@ class Pipeline:
         hp = str(url).removeprefix("nats://").removeprefix("tcp://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 4222)
+
+    def start_nsq_consumer(self):
+        """Start the consumer bridge for an `input.nsq` pipeline and
+        return its handle (caller owns `.stop()`). Same runtime-resource/
+        plan split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("nsq")
+        if not o:
+            raise ValueError("pipeline has no input.nsq section")
+        from bento_spark.streaming.nsq import NsqSpooler, parse_nsqd_addr
+
+        addr = (o.get("nsqd_tcp_addresses") or ["127.0.0.1:4150"])[0]
+        host, port = parse_nsqd_addr(str(addr))
+        return NsqSpooler(
+            host=host, port=port, topic=str(o["topic"]),
+            channel=str(o.get("channel", "bento_spark")),
+            spool_dir=o["spool_dir"],
+            max_in_flight=int(o.get("max_in_flight", 64)),
+            max_attempts=int(o.get("max_attempts", 5)),
+        ).start()
 
     def start_amqp_consumer(self):
         """Start the consumer bridge for an `input.amqp_0_9` pipeline and
@@ -1764,6 +1798,7 @@ class Pipeline:
             or out.get("elasticsearch")
             or out.get("mongodb")
             or out.get("mqtt")
+            or out.get("nsq")
             or out.get("nats")
             or out.get("redis_list")
             or out.get("redis_pubsub")
@@ -1968,6 +2003,16 @@ class Pipeline:
                 str(mg["collection"]), operation=op,
                 upsert=bool(mg.get("upsert", False)),
             )
+        elif out.get("nsq"):
+            # dependency-free NSQ publisher (nsq/output.go:
+            # nsqd_tcp_address, topic) — rows publish as JSON, each PUB
+            # confirmed by its OK frame
+            from bento_spark.streaming.nsq import nsq_sink, parse_nsqd_addr
+
+            df = self.build_stream(spark)
+            o = out["nsq"]
+            host, port = parse_nsqd_addr(str(o.get("nsqd_tcp_address", "127.0.0.1:4150")))
+            writer = nsq_sink(host, port, str(o["topic"]))
         elif out.get("mqtt"):
             # dependency-free publisher (mqtt/output.go: topic, qos,
             # retained) — rows publish as JSON executor-side
