@@ -335,6 +335,22 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "beanstalkd" in inp:
+            # beanstalkd reserve-poll (beanstalkd/input.go) via the spool
+            # bridge — dependency-free text-protocol client
+            # (streaming/beanstalkd.py); the consumer starts via
+            # start_beanstalkd_consumer(). `delete` fires only after the
+            # spool rename, so at-least-once holds (un-deleted jobs
+            # re-deliver after TTR).
+            o = inp["beanstalkd"]
+            if not streaming:
+                raise ValueError("beanstalkd input is streaming-only (pull source)")
+            from bento_spark.streaming.beanstalkd import read_beanstalkd_stream
+
+            return read_beanstalkd_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "nsq" in inp:
             # NSQ channel subscription (nsq/input.go) via the spool bridge —
             # dependency-free V2-protocol client (streaming/nsq.py); the
@@ -621,6 +637,21 @@ class Pipeline:
         hp = str(url).removeprefix("nats://").removeprefix("tcp://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 4222)
+
+    def start_beanstalkd_consumer(self):
+        """Start the consumer bridge for an `input.beanstalkd` pipeline and
+        return its handle (caller owns `.stop()`). Same runtime-resource/
+        plan split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("beanstalkd")
+        if not o:
+            raise ValueError("pipeline has no input.beanstalkd section")
+        from bento_spark.streaming.beanstalkd import (
+            BeanstalkdSpooler,
+            parse_beanstalkd_addr,
+        )
+
+        host, port = parse_beanstalkd_addr(str(o.get("address", "127.0.0.1:11300")))
+        return BeanstalkdSpooler(host=host, port=port, spool_dir=o["spool_dir"]).start()
 
     def start_nsq_consumer(self):
         """Start the consumer bridge for an `input.nsq` pipeline and
@@ -1798,6 +1829,7 @@ class Pipeline:
             or out.get("elasticsearch")
             or out.get("mongodb")
             or out.get("mqtt")
+            or out.get("beanstalkd")
             or out.get("nsq")
             or out.get("nats")
             or out.get("redis_list")
@@ -2003,6 +2035,19 @@ class Pipeline:
                 str(mg["collection"]), operation=op,
                 upsert=bool(mg.get("upsert", False)),
             )
+        elif out.get("beanstalkd"):
+            # dependency-free beanstalkd producer (beanstalkd/output.go:
+            # Put pri 2, no delay, 2s TTR) — rows publish as JSON, each
+            # put confirmed by INSERTED
+            from bento_spark.streaming.beanstalkd import (
+                beanstalkd_sink,
+                parse_beanstalkd_addr,
+            )
+
+            df = self.build_stream(spark)
+            o = out["beanstalkd"]
+            host, port = parse_beanstalkd_addr(str(o.get("address", "127.0.0.1:11300")))
+            writer = beanstalkd_sink(host, port)
         elif out.get("nsq"):
             # dependency-free NSQ publisher (nsq/output.go:
             # nsqd_tcp_address, topic) — rows publish as JSON, each PUB
