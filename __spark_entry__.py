@@ -1174,6 +1174,46 @@ def q_es_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.stop()
 
 
+def q_jwt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS/ES JWT parity (crypto/jwt_sign.go:112-148, jwt_parse.go over the
+    pure-Python RSA PKCS#1 v1.5 + RFC 6979 ECDSA in
+    functions/crypto_prims.py): each nation's claims sign as an RS256
+    token, parse back with the PUBLIC key, re-sign as ES256 and parse
+    again — a value only survives both verified round-trips, and both
+    signers are deterministic (PKCS#1 v1.5 padding is fixed; ES nonces
+    come from RFC 6979), so replays are byte-stable. Keys are pinned in
+    fixtures/jwt_*.pem (test-only material)."""
+    from bento_spark.functions.bloblang import compile_expr
+
+    rsa, rsa_pub = f"{_FIX}/jwt_rsa.pem", f"{_FIX}/jwt_rsa_pub.pem"
+    ec, ec_pub = f"{_FIX}/jwt_ec256.pem", f"{_FIX}/jwt_ec256_pub.pem"
+    ddl = "nk int, name string, score bigint"
+    claims = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.to_json(
+            F.struct(
+                F.col("n_nationkey").alias("nk"),
+                F.col("n_name").alias("name"),
+                (F.col("n_regionkey") * 10).cast("long").alias("score"),
+            )
+        ).alias("claims")
+    )
+    rs = claims.select(
+        compile_expr(f'this.claims.sign_jwt_rs256(file("{rsa}"))').alias("tok")
+    ).select(
+        compile_expr(f'this.tok.parse_jwt_rs256(file("{rsa_pub}"), "{ddl}")').alias("c")
+    ).select(F.to_json("c").alias("claims"))
+    es = rs.select(
+        compile_expr(f'this.claims.sign_jwt_es256(file("{ec}"))').alias("tok")
+    ).select(
+        compile_expr(f'this.tok.parse_jwt_es256(file("{ec_pub}"), "{ddl}")').alias("c")
+    )
+    return es.select(
+        F.col("c.nk").alias("n_nationkey"),
+        F.col("c.name").alias("nation_name"),
+        F.col("c.score").alias("score"),
+    ).filter(F.col("n_nationkey").isNotNull())
+
+
 def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka connector family end-to-end (kafka/output_kafka_franz.go +
     input_kafka_franz.go over the dependency-free wire-protocol layer):
@@ -1565,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "protobuf_roundtrip": q_protobuf_roundtrip,
         "kafka_roundtrip": q_kafka_roundtrip,
+        "jwt_roundtrip": q_jwt_roundtrip,
         "mongodb_roundtrip": q_mongodb_roundtrip,
         "es_roundtrip": q_es_roundtrip,
         "awk_extract": q_awk_extract,
@@ -2158,6 +2199,11 @@ def oracle_sql() -> dict[str, str]:
     sql["sqlite_cache_roundtrip"] = sql["cache_enrichment"]
     sql["avro_roundtrip"] = sql["msgpack_roundtrip"]
     sql["protobuf_roundtrip"] = sql["msgpack_roundtrip"]
+    sql["jwt_roundtrip"] = """
+        SELECT n_nationkey, n_name AS nation_name,
+               CAST(n_regionkey * 10 AS BIGINT) AS score
+        FROM nation
+    """
     sql["kafka_roundtrip"] = """
         SELECT n_name AS nation_name, n_nationkey,
                CAST(n_regionkey * 10 AS BIGINT) AS score

@@ -660,6 +660,22 @@ _METHODS = {
     "parse_jwt_hs256": lambda c, key, schema: _parse_jwt(c, key, schema, 256),
     "parse_jwt_hs384": lambda c, key, schema: _parse_jwt(c, key, schema, 384),
     "parse_jwt_hs512": lambda c, key, schema: _parse_jwt(c, key, schema, 512),
+    # JWT RS/ES families (jwt_sign.go:112-148, jwt_parse.go) — pure-Python
+    # RSA PKCS#1 v1.5 + RFC 6979 deterministic ECDSA (crypto_prims.py);
+    # the PEM key is a compile-time literal, signing is an Arrow-batched
+    # pandas UDF (bigint modexp can't be a Catalyst expression)
+    "sign_jwt_rs256": lambda c, key: _sign_jwt_pk(c, key, "RS256"),
+    "sign_jwt_rs384": lambda c, key: _sign_jwt_pk(c, key, "RS384"),
+    "sign_jwt_rs512": lambda c, key: _sign_jwt_pk(c, key, "RS512"),
+    "sign_jwt_es256": lambda c, key: _sign_jwt_pk(c, key, "ES256"),
+    "sign_jwt_es384": lambda c, key: _sign_jwt_pk(c, key, "ES384"),
+    "sign_jwt_es512": lambda c, key: _sign_jwt_pk(c, key, "ES512"),
+    "parse_jwt_rs256": lambda c, key, schema: _parse_jwt_pk(c, key, schema, "RS256"),
+    "parse_jwt_rs384": lambda c, key, schema: _parse_jwt_pk(c, key, schema, "RS384"),
+    "parse_jwt_rs512": lambda c, key, schema: _parse_jwt_pk(c, key, schema, "RS512"),
+    "parse_jwt_es256": lambda c, key, schema: _parse_jwt_pk(c, key, schema, "ES256"),
+    "parse_jwt_es384": lambda c, key, schema: _parse_jwt_pk(c, key, schema, "ES384"),
+    "parse_jwt_es512": lambda c, key, schema: _parse_jwt_pk(c, key, schema, "ES512"),
     # jsonpath (impl/jsonpath/bloblang_jsonpath.go:18) — Spark's native
     # get_json_object speaks the same $.a.b[0] core syntax
     "json_path": lambda c, p: F.get_json_object(c, _lit_str(p)),
@@ -873,6 +889,119 @@ def _parse_jwt(c: Column, key: Column, schema: Column, bits: int) -> Column:
         (alg == F.lit(f"HS{bits}")) & (s == expect),
         F.from_json(claims_json, _lit_full_str(schema)),
     )
+
+
+def _jwt_pk_key(pem: str, alg: str, private: bool) -> dict:
+    """Parse + validate a literal PEM for a public-key JWT alg at compile
+    time (a bad key must fail the mapping compile, not every row). For
+    parse_*, a private PEM is accepted too — the verify key derives from
+    it (jwt_parse_test.go does the same)."""
+    from bento_spark.functions import crypto_prims as cp
+
+    bits = int(alg[2:])
+    try:
+        if alg.startswith("RS"):
+            if private:
+                key = cp.parse_rsa_private(pem)
+            else:
+                try:
+                    key = cp.parse_rsa_public(pem)
+                except ValueError:
+                    key = cp.parse_rsa_private(pem)  # verify with n,e
+            return {"kind": "rsa", "bits": bits, **key}
+        curve, hash_bits = cp.JOSE_CURVE[alg]
+        try:
+            key = cp.parse_ec_private(pem)
+            if not private:
+                x, y = cp.ec_public_from_private(key["curve"], key["d"])
+                key = {"curve": key["curve"], "x": x, "y": y}
+        except ValueError:
+            if private:
+                raise
+            key = cp.parse_ec_public(pem)
+        if key["curve"] != curve:
+            raise BloblangError(
+                f"{alg} requires a {curve} key, got {key['curve']} "
+                "(jwt ES algs pin the curve)"
+            )
+        return {"kind": "ec", "bits": hash_bits, **key}
+    except ValueError as e:
+        raise BloblangError(f"invalid PEM key for {alg}: {e}") from e
+
+
+def _sign_jwt_pk(c: Column, key: Column, alg: str) -> Column:
+    """JWT RSxxx/ESxxx signing (jwt_sign.go:112-148): the b64url
+    header.payload builds JVM-side; only the signature crosses into an
+    Arrow-batched UDF. RFC 6979 nonces keep ES tokens deterministic
+    (same row -> same token, the replay-identity invariant)."""
+    import base64 as _b64lib
+    import json as _json
+
+    k = _jwt_pk_key(_lit_full_str(key), alg, private=True)
+    header = _b64lib.urlsafe_b64encode(
+        _json.dumps({"alg": alg, "typ": "JWT"}, separators=(",", ":")).encode()
+    ).rstrip(b"=").decode("ascii")
+    signing_input = F.concat(F.lit(header + "."), _b64url(c.cast("binary")))
+
+    @pandas_udf("string")
+    def sign(s: pd.Series) -> pd.Series:
+        import base64 as _b
+
+        from bento_spark.functions import crypto_prims as cp
+
+        def one(t):
+            if t is None:
+                return None
+            msg = t.encode("ascii")
+            if k["kind"] == "rsa":
+                sig = cp.rsa_sign(k, msg, k["bits"])
+            else:
+                sig = cp.ecdsa_sign_jose(k["curve"], k["d"], msg, k["bits"])
+            return t + "." + _b.urlsafe_b64encode(sig).rstrip(b"=").decode("ascii")
+
+        return s.map(one)
+
+    return sign(signing_input)
+
+
+def _parse_jwt_pk(c: Column, key: Column, schema: Column, alg: str) -> Column:
+    """Verify-and-decode a JWT RSxxx/ESxxx token (jwt_parse.go). Returns
+    the typed claims struct, or NULL when the signature or the header alg
+    doesn't match — same NULL-on-failure contract as the HS family."""
+    k = _jwt_pk_key(_lit_full_str(key), alg, private=False)
+    ddl = _lit_full_str(schema)
+
+    @pandas_udf("string")
+    def verify(s: pd.Series) -> pd.Series:
+        import base64 as _b
+        import json as _json
+
+        from bento_spark.functions import crypto_prims as cp
+
+        def one(t):
+            if t is None:
+                return None
+            try:
+                h, p, sig_b64 = t.split(".")
+                pad = lambda x: x + "=" * (-len(x) % 4)  # noqa: E731
+                if _json.loads(_b.urlsafe_b64decode(pad(h))).get("alg") != alg:
+                    return None
+                sig = _b.urlsafe_b64decode(pad(sig_b64))
+                msg = (h + "." + p).encode("ascii")
+                if k["kind"] == "rsa":
+                    ok = cp.rsa_verify(k, msg, sig, k["bits"])
+                else:
+                    ok = cp.ecdsa_verify_jose(
+                        k["curve"], k["x"], k["y"], msg, sig, k["bits"])
+                if not ok:
+                    return None
+                return _b.urlsafe_b64decode(pad(p)).decode("utf-8")
+            except (ValueError, KeyError):
+                return None  # malformed token NULLs the row (catch protocol)
+
+        return s.map(one)
+
+    return F.from_json(verify(c), ddl)
 
 
 def _lit_full_str(col: Column) -> str:

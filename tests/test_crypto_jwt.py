@@ -1,0 +1,216 @@
+"""RS/ES JWT bloblang methods (reference internal/impl/crypto/
+jwt_sign.go:112-148, jwt_parse.go) over the pure-Python crypto primitives
+(crypto_prims.py) — RFC 6979 published vectors, OpenSSL cross-validation
+in both directions, and the Spark-side sign/parse round-trip."""
+
+from __future__ import annotations
+
+import base64
+import json
+import shutil
+import subprocess
+
+import pytest
+
+from bento_spark.functions.bloblang import BloblangError, compile_expr
+from bento_spark.functions.crypto_prims import (
+    _CURVES,
+    _ec_mul,
+    ec_on_curve,
+    ec_public_from_private,
+    ecdsa_sign_jose,
+    ecdsa_verify_jose,
+    parse_ec_private,
+    parse_rsa_private,
+    parse_rsa_public,
+    rsa_sign,
+    rsa_verify,
+)
+
+_OPENSSL = shutil.which("openssl")
+
+
+# --------------------------------------------------------------------------
+# primitives
+# --------------------------------------------------------------------------
+
+
+def test_curve_constants_are_consistent():
+    for name, cv in _CURVES.items():
+        assert ec_on_curve(name, cv["gx"], cv["gy"]), name
+        assert _ec_mul(cv, cv["n"], (cv["gx"], cv["gy"])) is None, name
+
+
+def test_rfc6979_published_vector_p256():
+    # RFC 6979 §A.2.5: P-256, SHA-256, message "sample"
+    x = 0xC9AFA9D845BA75166B5C215767B1D6934E50C3DB36E89B127B8A622B120F6721
+    sig = ecdsa_sign_jose("P-256", x, b"sample", 256)
+    r = int.from_bytes(sig[:32], "big")
+    s = int.from_bytes(sig[32:], "big")
+    assert r == 0xEFD48B2AACB6A8FD1140DD9CD45E81D69D2C877B56AAF991C34D0EA84EAF3716
+    assert s == 0xF7CB1C942D657C41D436C7A1B6E29F65F3E900DBB9AFF4064DC4AB2F843ACDA8
+    qx, qy = ec_public_from_private("P-256", x)
+    assert ecdsa_verify_jose("P-256", qx, qy, b"sample", sig, 256)
+    assert not ecdsa_verify_jose("P-256", qx, qy, b"other", sig, 256)
+
+
+def test_p384_p521_sign_verify_roundtrip():
+    for curve, hb in (("P-384", 384), ("P-521", 512)):
+        d = 0xC9AFA9D845BA75166B5C215767B1D6934E50C3DB36E89B127B8A622B120F6721
+        qx, qy = ec_public_from_private(curve, d)
+        assert ec_on_curve(curve, qx, qy)
+        sig = ecdsa_sign_jose(curve, d, b"test", hb)
+        # JOSE width: 2 * ceil(qlen/8) (96 for P-384, 132 for P-521)
+        assert len(sig) == {384: 96, 512: 132}[hb]
+        assert ecdsa_verify_jose(curve, qx, qy, b"test", sig, hb)
+        assert not ecdsa_verify_jose(curve, qx, qy, b"TEST", sig, hb)
+        # deterministic: same inputs -> same signature
+        assert sig == ecdsa_sign_jose(curve, d, b"test", hb)
+
+
+@pytest.mark.skipif(_OPENSSL is None, reason="openssl binary unavailable")
+def test_openssl_cross_validation(tmp_path):
+    msg = b"cross-validate me"
+    (tmp_path / "msg.bin").write_bytes(msg)
+
+    def run(*args):
+        return subprocess.run(list(args), capture_output=True, text=True,
+                              cwd=tmp_path, check=False)
+
+    run(_OPENSSL, "genrsa", "-out", "rsa.pem", "2048")
+    run(_OPENSSL, "rsa", "-in", "rsa.pem", "-pubout", "-out", "rsapub.pem")
+    kp = parse_rsa_private((tmp_path / "rsa.pem").read_text())
+    sig = rsa_sign(kp, msg, 256)
+    (tmp_path / "sig.bin").write_bytes(sig)
+    out = run(_OPENSSL, "dgst", "-sha256", "-verify", "rsapub.pem",
+              "-signature", "sig.bin", "msg.bin")
+    assert "Verified OK" in out.stdout
+    # openssl-signed -> our verifier
+    run(_OPENSSL, "dgst", "-sha512", "-sign", "rsa.pem", "-out", "sig2.bin", "msg.bin")
+    kpub = parse_rsa_public((tmp_path / "rsapub.pem").read_text())
+    assert rsa_verify(kpub, msg, (tmp_path / "sig2.bin").read_bytes(), 512)
+    assert not rsa_verify(kpub, msg + b"!", (tmp_path / "sig2.bin").read_bytes(), 512)
+
+    run(_OPENSSL, "ecparam", "-genkey", "-name", "prime256v1", "-noout",
+        "-out", "ec.pem")
+    run(_OPENSSL, "ec", "-in", "ec.pem", "-pubout", "-out", "ecpub.pem")
+    ek = parse_ec_private((tmp_path / "ec.pem").read_text())
+    jose = ecdsa_sign_jose("P-256", ek["d"], msg, 256)
+    r = int.from_bytes(jose[:32], "big")
+    s = int.from_bytes(jose[32:], "big")
+
+    def derint(v: int) -> bytes:
+        b = v.to_bytes((v.bit_length() + 8) // 8 or 1, "big")
+        return bytes([2, len(b)]) + b
+
+    body = derint(r) + derint(s)
+    (tmp_path / "esig.bin").write_bytes(bytes([0x30, len(body)]) + body)
+    out = run(_OPENSSL, "dgst", "-sha256", "-verify", "ecpub.pem",
+              "-signature", "esig.bin", "msg.bin")
+    assert "Verified OK" in out.stdout
+
+
+# --------------------------------------------------------------------------
+# Spark-side bloblang methods
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def keys(tmp_path_factory):
+    if _OPENSSL is None:
+        pytest.skip("openssl binary unavailable")
+    d = tmp_path_factory.mktemp("jwtkeys")
+
+    def run(*args):
+        subprocess.run(list(args), capture_output=True, cwd=d, check=True)
+
+    run(_OPENSSL, "genrsa", "-out", "rsa.pem", "2048")
+    run(_OPENSSL, "rsa", "-in", "rsa.pem", "-pubout", "-out", "rsapub.pem")
+    run(_OPENSSL, "ecparam", "-genkey", "-name", "prime256v1", "-noout",
+        "-out", "ec256.pem")
+    run(_OPENSSL, "ec", "-in", "ec256.pem", "-pubout", "-out", "ec256pub.pem")
+    run(_OPENSSL, "ecparam", "-genkey", "-name", "secp384r1", "-noout",
+        "-out", "ec384.pem")
+    return d
+
+
+def test_jwt_rs256_sign_and_parse(spark, keys):
+    claims = '{"sub":"u1","n":7}'
+    jdf = spark.createDataFrame([(claims,)], "claims string")
+    tok = jdf.select(
+        compile_expr(f'this.claims.sign_jwt_rs256(file("{keys}/rsa.pem"))').alias("t")
+    ).first().t
+    h, p, _s = tok.split(".")
+    assert json.loads(base64.urlsafe_b64decode(h + "==")) == {"alg": "RS256", "typ": "JWT"}
+    # parse with the PUBLIC pem; tampered token NULLs
+    tdf = spark.createDataFrame([(tok,), (tok[:-3] + "xxx",)], "tok string")
+    out = tdf.select(
+        compile_expr(
+            f'this.tok.parse_jwt_rs256(file("{keys}/rsapub.pem"), "sub string, n int")'
+        ).alias("c")
+    ).collect()
+    assert out[0].c.sub == "u1" and out[0].c.n == 7
+    assert out[1].c is None
+    # parse with the PRIVATE pem also verifies (jwt_parse_test.go does this)
+    ok = spark.createDataFrame([(tok,)], "tok string").select(
+        compile_expr(
+            f'this.tok.parse_jwt_rs256(file("{keys}/rsa.pem"), "sub string, n int")'
+        ).alias("c")
+    ).first()
+    assert ok.c.n == 7
+    # RS384 parser rejects an RS256 token (header alg pinned)
+    wrong = spark.createDataFrame([(tok,)], "tok string").select(
+        compile_expr(
+            f'this.tok.parse_jwt_rs384(file("{keys}/rsapub.pem"), "sub string, n int")'
+        ).alias("c")
+    ).first()
+    assert wrong.c is None
+
+
+@pytest.mark.skipif(_OPENSSL is None, reason="openssl binary unavailable")
+def test_jwt_rs256_token_verifies_under_openssl(spark, keys, tmp_path):
+    claims = '{"scope":"x"}'
+    tok = spark.createDataFrame([(claims,)], "claims string").select(
+        compile_expr(f'this.claims.sign_jwt_rs256(file("{keys}/rsa.pem"))').alias("t")
+    ).first().t
+    h, p, s = tok.split(".")
+    (tmp_path / "si.bin").write_bytes(f"{h}.{p}".encode())
+    (tmp_path / "sig.bin").write_bytes(base64.urlsafe_b64decode(s + "=="))
+    out = subprocess.run(
+        [_OPENSSL, "dgst", "-sha256", "-verify", f"{keys}/rsapub.pem",
+         "-signature", "sig.bin", "si.bin"],
+        capture_output=True, text=True, cwd=tmp_path,
+    )
+    assert "Verified OK" in out.stdout
+
+
+def test_jwt_es256_deterministic_and_roundtrip(spark, keys):
+    claims = '{"sub":"u2"}'
+    jdf = spark.createDataFrame([(claims,), (claims,)], "claims string")
+    toks = [
+        r.t for r in jdf.select(
+            compile_expr(f'this.claims.sign_jwt_es256(file("{keys}/ec256.pem"))').alias("t")
+        ).collect()
+    ]
+    # RFC 6979 nonces: identical rows -> identical tokens (replay identity)
+    assert toks[0] == toks[1]
+    out = spark.createDataFrame([(toks[0],)], "tok string").select(
+        compile_expr(
+            f'this.tok.parse_jwt_es256(file("{keys}/ec256pub.pem"), "sub string")'
+        ).alias("c")
+    ).first()
+    assert out.c.sub == "u2"
+    # signature is JOSE fixed-width r||s (64 bytes for P-256)
+    assert len(base64.urlsafe_b64decode(toks[0].split(".")[2] + "==")) == 64
+
+
+def test_jwt_es_curve_mismatch_raises(spark, keys):
+    with pytest.raises(BloblangError, match="ES384 requires a P-384"):
+        compile_expr(f'this.claims.sign_jwt_es384(file("{keys}/ec256.pem"))')
+    # matching curve compiles
+    compile_expr(f'this.claims.sign_jwt_es384(file("{keys}/ec384.pem"))')
+
+
+def test_jwt_bad_pem_fails_at_compile(spark, keys):
+    with pytest.raises(BloblangError, match="invalid PEM key"):
+        compile_expr('this.claims.sign_jwt_rs256("not a pem")')
