@@ -676,6 +676,10 @@ _METHODS = {
     "parse_jwt_es256": lambda c, key, schema: _parse_jwt_pk(c, key, schema, "ES256"),
     "parse_jwt_es384": lambda c, key, schema: _parse_jwt_pk(c, key, schema, "ES384"),
     "parse_jwt_es512": lambda c, key, schema: _parse_jwt_pk(c, key, schema, "ES512"),
+    # bcrypt compare (crypto/bcrypt.go:25): pure-Python eksblowfish.
+    # A cost-10 compare runs in SECONDS per distinct secret — an auth
+    # check on control-plane flows, never a bulk row transform.
+    "compare_bcrypt": lambda c, hashed: _compare_bcrypt(c, hashed),
     # jsonpath (impl/jsonpath/bloblang_jsonpath.go:18) — Spark's native
     # get_json_object speaks the same $.a.b[0] core syntax
     "json_path": lambda c, p: F.get_json_object(c, _lit_str(p)),
@@ -1002,6 +1006,37 @@ def _parse_jwt_pk(c: Column, key: Column, schema: Column, alg: str) -> Column:
         return s.map(one)
 
     return F.from_json(verify(c), ddl)
+
+
+def _compare_bcrypt(c: Column, hashed: Column) -> Column:
+    """compare_bcrypt(hashed_secret) -> boolean (crypto/bcrypt.go:25:
+    False on mismatch, NULL on a malformed hash via the catch protocol).
+    Distinct secrets memoize within the batch — bcrypt's work factor is
+    the point, so re-deriving per equal row would multiply seconds."""
+    from bento_spark.functions.crypto_prims import bcrypt_compare  # compile-time parse check
+
+    hashed_lit = _lit_full_str(hashed)
+    try:  # malformed hash fails the compile, not every row
+        bcrypt_compare(b"", hashed_lit)
+    except ValueError as e:
+        raise BloblangError(f"compare_bcrypt: {e}") from e
+
+    @pandas_udf("boolean")
+    def cmp(s: pd.Series) -> pd.Series:
+        from bento_spark.functions.crypto_prims import bcrypt_compare as _cmp
+
+        memo: dict[str, bool] = {}
+
+        def one(t):
+            if t is None:
+                return None
+            if t not in memo:
+                memo[t] = _cmp(t.encode("utf-8"), hashed_lit)
+            return memo[t]
+
+        return s.map(one)
+
+    return cmp(c)
 
 
 def _lit_full_str(col: Column) -> str:

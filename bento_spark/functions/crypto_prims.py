@@ -380,3 +380,172 @@ def ecdsa_verify_jose(curve: str, x: int, y: int, msg: bytes, sig: bytes,
     u1, u2 = z * si % q, r * si % q
     R = _ec_add(cv, _ec_mul(cv, u1, (cv["gx"], cv["gy"])), _ec_mul(cv, u2, (x, y)))
     return R is not None and R[0] % q == r
+
+
+# --------------------------------------------------------------------------
+# bcrypt (OpenBSD eksblowfish, for the compare_bcrypt bloblang method)
+# --------------------------------------------------------------------------
+#
+# Reference: internal/impl/crypto/bcrypt.go (x/crypto/bcrypt). Implemented
+# from the public algorithm (Provos & Mazieres, "A Future-Adaptable
+# Password Scheme", USENIX 1999) — Blowfish's initial P-array and S-boxes
+# are the hexadecimal digits of pi, COMPUTED at first use (Machin's
+# formula in integer arithmetic) instead of embedding 4 KiB of constants;
+# the first words are asserted against the published values. Pure Python:
+# a cost-10 compare takes seconds, not microseconds — suitable for
+# control-plane auth checks in a pipeline, not for bulk row hashing.
+
+_BCRYPT_B64 = "./ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+_bf_init: list | None = None
+
+
+def _pi_hex_words(n_words: int) -> list[int]:
+    """First n_words 32-bit words of pi's fractional part, via Machin:
+    pi = 16*atan(1/5) - 4*atan(1/239) in fixed-point integer arithmetic."""
+    bits = n_words * 32 + 64  # guard bits
+    one = 1 << bits
+
+    def atan_inv(x: int) -> int:
+        x2 = x * x
+        term = one // x
+        total = term
+        k = 1
+        while term:
+            term //= x2
+            if term == 0:
+                break
+            if k % 2:
+                total -= term // (2 * k + 1)
+            else:
+                total += term // (2 * k + 1)
+            k += 1
+        return total
+
+    pi = 16 * atan_inv(5) - 4 * atan_inv(239)
+    frac = pi - 3 * one  # 0.14159... in fixed point
+    out = []
+    for _ in range(n_words):
+        frac *= 1 << 32
+        w, frac = divmod(frac, one)
+        out.append(int(w))
+    return out
+
+
+def _bf_initial() -> tuple[list[int], list[list[int]]]:
+    global _bf_init
+    if _bf_init is None:
+        words = _pi_hex_words(18 + 1024)
+        # published Blowfish constants — self-check the pi computation
+        assert words[0] == 0x243F6A88 and words[1] == 0x85A308D3, "pi digits wrong"
+        assert words[2] == 0x13198A2E and words[3] == 0x03707344, "pi digits wrong"
+        _bf_init = (words[:18], [words[18 + 256 * i : 18 + 256 * (i + 1)]
+                                 for i in range(4)])
+    P, S = _bf_init
+    return list(P), [list(s) for s in S]
+
+
+def _bf_encrypt(P, S0, S1, S2, S3, L: int, R: int) -> tuple[int, int]:
+    for i in range(0, 16, 2):
+        L ^= P[i]
+        R ^= ((S0[L >> 24] + S1[(L >> 16) & 0xFF]) ^ S2[(L >> 8) & 0xFF]) + S3[L & 0xFF]
+        R &= 0xFFFFFFFF
+        R ^= P[i + 1]
+        L ^= ((S0[R >> 24] + S1[(R >> 16) & 0xFF]) ^ S2[(R >> 8) & 0xFF]) + S3[R & 0xFF]
+        L &= 0xFFFFFFFF
+    L ^= P[16]
+    return R ^ P[17], L
+
+
+def _cyclic_words(data: bytes):
+    """Endless 32-bit big-endian words over data, wrapping mid-word like
+    OpenBSD's Blowfish_stream2word."""
+    j = 0
+    n = len(data)
+    while True:
+        w = 0
+        for _ in range(4):
+            w = (w << 8) | data[j % n]
+            j += 1
+        yield w
+
+
+def _bf_expand(P, S, key_stream, salt_stream=None) -> None:
+    S0, S1, S2, S3 = S
+    for i in range(18):
+        P[i] ^= next(key_stream)
+    L = R = 0
+    for box in (P, S0, S1, S2, S3):
+        for i in range(0, len(box), 2):
+            if salt_stream is not None:
+                L ^= next(salt_stream)
+                R ^= next(salt_stream)
+            L, R = _bf_encrypt(P, S0, S1, S2, S3, L, R)
+            box[i], box[i + 1] = L, R
+
+
+def _bcrypt_b64decode(s: str) -> bytes:
+    bits = 0
+    acc = 0
+    out = bytearray()
+    for ch in s:
+        acc = (acc << 6) | _BCRYPT_B64.index(ch)
+        bits += 6
+        if bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+    return bytes(out)
+
+
+def _bcrypt_b64encode(b: bytes) -> str:
+    out = []
+    acc = 0
+    bits = 0
+    for byte in b:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= 6:
+            bits -= 6
+            out.append(_BCRYPT_B64[(acc >> bits) & 0x3F])
+    if bits:
+        out.append(_BCRYPT_B64[(acc << (6 - bits)) & 0x3F])
+    return "".join(out)
+
+
+def bcrypt_hash(password: bytes, cost: int, salt: bytes, prefix: str = "2b") -> str:
+    """-> modular-crypt string $<prefix>$<cost>$<salt22><hash31>. salt is
+    exactly 16 bytes; $2a/$2b/$2y all key with password + NUL (truncated
+    to 72 bytes), identical for passwords under 72 chars."""
+    if len(salt) != 16:
+        raise ValueError("bcrypt: salt must be 16 bytes")
+    if not 4 <= cost <= 31:
+        raise ValueError("bcrypt: cost out of range")
+    key = (password + b"\x00")[:72]
+    P, S = _bf_initial()
+    _bf_expand(P, S, _cyclic_words(key), _cyclic_words(salt))
+    for _ in range(1 << cost):
+        _bf_expand(P, S, _cyclic_words(key))
+        _bf_expand(P, S, _cyclic_words(salt))
+    ctext = [0x4F727068, 0x65616E42, 0x65686F6C,  # "OrpheanBeholderScryDoubt"
+             0x64657253, 0x63727944, 0x6F756274]
+    S0, S1, S2, S3 = S
+    for i in range(0, 6, 2):
+        L, R = ctext[i], ctext[i + 1]
+        for _ in range(64):
+            L, R = _bf_encrypt(P, S0, S1, S2, S3, L, R)
+        ctext[i], ctext[i + 1] = L, R
+    raw = b"".join(w.to_bytes(4, "big") for w in ctext)[:23]
+    return (f"${prefix}${cost:02d}$"
+            f"{_bcrypt_b64encode(salt)}{_bcrypt_b64encode(raw)}")
+
+
+def bcrypt_compare(password: bytes, hashed: str) -> bool:
+    """CompareHashAndPassword (bcrypt.go:36): True on match, False on
+    mismatch; raises ValueError on a malformed hash."""
+    m = re.fullmatch(r"\$(2[abxy]?)\$(\d{2})\$([./A-Za-z0-9]{22})([./A-Za-z0-9]{31})",
+                     hashed)
+    if not m:
+        raise ValueError("bcrypt: malformed hash")
+    prefix, cost, salt22 = m.group(1), int(m.group(2)), m.group(3)
+    salt = _bcrypt_b64decode(salt22)[:16]
+    expect = bcrypt_hash(password, cost, salt, prefix=prefix)
+    return _hmac.compare_digest(expect, hashed)

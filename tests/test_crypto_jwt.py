@@ -214,3 +214,48 @@ def test_jwt_es_curve_mismatch_raises(spark, keys):
 def test_jwt_bad_pem_fails_at_compile(spark, keys):
     with pytest.raises(BloblangError, match="invalid PEM key"):
         compile_expr('this.claims.sign_jwt_rs256("not a pem")')
+
+
+# --------------------------------------------------------------------------
+# bcrypt
+# --------------------------------------------------------------------------
+
+
+def test_bcrypt_openbsd_vectors():
+    from bento_spark.functions.crypto_prims import bcrypt_compare, bcrypt_hash
+
+    # OpenBSD regress published vectors (cost 6)
+    assert bcrypt_compare(
+        b"", "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s.")
+    assert bcrypt_compare(
+        b"a", "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe")
+    assert bcrypt_compare(
+        b"abc", "$2a$06$If6bvum7DFjUnE9p2uDeDu0YHzrHM6tf.iqN8.yx.jNN1ILEf7h0i")
+    assert not bcrypt_compare(
+        b"wrong", "$2a$06$If6bvum7DFjUnE9p2uDeDu0YHzrHM6tf.iqN8.yx.jNN1ILEf7h0i")
+    # hash() is the inverse of compare with the same salt
+    h = bcrypt_hash(b"swordfish", 6, bytes(range(16)))
+    assert h.startswith("$2b$06$") and bcrypt_compare(b"swordfish", h)
+    with pytest.raises(ValueError, match="malformed"):
+        bcrypt_compare(b"x", "$9z$06$nope")
+
+
+def test_bcrypt_reference_docstring_example():
+    """The hash from crypto/bcrypt.go's own Example block ($2y, cost 10 —
+    the real-world default; takes seconds in pure Python by design)."""
+    from bento_spark.functions.crypto_prims import bcrypt_compare
+
+    h = "$2y$10$Dtnt5NNzVtMCOZONT705tOcS8It6krJX8bEjnDJnwxiFKsz1C.3Ay"
+    assert bcrypt_compare(b"there-are-many-blobs-in-the-sea", h)
+    assert not bcrypt_compare(b"will-i-ever-find-love", h)
+
+
+def test_compare_bcrypt_bloblang_method(spark):
+    h = "$2a$06$If6bvum7DFjUnE9p2uDeDu0YHzrHM6tf.iqN8.yx.jNN1ILEf7h0i"
+    df = spark.createDataFrame([("abc",), ("nope",), ("abc",)], "secret string")
+    out = df.select(
+        compile_expr(f'this.secret.compare_bcrypt("{h}")').alias("m")
+    ).collect()
+    assert [r.m for r in out] == [True, False, True]
+    with pytest.raises(BloblangError, match="malformed"):
+        compile_expr('this.secret.compare_bcrypt("not-a-hash")')
