@@ -462,6 +462,8 @@ def _apply_function(name: str, args: list[Column]) -> Column:
         # uuid is Spark's native per-row unique id — same contract
         # (uniqueness), different format, documented deviation
         return F.expr("uuid()")
+    if name == "fake":
+        return _fake(_lit_str(args[0]))
     if name == "hostname":
         import socket
 
@@ -1006,6 +1008,108 @@ def _parse_jwt_pk(c: Column, key: Column, schema: Column, alg: str) -> Column:
         return s.map(one)
 
     return F.from_json(verify(c), ddl)
+
+
+# fake() wordlists (impl/lang/bloblang.go:126 GetFakeValue — the
+# reference wraps go-faker; the function set below mirrors its supported
+# kinds as pure Catalyst expressions over rand(), so generation stays
+# JVM-side and nondeterministic-per-row like the original)
+_FAKE_FIRST = ["Ada", "Grace", "Alan", "Edsger", "Barbara", "Donald",
+               "Radia", "Leslie", "Margaret", "Dennis"]
+_FAKE_LAST = ["Lovelace", "Hopper", "Turing", "Dijkstra", "Liskov",
+              "Knuth", "Perlman", "Lamport", "Hamilton", "Ritchie"]
+_FAKE_WORDS = ["stream", "window", "batch", "broker", "buffer", "offset",
+               "schema", "topic", "shard", "vector"]
+_FAKE_DOMAINS = ["example.com", "example.org", "example.net", "test.dev"]
+_FAKE_TZ = ["UTC", "America/New_York", "Europe/Berlin", "Asia/Tokyo",
+            "Australia/Sydney"]
+_FAKE_CC = ["Visa", "MasterCard", "American Express", "Discover"]
+_FAKE_CUR = ["USD", "EUR", "GBP", "JPY", "CHF"]
+_FAKE_CN_FIRST = ["Wei", "Fang", "Min", "Jing", "Lei", "Yan"]
+_FAKE_CN_LAST = ["Wang", "Li", "Zhang", "Liu", "Chen", "Yang"]
+
+
+def _fake(kind: str) -> Column:
+    """fake(kind) (impl/lang/bloblang.go:126): each call site draws fresh
+    per-row values. Unknown kinds fail the mapping compile (the reference
+    errors at eval; Bloblang literals make compile-time the honest spot)."""
+
+    def pick(values: list[str]) -> Column:
+        arr = F.array(*[F.lit(v) for v in values])
+        return F.element_at(arr, (F.rand() * len(values)).cast("int") + 1)
+
+    def digits(n: int) -> Column:
+        return F.concat(*[(F.rand() * 10).cast("int").cast("string") for _ in range(n)])
+
+    def hexs(n: int) -> Column:
+        return F.concat(*[
+            F.format_string("%x", (F.rand() * 16).cast("int")) for _ in range(n)
+        ])
+
+    rand_ts = F.timestamp_seconds((F.rand() * F.lit(1_700_000_000)).cast("long"))
+    first, last = pick(_FAKE_FIRST), pick(_FAKE_LAST)
+    username = F.concat(F.lower(first), F.lit("."), F.lower(last),
+                        (F.rand() * 100).cast("int").cast("string"))
+    out = {
+        "latitude": F.round(F.rand() * 180 - 90, 6),
+        "longitude": F.round(F.rand() * 360 - 180, 6),
+        "unix_time": (F.rand() * F.lit(1_700_000_000)).cast("long"),
+        "date": F.date_format(rand_ts, "yyyy-MM-dd"),
+        "time_string": F.date_format(rand_ts, "HH:mm:ss"),
+        "month_name": F.date_format(rand_ts, "MMMM"),
+        "year_string": F.date_format(rand_ts, "yyyy"),
+        "day_of_week": F.date_format(rand_ts, "EEEE"),
+        "day_of_month": F.date_format(rand_ts, "d"),
+        "timestamp": F.date_format(rand_ts, "yyyy-MM-dd HH:mm:ss"),
+        "century": pick(["XIX", "XX", "XXI"]),
+        "timezone": pick(_FAKE_TZ),
+        "time_period": pick(["AM", "PM"]),
+        "email": F.concat(username, F.lit("@"), pick(_FAKE_DOMAINS)),
+        "mac_address": F.concat_ws(":", *[hexs(2) for _ in range(6)]),
+        "domain_name": pick(_FAKE_DOMAINS),
+        "url": F.concat(F.lit("https://"), pick(_FAKE_DOMAINS), F.lit("/"),
+                        pick(_FAKE_WORDS)),
+        "username": username,
+        "ipv4": F.concat_ws(".", *[(F.rand() * 256).cast("int").cast("string")
+                                   for _ in range(4)]),
+        "ipv6": F.concat_ws(":", *[hexs(4) for _ in range(8)]),
+        "password": hexs(16),
+        "jwt": F.concat_ws(".", hexs(12), hexs(24), hexs(16)),
+        "word": pick(_FAKE_WORDS),
+        "cc_type": pick(_FAKE_CC),
+        "cc_number": digits(16),
+        "currency": pick(_FAKE_CUR),
+        "amount_with_currency": F.concat(
+            F.format_number(F.rand() * 10000, 2), F.lit(" "), pick(_FAKE_CUR)),
+        "title_male": F.lit("Mr."),
+        "title_female": F.lit("Mrs."),
+        "first_name": first,
+        "first_name_male": first,
+        "first_name_female": first,
+        "last_name": last,
+        "name": F.concat_ws(" ", first, last),
+        "gender": pick(["Male", "Female"]),
+        "chinese_first_name": pick(_FAKE_CN_FIRST),
+        "chinese_last_name": pick(_FAKE_CN_LAST),
+        "chinese_name": F.concat_ws(" ", pick(_FAKE_CN_LAST), pick(_FAKE_CN_FIRST)),
+        "phone_number": F.concat(digits(3), F.lit("-"), digits(3), F.lit("-"),
+                                 digits(4)),
+        "toll_free_phone_number": F.concat(F.lit("(888) "), digits(3),
+                                           F.lit("-"), digits(4)),
+        "e164_phone_number": F.concat(F.lit("+1"), digits(10)),
+        "uuid_hyphenated": F.expr("uuid()"),
+        "uuid_digit": F.replace(F.expr("uuid()"), F.lit("-"), F.lit("")),
+    }
+    if kind == "sentence":
+        words = F.concat_ws(" ", *[pick(_FAKE_WORDS) for _ in range(6)])
+        return F.concat(F.initcap(F.substring(words, 1, 1)),
+                        F.substring(words, 2, 1 << 20), F.lit("."))
+    if kind == "paragraph":
+        return F.concat_ws(" ", *[_fake("sentence") for _ in range(3)])
+    if kind not in out:
+        raise BloblangError(
+            f"fake: unsupported kind {kind!r} (impl/lang/bloblang.go function set)")
+    return out[kind]
 
 
 def _compare_bcrypt(c: Column, hashed: Column) -> Column:

@@ -259,3 +259,48 @@ def test_compare_bcrypt_bloblang_method(spark):
     assert [r.m for r in out] == [True, False, True]
     with pytest.raises(BloblangError, match="malformed"):
         compile_expr('this.secret.compare_bcrypt("not-a-hash")')
+
+
+# --------------------------------------------------------------------------
+# fake() (impl/lang/bloblang.go — the go-faker function set)
+# --------------------------------------------------------------------------
+
+
+def test_fake_function_kinds(spark):
+    import re
+
+    kinds = [
+        "latitude", "longitude", "unix_time", "date", "time_string",
+        "month_name", "year_string", "day_of_week", "day_of_month",
+        "timestamp", "century", "timezone", "time_period", "email",
+        "mac_address", "domain_name", "url", "username", "ipv4", "ipv6",
+        "password", "jwt", "word", "sentence", "paragraph", "cc_type",
+        "cc_number", "currency", "amount_with_currency", "title_male",
+        "title_female", "first_name", "first_name_male", "first_name_female",
+        "last_name", "name", "gender", "chinese_first_name",
+        "chinese_last_name", "chinese_name", "phone_number",
+        "toll_free_phone_number", "e164_phone_number", "uuid_hyphenated",
+        "uuid_digit",
+    ]
+    rows = spark.range(40).select(
+        *[compile_expr(f'fake("{k}")').alias(k) for k in kinds]
+    ).collect()
+    r = rows[0].asDict()
+    assert -90 <= r["latitude"] <= 90 and -180 <= r["longitude"] <= 180
+    assert re.fullmatch(r"[a-z]+\.[a-z]+\d*@(example|test)\.\w+", r["email"])
+    assert re.fullmatch(r"(\d{1,3}\.){3}\d{1,3}", r["ipv4"])
+    assert re.fullmatch(r"([0-9a-f]{4}:){7}[0-9a-f]{4}", r["ipv6"])
+    assert re.fullmatch(r"([0-9a-f]{2}:){5}[0-9a-f]{2}", r["mac_address"])
+    assert re.fullmatch(r"\d{16}", r["cc_number"])
+    assert re.fullmatch(r"\+1\d{10}", r["e164_phone_number"])
+    assert r["sentence"].endswith(".") and r["sentence"][0].isupper()
+    assert len(r["uuid_digit"]) == 32 and "-" not in r["uuid_digit"]
+    assert 0 <= r["unix_time"] < 1_700_000_000
+    # per-row draws: uuids all distinct, wordlists actually vary
+    assert len({row.uuid_hyphenated for row in rows}) == len(rows)
+    assert len({row.word for row in rows}) > 1
+
+
+def test_fake_unknown_kind_fails_compile(spark):
+    with pytest.raises(BloblangError, match="unsupported kind"):
+        compile_expr('fake("bogus_kind")')
