@@ -1826,6 +1826,7 @@ class Pipeline:
             or out.get("kafka_franz")
             or out.get("fallback")
             or out.get("http_client")
+            or out.get("splunk_hec")
             or out.get("elasticsearch")
             or out.get("mongodb")
             or out.get("mqtt")
@@ -1950,6 +1951,31 @@ class Pipeline:
                 timeout=float(h.get("timeout", 10)),
                 retries=int(h.get("retries", 3)),
                 backoff_s=float(h.get("backoff", 0.25)),
+            )
+        elif out.get("splunk_hec"):
+            # Splunk HTTP Event Collector (splunk/template_output.yaml —
+            # the reference implements this output as an http_client
+            # template wrapping rows in the HEC event envelope with
+            # Splunk-token auth; same composition here). The envelope is
+            # built JVM-side: the whole row becomes `event`, the optional
+            # host/source/sourcetype/index fields ride alongside.
+            from bento_spark.streaming.sink import http_post_writer
+
+            s = out["splunk_hec"]
+            df = self.build_stream(spark)
+            envelope = [F.struct(*[F.col(c) for c in df.columns]).alias("event")]
+            for fld in ("host", "source", "sourcetype", "index"):
+                v = s.get(f"event_{fld}")
+                if v:
+                    envelope.append(F.lit(str(v)).alias(fld))
+            df = df.select(*envelope)
+            writer = http_post_writer(
+                str(s["url"]),
+                headers={"Authorization": f"Splunk {s['token']}",
+                         **(s.get("headers") or {})},
+                timeout=float(s.get("timeout", 10)),
+                retries=int(s.get("retries", 3)),
+                backoff_s=float(s.get("backoff", 0.25)),
             )
         elif out.get("elasticsearch"):
             # bulk indexer (elasticsearch/output.go): index/action/id/

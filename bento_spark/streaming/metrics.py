@@ -240,6 +240,61 @@ def statsd_lines(totals: dict, prefix: str = "bento") -> list[str]:
     return out
 
 
+def influx_lines(totals: dict, measurement: str = "bento",
+                 tags: dict | None = None, timestamp_ns: int | None = None) -> list[str]:
+    """Render listener totals in the InfluxDB line protocol
+    (`measurement,tag=v field=value [ts]` — the public wire format the
+    reference's influxdb metrics component writes,
+    /root/reference/internal/impl/influxdb/metrics_influxdb.go:284 via
+    client.NewPoint with global `tags`). Tag/field escaping per the spec:
+    commas, spaces and equals in tag keys/values escape with a backslash.
+    One line per metric keeps points independently retryable."""
+    def esc(s: str) -> str:
+        return str(s).replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
+
+    tag_part = "".join(
+        f",{esc(k)}={esc(v)}" for k, v in sorted((tags or {}).items())
+    )
+    ts_part = f" {timestamp_ns}" if timestamp_ns is not None else ""
+    keys = ["input_received", "output_sent", "batch_created",
+            "state_rows_last", "max_watermark_lag_ms"]
+    return [
+        f"{esc(measurement)}{tag_part} {k}={int(totals[k])}i{ts_part}"
+        for k in keys
+        if totals.get(k) is not None
+    ]
+
+
+def influx_export(totals: dict, url: str, db: str = "bento",
+                  measurement: str = "bento", tags: dict | None = None,
+                  timestamp_ns: int | None = None) -> int:
+    """POST listener totals at an InfluxDB /write endpoint (v1 API —
+    the reference's flush path). Returns the number of lines written;
+    raises on a non-2xx so callers surface export failures."""
+    import http.client
+    import urllib.parse
+
+    lines = influx_lines(totals, measurement=measurement, tags=tags,
+                         timestamp_ns=timestamp_ns)
+    if not lines:
+        return 0
+    u = urllib.parse.urlsplit(url)
+    cls = http.client.HTTPSConnection if u.scheme == "https" else http.client.HTTPConnection
+    conn = cls(u.hostname, u.port, timeout=10)
+    try:
+        path = (u.path.rstrip("/") or "") + "/write?" + urllib.parse.urlencode({"db": db})
+        conn.request("POST", path, body="\n".join(lines).encode("utf-8"),
+                     headers={"Content-Type": "text/plain; charset=utf-8"})
+        resp = conn.getresponse()
+        body = resp.read()
+        if resp.status // 100 != 2:
+            raise ConnectionError(
+                f"influxdb: write -> {resp.status} {body[:120]!r}")
+        return len(lines)
+    finally:
+        conn.close()
+
+
 def statsd_export(totals: dict, host: str = "127.0.0.1", port: int = 8125,
                   prefix: str = "bento") -> int:
     """Fire listener totals at a statsd daemon over UDP (one datagram per

@@ -1,0 +1,135 @@
+"""Splunk HEC output (reference internal/impl/splunk/template_output.yaml
+— an http_client template with the HEC event envelope + Splunk-token
+auth) and the InfluxDB line-protocol metrics exporter
+(internal/impl/influxdb/metrics_influxdb.go) — driven against in-process
+HTTP servers."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+
+import pytest
+
+from bento_spark.plans.compiler import compile_yaml
+from bento_spark.streaming.metrics import influx_export, influx_lines
+
+
+class _Capture(http.server.BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    store: list = []  # (path, headers, body) — class-level per fixture
+
+    def do_POST(self):  # noqa: N802
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n)
+        type(self).store.append((self.path, dict(self.headers), body))
+        out = b'{"text":"Success","code":0}'
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def capture_server():
+    handler = type("H", (_Capture,), {"store": []})
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1], handler.store
+    srv.shutdown()
+
+
+# --------------------------------------------------------------------------
+# splunk_hec output
+# --------------------------------------------------------------------------
+
+
+def test_yaml_splunk_hec_output(spark, capture_server, tmp_path):
+    port, store = capture_server
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("r1\nr2")
+    p = compile_yaml(f"""
+input:
+  lines:
+    path: {src}
+output:
+  splunk_hec:
+    url: http://127.0.0.1:{port}/services/collector/event
+    token: secret-token
+    event_host: worker-1
+    event_sourcetype: bento
+""")
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(90)
+    assert len(store) == 2
+    for path, headers, body in store:
+        assert path == "/services/collector/event"
+        # token auth (template_output.yaml: Authorization: Splunk <token>)
+        assert headers.get("Authorization") == "Splunk secret-token"
+        ev = json.loads(body)
+        # HEC envelope: row under `event`, overrides alongside
+        assert ev["host"] == "worker-1" and ev["sourcetype"] == "bento"
+        assert ev["event"]["line"] in ("r1", "r2")
+    assert {json.loads(b)["event"]["line"] for _p, _h, b in store} == {"r1", "r2"}
+
+
+# --------------------------------------------------------------------------
+# influxdb metrics exporter
+# --------------------------------------------------------------------------
+
+
+def test_influx_line_format():
+    totals = {"input_received": 100, "output_sent": 90, "state_rows_last": 5}
+    lines = influx_lines(totals, measurement="bento",
+                         tags={"env": "prod", "host": "a b"}, timestamp_ns=1700000000000000000)
+    assert lines[0] == (
+        "bento,env=prod,host=a\\ b input_received=100i 1700000000000000000"
+    )
+    assert any("output_sent=90i" in ln for ln in lines)
+    assert any("state_rows_last=5i" in ln for ln in lines)
+    # absent metrics don't emit lines
+    assert not any("max_watermark_lag_ms" in ln for ln in lines)
+    assert influx_lines({}) == []
+
+
+def test_influx_export_posts_to_write_endpoint(capture_server):
+    port, store = capture_server
+    n = influx_export(
+        {"input_received": 7, "output_sent": 7},
+        url=f"http://127.0.0.1:{port}", db="metrics", tags={"env": "ci"},
+    )
+    assert n == 2
+    path, _headers, body = store[0]
+    assert path == "/write?db=metrics"
+    lines = body.decode().split("\n")
+    assert lines == ["bento,env=ci input_received=7i", "bento,env=ci output_sent=7i"]
+
+
+def test_influx_export_raises_on_error(capture_server):
+    port, _store = capture_server
+
+    class _Fail(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            self.send_response(500)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Fail)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(ConnectionError, match="influxdb: write -> 500"):
+            influx_export({"input_received": 1},
+                          url=f"http://127.0.0.1:{srv.server_address[1]}")
+    finally:
+        srv.shutdown()
