@@ -1827,6 +1827,7 @@ class Pipeline:
             or out.get("fallback")
             or out.get("http_client")
             or out.get("splunk_hec")
+            or out.get("questdb")
             or out.get("elasticsearch")
             or out.get("mongodb")
             or out.get("mqtt")
@@ -1951,6 +1952,20 @@ class Pipeline:
                 timeout=float(h.get("timeout", 10)),
                 retries=int(h.get("retries", 3)),
                 backoff_s=float(h.get("backoff", 0.25)),
+            )
+        elif out.get("questdb"):
+            # ILP-over-TCP (questdb/output.go: table, symbols -> tags,
+            # doubles, designated_timestamp_field) — the whole line
+            # renders JVM-side, executors stream pre-built text
+            from bento_spark.streaming.questdb import questdb_sink
+
+            qd = out["questdb"]
+            df = self.build_stream(spark)
+            host, _, port = str(qd.get("address", "127.0.0.1:9009")).partition(":")
+            writer = questdb_sink(
+                host or "127.0.0.1", int(port or 9009), str(qd["table"]),
+                symbols=qd.get("symbols"), doubles=qd.get("doubles"),
+                designated_timestamp_field=qd.get("designated_timestamp_field"),
             )
         elif out.get("splunk_hec"):
             # Splunk HTTP Event Collector (splunk/template_output.yaml —

@@ -133,3 +133,68 @@ def test_influx_export_raises_on_error(capture_server):
                           url=f"http://127.0.0.1:{srv.server_address[1]}")
     finally:
         srv.shutdown()
+
+
+# --------------------------------------------------------------------------
+# questdb output (ILP over TCP)
+# --------------------------------------------------------------------------
+
+
+def test_ilp_line_rendering(spark):
+    from bento_spark.streaming.questdb import ilp_line
+
+    df = spark.createDataFrame(
+        [("eu west", 7, 2.5, True, 'say "hi"\\x', "2024-01-01 00:00:01")],
+        "region string, n int, ratio double, ok boolean, note string, ts string",
+    )
+    out = ilp_line(df, "my table", symbols=["region"],
+                   designated_timestamp_field="ts").first()._ilp
+    # table + tag escape spaces; int gets i; string quoted with " and \ escaped
+    assert out.startswith("my\\ table,region=eu\\ west ")
+    assert "n=7i" in out and "ratio=2.5" in out and "ok=t" in out
+    assert 'note="say \\"hi\\"\\\\x"' in out
+    assert out.endswith(" 1704067201000000000")  # ns epoch of the ts
+    # `doubles` forces float rendering of an integer column
+    forced = ilp_line(df.select("n"), "t", doubles=["n"]).first()._ilp
+    assert forced == "t n=7.0"
+
+
+def test_yaml_questdb_output(spark, tmp_path):
+    from bento_spark.streaming.questdb import MiniQuestDbServer
+
+    srv = MiniQuestDbServer().start()
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "a.txt").write_text("a\nbb\nccc")
+        p = compile_yaml(f"""
+input:
+  lines:
+    path: {src}
+pipeline:
+  processors:
+    - mapping: |
+        root.word = this.line
+        root.n = this.line.length()
+output:
+  questdb:
+    address: 127.0.0.1:{srv.port}
+    table: words
+    symbols: [word]
+""")
+        q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt"))
+        q.awaitTermination(90)
+        import time as _t
+
+        deadline = _t.monotonic() + 5
+        while _t.monotonic() < deadline and len(srv.lines) < 3:
+            _t.sleep(0.05)
+        # field order follows the schema: the mapping keeps `line` and
+        # adds `n`; `word` rides as the symbol tag
+        assert sorted(srv.lines) == [
+            'words,word=a line="a",n=1i',
+            'words,word=bb line="bb",n=2i',
+            'words,word=ccc line="ccc",n=3i',
+        ]
+    finally:
+        srv.stop()
