@@ -335,6 +335,20 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "zmq4" in inp:
+            # ZeroMQ PULL/SUB (zeromq/input_zmq4.go) via the spool bridge —
+            # dependency-free ZMTP 3.0 implementation (streaming/zeromq.py);
+            # the socket starts via start_zmq_subscriber(). At-most-once
+            # once delivered, the zmq4 contract (no acks in the protocol).
+            o = inp["zmq4"]
+            if not streaming:
+                raise ValueError("zmq4 input is streaming-only (push source)")
+            from bento_spark.streaming.zeromq import read_zmq_stream
+
+            return read_zmq_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "beanstalkd" in inp:
             # beanstalkd reserve-poll (beanstalkd/input.go) via the spool
             # bridge — dependency-free text-protocol client
@@ -637,6 +651,23 @@ class Pipeline:
         hp = str(url).removeprefix("nats://").removeprefix("tcp://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 4222)
+
+    def start_zmq_subscriber(self):
+        """Start the socket bridge for an `input.zmq4` pipeline and return
+        its handle (caller owns `.stop()`). Same runtime-resource/plan
+        split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("zmq4")
+        if not o:
+            raise ValueError("pipeline has no input.zmq4 section")
+        from bento_spark.streaming.zeromq import ZmqSpooler
+
+        return ZmqSpooler(
+            socket_type=str(o.get("socket_type", "PULL")).upper(),
+            spool_dir=o["spool_dir"],
+            urls=[str(u) for u in o.get("urls") or []],
+            bind=bool(o.get("bind", False)),
+            sub_filters=[str(f) for f in o.get("sub_filters") or []],
+        ).start()
 
     def start_beanstalkd_consumer(self):
         """Start the consumer bridge for an `input.beanstalkd` pipeline and
@@ -1832,6 +1863,7 @@ class Pipeline:
             or out.get("mongodb")
             or out.get("mqtt")
             or out.get("beanstalkd")
+            or out.get("zmq4")
             or out.get("nsq")
             or out.get("nats")
             or out.get("redis_list")
@@ -2075,6 +2107,23 @@ class Pipeline:
                 str(mg["url"]), str(mg.get("database", "bento")),
                 str(mg["collection"]), operation=op,
                 upsert=bool(mg.get("upsert", False)),
+            )
+        elif out.get("zmq4"):
+            # dependency-free ZMTP 3.0 publisher (zeromq/output_zmq4.go:
+            # socket_type PUSH|PUB, bind flag) — rows publish as JSON, the
+            # PUB topic as a pre-computed COLUMN
+            from bento_spark.streaming.zeromq import zmq_sink
+
+            z = out["zmq4"]
+            df = self.build_stream(spark)
+            st = str(z.get("socket_type", "PUSH")).upper()
+            topic_col = None
+            if st == "PUB" and z.get("topic"):
+                df = df.withColumn("_zmq_topic", compile_interpolated(str(z["topic"])))
+                topic_col = "_zmq_topic"
+            writer = zmq_sink(
+                [str(u) for u in z.get("urls") or []], socket_type=st,
+                bind=bool(z.get("bind", False)), topic_col=topic_col,
             )
         elif out.get("beanstalkd"):
             # dependency-free beanstalkd producer (beanstalkd/output.go:
