@@ -128,7 +128,9 @@ def test_cli_blobl_verb(spark, tmp_path):
     out = subprocess.run(
         [_sys.executable, "-m", "bento_spark", "blobl",
          'root = deleted() if content().contains("skip")\nroot = content().uppercase()'],
-        input="alpha\nskip me\nbeta\n", capture_output=True, text=True, timeout=180,
+        # 420s: the child spawns its own JVM; under a concurrently-running
+        # Spark suite on this host, cold JVM startup alone can exceed 180s
+        input="alpha\nskip me\nbeta\n", capture_output=True, text=True, timeout=420,
         cwd="/root/repo",
     )
     assert out.returncode == 0, out.stderr[-800:]
