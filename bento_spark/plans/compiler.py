@@ -1553,6 +1553,27 @@ class Pipeline:
 
             return avro_record_encode(df, o["columns"], o["schema"],
                                       out_col=o.get("out", "avro_bytes"))
+        if name == "schema_registry_encode":
+            # confluent/processor_schema_registry_encode.go: subject's
+            # latest Avro schema resolved at plan time, wire-format
+            # magic+id header prepended
+            o = opts or {}
+            from bento_spark.operators.schema_registry import schema_registry_encode
+
+            return schema_registry_encode(
+                df, str(o["url"]), str(o["subject"]), o["columns"],
+                out_col=o.get("out", "sr_blob"))
+        if name == "schema_registry_decode":
+            # confluent/processor_schema_registry_decode.go: per-row schema
+            # id, per-executor schema memo, standard-JSON output column
+            o = opts or {}
+            from bento_spark.operators.schema_registry import schema_registry_decode
+
+            keep = o.get("keep") or [c for c in df.columns
+                                     if c != o.get("column", "sr_blob")]
+            return schema_registry_decode(
+                df, str(o["url"]), blob_col=o.get("column", "sr_blob"),
+                out_col=o.get("out", "decoded"), keep_cols=keep)
         if name == "unarchive_avro":
             # `avro` scanner (scanner.go:46): a binary column of whole OCF
             # files -> one row per record, standard-JSON content (schema
