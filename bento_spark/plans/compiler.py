@@ -238,6 +238,17 @@ class Pipeline:
                 rd = rd.option("wholetext", "true")
             return rd.load(require_object_store(spark, opts["path"])).withColumnRenamed(
                 "value", opts.get("column", "line"))
+        if "cassandra" in inp:
+            # SELECT as a batch source (cassandra/input.go) — driver-side
+            # single-batch read for control-plane-sized tables; bulk data
+            # belongs in parquet/Iceberg
+            o = inp["cassandra"]
+            if streaming:
+                raise ValueError("cassandra input is batch-only (a bounded SELECT)")
+            from bento_spark.streaming.cassandra import cassandra_read
+
+            addr = (o.get("addresses") or [o.get("address", "127.0.0.1:9042")])[0]
+            return cassandra_read(spark, str(addr), str(o["query"]))
         if "mongodb" in inp:
             # collection find as a batch source (mongodb/input.go) —
             # driver-side single-batch read for control-plane-sized
@@ -1881,6 +1892,7 @@ class Pipeline:
             or out.get("splunk_hec")
             or out.get("questdb")
             or out.get("elasticsearch")
+            or out.get("cassandra")
             or out.get("mongodb")
             or out.get("mqtt")
             or out.get("beanstalkd")
@@ -2093,6 +2105,23 @@ class Pipeline:
                 backoff_s=float(e.get("backoff", 0.25)),
                 headers=hdrs,
             )
+        elif out.get("cassandra"):
+            # CQL v4 PREPARE/EXECUTE writer (cassandra/output.go: `query` +
+            # `args_mapping` array) — each arg compiles to a typed COLUMN,
+            # rendered as one JVM-side JSON struct; executors bind against
+            # the PREPARED statement's column types
+            from bento_spark.streaming.cassandra import cassandra_writer
+
+            ca = out["cassandra"]
+            df = self.build_stream(spark)
+            am = ca.get("args_mapping")
+            if isinstance(am, list):
+                exprs = [str(e) for e in am]
+            else:
+                exprs = _split_args_array(str(am))
+            args_cols = [compile_expr(e) for e in exprs]
+            addr = (ca.get("addresses") or [ca.get("address", "127.0.0.1:9042")])[0]
+            writer = cassandra_writer(str(addr), str(ca["query"]), args_cols)
         elif out.get("mongodb"):
             # write operations per message (mongodb/output.go via
             # common.go:102-126): document_map/filter_map are maps of
@@ -2382,6 +2411,52 @@ class Pipeline:
 _ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
 # same pattern but also matching (and preserving) the $$-escaped form
 _ENV_ESC_RE = re.compile(r"\$?\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
+
+
+def _split_args_array(mapping: str) -> list[str]:
+    """Split the reference's `args_mapping` form `root = [e1, e2, ...]`
+    into element expressions (top-level commas only — brackets, parens
+    and string quotes nest)."""
+    import re
+
+    m = re.match(r"\s*root\s*=\s*\[(.*)\]\s*$", mapping, re.S)
+    if not m:
+        raise ValueError(
+            "args_mapping must be `root = [expr, ...]` (cassandra/output.go) "
+            "or a YAML list of expressions")
+    body = m.group(1)
+    out: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur: list[str] = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if quote:
+            cur.append(ch)
+            if ch == quote and body[i - 1] != "\\":
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([{":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    if not out:
+        raise ValueError("args_mapping array is empty")
+    return out
 
 
 def interpolate_env(src: str, env: dict[str, str] | None = None) -> str:
