@@ -1892,6 +1892,7 @@ class Pipeline:
             or out.get("splunk_hec")
             or out.get("questdb")
             or out.get("elasticsearch")
+            or out.get("pusher")
             or out.get("cassandra")
             or out.get("mongodb")
             or out.get("mqtt")
@@ -2104,6 +2105,22 @@ class Pipeline:
                 retries=int(e.get("retries", 3)),
                 backoff_s=float(e.get("backoff", 0.25)),
                 headers=hdrs,
+            )
+        elif out.get("pusher"):
+            # signed Pusher Channels REST output (pusher/output_pusher.go:
+            # interpolated channel, event, appId/key/secret) — channel
+            # compiles to a COLUMN, executors sign per request
+            from bento_spark.streaming.pusher import pusher_sink
+
+            pu = out["pusher"]
+            df = self.build_stream(spark).withColumn(
+                "_pusher_channel", compile_interpolated(str(pu["channel"])))
+            host, _, port = str(pu.get("address", "api.pusherapp.com:443")).partition(":")
+            https = bool(pu.get("https", port in ("", "443")))
+            writer = pusher_sink(
+                host, int(port or 443), str(pu["appId"]), str(pu["key"]),
+                str(pu["secret"]), str(pu["event"]), "_pusher_channel",
+                https=https,
             )
         elif out.get("cassandra"):
             # CQL v4 PREPARE/EXECUTE writer (cassandra/output.go: `query` +

@@ -198,3 +198,68 @@ output:
         ]
     finally:
         srv.stop()
+
+
+# --------------------------------------------------------------------------
+# pusher output (signed Channels REST API)
+# --------------------------------------------------------------------------
+
+
+def test_pusher_auth_signature_recipe():
+    import hashlib
+    import hmac as pyhmac
+
+    from bento_spark.streaming.pusher import pusher_auth_query
+
+    qs = pusher_auth_query("k1", "s3cret", "/apps/42/events", b'{"x":1}', 1700000000)
+    parts = dict(p.split("=") for p in qs.split("&"))
+    assert parts["auth_key"] == "k1" and parts["auth_version"] == "1.0"
+    assert parts["body_md5"] == hashlib.md5(b'{"x":1}').hexdigest()
+    unsigned = "&".join(f"{k}={parts[k]}" for k in
+                        ["auth_key", "auth_timestamp", "auth_version", "body_md5"])
+    expect = pyhmac.new(b"s3cret", f"POST\n/apps/42/events\n{unsigned}".encode(),
+                        hashlib.sha256).hexdigest()
+    assert parts["auth_signature"] == expect
+
+
+def test_yaml_pusher_output(spark, capture_server, tmp_path):
+    import hashlib
+    import hmac as pyhmac
+
+    port, store = capture_server
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("r1\nr2")
+    p = compile_yaml(f"""
+input:
+  lines:
+    path: {src}
+output:
+  pusher:
+    address: 127.0.0.1:{port}
+    https: false
+    appId: "42"
+    key: k1
+    secret: s3cret
+    event: line-arrived
+    channel: chan-${{! this.line }}
+""")
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt_pusher"))
+    q.awaitTermination(90)
+    assert len(store) == 2
+    seen = {}
+    for path, _headers, body in store:
+        base, _, qs = path.partition("?")
+        assert base == "/apps/42/events"
+        parts = dict(pair.split("=") for pair in qs.split("&"))
+        # signature verifies against the shared secret + actual body
+        unsigned = "&".join(f"{k}={parts[k]}" for k in
+                            ["auth_key", "auth_timestamp", "auth_version", "body_md5"])
+        expect = pyhmac.new(b"s3cret", f"POST\n{base}\n{unsigned}".encode(),
+                            hashlib.sha256).hexdigest()
+        assert parts["auth_signature"] == expect
+        assert parts["body_md5"] == hashlib.md5(body).hexdigest()
+        ev = json.loads(body)
+        assert ev["name"] == "line-arrived"
+        seen[ev["channels"][0]] = json.loads(ev["data"])["line"]
+    assert seen == {"chan-r1": "r1", "chan-r2": "r2"}
