@@ -1046,59 +1046,71 @@ def _fake(kind: str) -> Column:
             F.format_string("%x", (F.rand() * 16).cast("int")) for _ in range(n)
         ])
 
-    rand_ts = F.timestamp_seconds((F.rand() * F.lit(1_700_000_000)).cast("long"))
-    first, last = pick(_FAKE_FIRST), pick(_FAKE_LAST)
-    username = F.concat(F.lower(first), F.lit("."), F.lower(last),
+    # everything below is LAZY (a thunk per kind): each Column expression
+    # is a driver->JVM round-trip, so only the requested kind is built
+    def rand_ts():
+        return F.timestamp_seconds((F.rand() * F.lit(1_700_000_000)).cast("long"))
+
+    def first():
+        return pick(_FAKE_FIRST)
+
+    def last():
+        return pick(_FAKE_LAST)
+
+    def username():
+        return F.concat(F.lower(first()), F.lit("."), F.lower(last()),
                         (F.rand() * 100).cast("int").cast("string"))
+
     out = {
-        "latitude": F.round(F.rand() * 180 - 90, 6),
-        "longitude": F.round(F.rand() * 360 - 180, 6),
-        "unix_time": (F.rand() * F.lit(1_700_000_000)).cast("long"),
-        "date": F.date_format(rand_ts, "yyyy-MM-dd"),
-        "time_string": F.date_format(rand_ts, "HH:mm:ss"),
-        "month_name": F.date_format(rand_ts, "MMMM"),
-        "year_string": F.date_format(rand_ts, "yyyy"),
-        "day_of_week": F.date_format(rand_ts, "EEEE"),
-        "day_of_month": F.date_format(rand_ts, "d"),
-        "timestamp": F.date_format(rand_ts, "yyyy-MM-dd HH:mm:ss"),
-        "century": pick(["XIX", "XX", "XXI"]),
-        "timezone": pick(_FAKE_TZ),
-        "time_period": pick(["AM", "PM"]),
-        "email": F.concat(username, F.lit("@"), pick(_FAKE_DOMAINS)),
-        "mac_address": F.concat_ws(":", *[hexs(2) for _ in range(6)]),
-        "domain_name": pick(_FAKE_DOMAINS),
-        "url": F.concat(F.lit("https://"), pick(_FAKE_DOMAINS), F.lit("/"),
-                        pick(_FAKE_WORDS)),
+        "latitude": lambda: F.round(F.rand() * 180 - 90, 6),
+        "longitude": lambda: F.round(F.rand() * 360 - 180, 6),
+        "unix_time": lambda: (F.rand() * F.lit(1_700_000_000)).cast("long"),
+        "date": lambda: F.date_format(rand_ts(), "yyyy-MM-dd"),
+        "time_string": lambda: F.date_format(rand_ts(), "HH:mm:ss"),
+        "month_name": lambda: F.date_format(rand_ts(), "MMMM"),
+        "year_string": lambda: F.date_format(rand_ts(), "yyyy"),
+        "day_of_week": lambda: F.date_format(rand_ts(), "EEEE"),
+        "day_of_month": lambda: F.date_format(rand_ts(), "d"),
+        "timestamp": lambda: F.date_format(rand_ts(), "yyyy-MM-dd HH:mm:ss"),
+        "century": lambda: pick(["XIX", "XX", "XXI"]),
+        "timezone": lambda: pick(_FAKE_TZ),
+        "time_period": lambda: pick(["AM", "PM"]),
+        "email": lambda: F.concat(username(), F.lit("@"), pick(_FAKE_DOMAINS)),
+        "mac_address": lambda: F.concat_ws(":", *[hexs(2) for _ in range(6)]),
+        "domain_name": lambda: pick(_FAKE_DOMAINS),
+        "url": lambda: F.concat(F.lit("https://"), pick(_FAKE_DOMAINS),
+                                F.lit("/"), pick(_FAKE_WORDS)),
         "username": username,
-        "ipv4": F.concat_ws(".", *[(F.rand() * 256).cast("int").cast("string")
-                                   for _ in range(4)]),
-        "ipv6": F.concat_ws(":", *[hexs(4) for _ in range(8)]),
-        "password": hexs(16),
-        "jwt": F.concat_ws(".", hexs(12), hexs(24), hexs(16)),
-        "word": pick(_FAKE_WORDS),
-        "cc_type": pick(_FAKE_CC),
-        "cc_number": digits(16),
-        "currency": pick(_FAKE_CUR),
-        "amount_with_currency": F.concat(
+        "ipv4": lambda: F.concat_ws(
+            ".", *[(F.rand() * 256).cast("int").cast("string") for _ in range(4)]),
+        "ipv6": lambda: F.concat_ws(":", *[hexs(4) for _ in range(8)]),
+        "password": lambda: hexs(16),
+        "jwt": lambda: F.concat_ws(".", hexs(12), hexs(24), hexs(16)),
+        "word": lambda: pick(_FAKE_WORDS),
+        "cc_type": lambda: pick(_FAKE_CC),
+        "cc_number": lambda: digits(16),
+        "currency": lambda: pick(_FAKE_CUR),
+        "amount_with_currency": lambda: F.concat(
             F.format_number(F.rand() * 10000, 2), F.lit(" "), pick(_FAKE_CUR)),
-        "title_male": F.lit("Mr."),
-        "title_female": F.lit("Mrs."),
+        "title_male": lambda: F.lit("Mr."),
+        "title_female": lambda: F.lit("Mrs."),
         "first_name": first,
         "first_name_male": first,
         "first_name_female": first,
         "last_name": last,
-        "name": F.concat_ws(" ", first, last),
-        "gender": pick(["Male", "Female"]),
-        "chinese_first_name": pick(_FAKE_CN_FIRST),
-        "chinese_last_name": pick(_FAKE_CN_LAST),
-        "chinese_name": F.concat_ws(" ", pick(_FAKE_CN_LAST), pick(_FAKE_CN_FIRST)),
-        "phone_number": F.concat(digits(3), F.lit("-"), digits(3), F.lit("-"),
-                                 digits(4)),
-        "toll_free_phone_number": F.concat(F.lit("(888) "), digits(3),
-                                           F.lit("-"), digits(4)),
-        "e164_phone_number": F.concat(F.lit("+1"), digits(10)),
-        "uuid_hyphenated": F.expr("uuid()"),
-        "uuid_digit": F.replace(F.expr("uuid()"), F.lit("-"), F.lit("")),
+        "name": lambda: F.concat_ws(" ", first(), last()),
+        "gender": lambda: pick(["Male", "Female"]),
+        "chinese_first_name": lambda: pick(_FAKE_CN_FIRST),
+        "chinese_last_name": lambda: pick(_FAKE_CN_LAST),
+        "chinese_name": lambda: F.concat_ws(
+            " ", pick(_FAKE_CN_LAST), pick(_FAKE_CN_FIRST)),
+        "phone_number": lambda: F.concat(digits(3), F.lit("-"), digits(3),
+                                         F.lit("-"), digits(4)),
+        "toll_free_phone_number": lambda: F.concat(
+            F.lit("(888) "), digits(3), F.lit("-"), digits(4)),
+        "e164_phone_number": lambda: F.concat(F.lit("+1"), digits(10)),
+        "uuid_hyphenated": lambda: F.expr("uuid()"),
+        "uuid_digit": lambda: F.replace(F.expr("uuid()"), F.lit("-"), F.lit("")),
     }
     if kind == "sentence":
         words = F.concat_ws(" ", *[pick(_FAKE_WORDS) for _ in range(6)])
@@ -1109,7 +1121,7 @@ def _fake(kind: str) -> Column:
     if kind not in out:
         raise BloblangError(
             f"fake: unsupported kind {kind!r} (impl/lang/bloblang.go function set)")
-    return out[kind]
+    return out[kind]()
 
 
 def _compare_bcrypt(c: Column, hashed: Column) -> Column:
@@ -1117,11 +1129,12 @@ def _compare_bcrypt(c: Column, hashed: Column) -> Column:
     False on mismatch, NULL on a malformed hash via the catch protocol).
     Distinct secrets memoize within the batch — bcrypt's work factor is
     the point, so re-deriving per equal row would multiply seconds."""
-    from bento_spark.functions.crypto_prims import bcrypt_compare  # compile-time parse check
+    from bento_spark.functions.crypto_prims import bcrypt_parse
 
     hashed_lit = _lit_full_str(hashed)
-    try:  # malformed hash fails the compile, not every row
-        bcrypt_compare(b"", hashed_lit)
+    try:  # malformed hash fails the compile, not every row — format
+        # check only (a full compare would run 2^cost eksblowfish here)
+        bcrypt_parse(hashed_lit)
     except ValueError as e:
         raise BloblangError(f"compare_bcrypt: {e}") from e
 

@@ -538,14 +538,22 @@ def bcrypt_hash(password: bytes, cost: int, salt: bytes, prefix: str = "2b") -> 
             f"{_bcrypt_b64encode(salt)}{_bcrypt_b64encode(raw)}")
 
 
-def bcrypt_compare(password: bytes, hashed: str) -> bool:
-    """CompareHashAndPassword (bcrypt.go:36): True on match, False on
-    mismatch; raises ValueError on a malformed hash."""
+def bcrypt_parse(hashed: str) -> tuple[str, int, str]:
+    """-> (prefix, cost, salt22); raises ValueError on a malformed hash.
+    Cheap format validation — callers that only need well-formed-ness
+    (compile-time checks) must use THIS, never a full compare (a cost-12
+    compare is seconds of eksblowfish work)."""
     m = re.fullmatch(r"\$(2[abxy]?)\$(\d{2})\$([./A-Za-z0-9]{22})([./A-Za-z0-9]{31})",
                      hashed)
     if not m:
         raise ValueError("bcrypt: malformed hash")
-    prefix, cost, salt22 = m.group(1), int(m.group(2)), m.group(3)
+    return m.group(1), int(m.group(2)), m.group(3)
+
+
+def bcrypt_compare(password: bytes, hashed: str) -> bool:
+    """CompareHashAndPassword (bcrypt.go:36): True on match, False on
+    mismatch; raises ValueError on a malformed hash."""
+    prefix, cost, salt22 = bcrypt_parse(hashed)
     salt = _bcrypt_b64decode(salt22)[:16]
     expect = bcrypt_hash(password, cost, salt, prefix=prefix)
     return _hmac.compare_digest(expect, hashed)

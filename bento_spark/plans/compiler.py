@@ -2451,8 +2451,16 @@ def _split_args_array(mapping: str) -> list[str]:
         ch = body[i]
         if quote:
             cur.append(ch)
-            if ch == quote and body[i - 1] != "\\":
-                quote = None
+            if ch == quote:
+                # closed only when preceded by an EVEN number of
+                # backslashes ("\\" ends the string; "\"" does not)
+                nbs = 0
+                j = i - 1
+                while j >= 0 and body[j] == "\\":
+                    nbs += 1
+                    j -= 1
+                if nbs % 2 == 0:
+                    quote = None
         elif ch in "\"'":
             quote = ch
             cur.append(ch)

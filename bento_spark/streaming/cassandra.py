@@ -192,19 +192,24 @@ class CassandraClient:
     def query(self, cql: str) -> list[dict]:
         """Plain QUERY (consistency ONE, no binds) -> rows as typed
         dicts; Void results -> []."""
+        return self.query_with_meta(cql)[1]
+
+    def query_with_meta(self, cql: str) -> tuple[list[tuple[str, int]], list[dict]]:
+        """-> ([(column, type_id)], rows) — the Rows metadata carries the
+        exact column types, so callers never re-infer them from values."""
         body = _enc_long_string(cql) + struct.pack(">H", 1) + b"\x00"
         op, r = self._call(_OP_QUERY, body)
         if op != _OP_RESULT:
             raise ConnectionError(f"cassandra: QUERY -> opcode 0x{op:02x}")
         kind = r.i32()
         if kind != 2:  # not Rows
-            return []
+            return [], []
         cols = _read_cols_metadata(r)
         n_rows = r.i32()
         out = []
         for _ in range(n_rows):
             out.append({name: decode_value(r.bytes_(), tid) for name, tid in cols})
-        return out
+        return cols, out
 
     def prepare(self, cql: str) -> tuple[bytes, list[tuple[str, int]]]:
         """-> (statement id, bind-variable metadata [(name, type_id)])."""
@@ -311,19 +316,27 @@ def cassandra_writer(address: str, query: str, args_cols: list):
     return write_batch
 
 
+_CQL_TO_DDL = {_T_BIGINT: "bigint", _T_BOOLEAN: "boolean", _T_DOUBLE: "double",
+               _T_INT: "int", _T_VARCHAR: "string"}
+
+
 def cassandra_read(spark, address: str, query: str):
     """`cassandra` input (input.go): run the SELECT driver-side and
-    return a typed DataFrame (control-plane reads, like input.mongodb)."""
+    return a typed DataFrame (control-plane reads, like input.mongodb).
+    The schema comes from the Rows METADATA, never value inference —
+    all-NULL columns and empty results keep exact types."""
     host, port = parse_cassandra_addr(address)
     client = CassandraClient(host, port)
     try:
-        rows = client.query(query)
+        cols, rows = client.query_with_meta(query)
     finally:
         client.close()
-    if not rows:
-        raise ValueError("cassandra: query returned no rows (schema unknown)")
-    cols = list(rows[0].keys())
-    return spark.createDataFrame([tuple(r[c] for c in cols) for r in rows], cols)
+    if not cols:
+        raise ValueError(f"cassandra: not a Rows result: {query!r}")
+    ddl = ", ".join(
+        f"{name} {_CQL_TO_DDL.get(tid, 'string')}" for name, tid in cols)
+    data = [tuple(r[name] for name, _t in cols) for r in rows]
+    return spark.createDataFrame(data, ddl)
 
 
 # --------------------------------------------------------------------------

@@ -368,6 +368,11 @@ _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS, _API_METADATA = 0, 1, 2, 3
 _API_VERSIONS = 18
 
 
+class _TransientMetadataError(ConnectionError):
+    """Topic error the broker resolves by itself (leader election,
+    auto-creation in flight)."""
+
+
 class KafkaWireClient:
     """Minimal synchronous Kafka client over one socket: ApiVersions v0
     handshake, Metadata v1, Produce v3 (acks=-1), Fetch v4, ListOffsets
@@ -425,9 +430,27 @@ class KafkaWireClient:
             out[k] = (lo, hi)
         return out
 
-    def metadata(self, topics: list[str]) -> dict[str, dict[int, tuple[str, int]]]:
-        """-> {topic: {partition: (leader_host, leader_port)}}; raises on
-        topic errors other than leader-not-yet-elected."""
+    def metadata(self, topics: list[str], retry_timeout_s: float = 5.0
+                 ) -> dict[str, dict[int, tuple[str, int]]]:
+        """-> {topic: {partition: (leader_host, leader_port)}}. Transient
+        topic errors (LEADER_NOT_AVAILABLE=5 / UNKNOWN_TOPIC=3 while
+        auto-creation elects a leader) retry up to `retry_timeout_s` —
+        every real client does; failing the pipeline on a topic that is
+        seconds from existing is a startup bug, not an error."""
+        import time as _time
+
+        deadline = _time.monotonic() + retry_timeout_s
+        while True:
+            try:
+                return self._metadata_once(topics)
+            except _TransientMetadataError:
+                if _time.monotonic() >= deadline:
+                    raise ConnectionError(
+                        f"kafka: topic metadata still unavailable after "
+                        f"{retry_timeout_s}s for {topics!r}") from None
+                _time.sleep(0.1)
+
+    def _metadata_once(self, topics: list[str]) -> dict[str, dict[int, tuple[str, int]]]:
         body = _I32.pack(len(topics)) + b"".join(_enc_str(t) for t in topics)
         r = self._call(_API_METADATA, 1, body)
         brokers: dict[int, tuple[str, int]] = {}
@@ -454,6 +477,8 @@ class KafkaWireClient:
                     r.i32()
                 if leader in brokers:
                     parts[pid] = brokers[leader]
+            if terr in (3, 5):  # UNKNOWN_TOPIC / LEADER_NOT_AVAILABLE
+                raise _TransientMetadataError(tname, terr)
             if terr:
                 raise ConnectionError(f"kafka: metadata error {terr} for topic {tname!r}")
             out[tname] = parts
@@ -581,9 +606,22 @@ class KafkaSpooler:
     spool_dir: str
     checkpoint_limit: int = 4096
     poll_wait_ms: int = 200
+    error: str | None = field(default=None, repr=False)
     _thread: threading.Thread | None = field(default=None, repr=False)
     _stop: threading.Event = field(default_factory=threading.Event, repr=False)
     _client: KafkaWireClient | None = field(default=None, repr=False)
+
+    def _reconnect(self) -> bool:
+        """Replace the dead connection with backoff; False once stopped."""
+        delay = 0.2
+        while not self._stop.is_set():
+            try:
+                self._client = KafkaWireClient(self.host, self.port)
+                return True
+            except (ConnectionError, OSError):
+                self._stop.wait(delay)
+                delay = min(delay * 2, 5.0)
+        return False
 
     def start(self) -> "KafkaSpooler":
         spool = Path(self.spool_dir)
@@ -610,6 +648,8 @@ class KafkaSpooler:
             tmp.rename(offsets_path)
 
         def run() -> None:
+            import sys
+
             while not self._stop.is_set():
                 progressed = False
                 for topic, pid in partitions:
@@ -617,19 +657,37 @@ class KafkaSpooler:
                         return
                     key = f"{topic}/{pid}"
                     try:
-                        _hw, recs = client.fetch(
+                        assert self._client is not None
+                        _hw, recs = self._client.fetch(
                             topic, pid, offsets[key], max_wait_ms=self.poll_wait_ms
                         )
-                    except (ConnectionError, OSError, ValueError):
-                        return  # socket closed by stop() or broker gone
+                    except (ConnectionError, OSError, AssertionError) as e:
+                        if self._stop.is_set():
+                            return  # socket closed by stop()
+                        # transient broker loss: reconnect with backoff
+                        # instead of silently killing the consumer
+                        print(f"kafka_franz: fetch failed ({e}); reconnecting",
+                              file=sys.stderr)
+                        if not self._reconnect():
+                            return
+                        continue
+                    except ValueError as e:
+                        # un-decodable batch (compression/CRC/magic):
+                        # surface loudly — skipping would lose data,
+                        # looping would spin on the same offset
+                        self.error = f"kafka_franz: {e} (topic={topic} p={pid} offset={offsets[key]})"
+                        print(self.error, file=sys.stderr)
+                        return
                     for off, ts, rkey, value, _hdrs in recs[: self.checkpoint_limit]:
                         seq["n"] += 1
                         # topic/partition/offset/key ride the filename ->
                         # kafka_* metadata columns (input_kafka_franz.go
-                        # record metadata), decoded JVM-side
+                        # record metadata), decoded JVM-side. The spec's
+                        # "no timestamp" sentinel -1 clamps to 0 so the
+                        # fixed-width filename stays parseable.
                         name = (
                             f"{seq['n']:012d}-{topic.encode().hex()}-{pid:05d}"
-                            f"-{off:020d}-{ts:020d}-{(rkey or b'').hex()}"
+                            f"-{off:020d}-{max(ts, 0):020d}-{(rkey or b'').hex()}"
                             f"-{uuid.uuid4().hex}.msg"
                         )
                         tmp = spool / f".{name}.tmp"
@@ -695,7 +753,14 @@ def kafka_wire_sink(host: str, port: int, topic: str,
     executor partition groups rows by murmur2(key) % n_partitions (keyless
     rows spread round-robin within the executor partition, like the
     default partitioner without a key) and produces one uncompressed v2
-    batch per <= max_batch_records chunk with acks=-1."""
+    batch per <= max_batch_records chunk with acks=-1.
+
+    Record timestamps are send-time wall clock (CreateTime, what every
+    real producer stamps): a fixed 0 would read as epoch-1970 to the
+    broker's time-based retention and expire immediately. This is
+    transport metadata, not row content — replay identity of
+    key/value/partition is untouched (the determinism invariant governs
+    data paths)."""
     from pyspark.sql import functions as F
 
     def write_batch(batch_df, epoch_id: int) -> None:
@@ -707,6 +772,8 @@ def kafka_wire_sink(host: str, port: int, topic: str,
 
         def send(rows) -> None:
             # imported here: worker closures must re-resolve submodules
+            import time as _time
+
             from bento_spark.streaming.kafka_wire import (
                 KafkaWireClient,
                 encode_record_batch,
@@ -716,6 +783,7 @@ def kafka_wire_sink(host: str, port: int, topic: str,
             client = None
             pending: dict[int, list] = {}
             rr = 0
+            now_ms = int(_time.time() * 1000)
             try:
                 for row in rows:
                     if client is None:
@@ -727,7 +795,8 @@ def kafka_wire_sink(host: str, port: int, topic: str,
                         rr += 1
                     else:
                         pid = partition_for_key(key, n_parts)
-                    pending.setdefault(pid, []).append((0, key, row.v.encode("utf-8"), []))
+                    pending.setdefault(pid, []).append(
+                        (now_ms, key, row.v.encode("utf-8"), []))
                     if len(pending[pid]) >= max_batch_records:
                         client.produce(topic, pid, encode_record_batch(0, pending.pop(pid)))
                 if client is not None:

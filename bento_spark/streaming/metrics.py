@@ -252,6 +252,9 @@ def influx_lines(totals: dict, measurement: str = "bento",
     def esc(s: str) -> str:
         return str(s).replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
 
+    # measurement position escapes ONLY ',' and ' ' — '=' is legal there
+    # and a backslash before it would be stored literally
+    meas = str(measurement).replace(",", "\\,").replace(" ", "\\ ")
     tag_part = "".join(
         f",{esc(k)}={esc(v)}" for k, v in sorted((tags or {}).items())
     )
@@ -259,7 +262,7 @@ def influx_lines(totals: dict, measurement: str = "bento",
     keys = ["input_received", "output_sent", "batch_created",
             "state_rows_last", "max_watermark_lag_ms"]
     return [
-        f"{esc(measurement)}{tag_part} {k}={int(totals[k])}i{ts_part}"
+        f"{meas}{tag_part} {k}={int(totals[k])}i{ts_part}"
         for k in keys
         if totals.get(k) is not None
     ]

@@ -39,7 +39,10 @@ def ilp_line(df, table: str, symbols: list[str] | None = None,
     `table,sym=v field=val[,field2=..] [ts_ns]`. Field serialization from
     the Spark schema: integers get the `i` suffix, doubles bare, booleans
     t/f, strings quoted with `"`/`\\` escaped; `doubles` forces float
-    rendering for named numeric columns (output.go `doubles`)."""
+    rendering for named numeric columns (output.go `doubles`). NULLs
+    follow the protocol: a NULL field/symbol/timestamp is OMITTED from
+    the line (never NULLs the whole row through concat), and a row whose
+    fields are ALL NULL is dropped (a field-less line is invalid ILP)."""
     from pyspark.sql import functions as F
 
     symbols = list(symbols or [])
@@ -51,28 +54,41 @@ def ilp_line(df, table: str, symbols: list[str] | None = None,
     ]
     if not fields:
         raise ValueError("questdb: no field columns left after symbols/timestamp")
+    # measurement position escapes only ',' and ' ' (the spec's table rule)
     table_esc = table.replace(",", "\\,").replace(" ", "\\ ")
     parts = [F.lit(table_esc)]
     for s in symbols:
-        parts += [F.lit(f",{s}="), _esc_tag(F.col(s))]
-    for i, (name, typ) in enumerate(fields):
-        parts.append(F.lit(("," if i else " ") + name + "="))
+        frag = F.concat(F.lit(f",{s}="), _esc_tag(F.col(s)))
+        parts.append(F.when(F.col(s).isNotNull(), frag).otherwise(F.lit("")))
+    field_frags = []
+    for name, typ in fields:
         col = F.col(name)
         if name in doubles or typ in ("double", "float"):
-            parts.append(col.cast("double").cast("string"))
+            rendered = col.cast("double").cast("string")
         elif typ in ("bigint", "int", "smallint", "tinyint"):
-            parts.append(F.concat(col.cast("long").cast("string"), F.lit("i")))
+            rendered = F.concat(col.cast("long").cast("string"), F.lit("i"))
         elif typ == "boolean":
-            parts.append(F.when(col, "t").otherwise("f"))
+            rendered = F.when(col, "t").otherwise("f")
         else:
             quoted = F.regexp_replace(
                 F.regexp_replace(col.cast("string"), r"\\", r"\\\\"),
                 '"', '\\\\"')
-            parts += [F.lit('"'), quoted, F.lit('"')]
+            rendered = F.concat(F.lit('"'), quoted, F.lit('"'))
+        frag = F.concat(F.lit(f",{name}="), rendered)
+        field_frags.append(F.when(col.isNotNull(), frag).otherwise(F.lit("")))
+    # every fragment carries a leading ','; the first becomes the
+    # tag/field-set separator space
+    field_part = F.concat(*field_frags)
+    parts += [F.lit(" "), F.expr("substring(_qdb_fields, 2)")]
     if designated_timestamp_field:
         ns = F.unix_micros(F.col(designated_timestamp_field).cast("timestamp")) * 1000
-        parts += [F.lit(" "), ns.cast("string")]
-    return df.select(F.concat(*parts).alias("_ilp"))
+        ts_frag = F.concat(F.lit(" "), ns.cast("string"))
+        parts.append(F.when(ns.isNotNull(), ts_frag).otherwise(F.lit("")))
+    return (
+        df.withColumn("_qdb_fields", field_part)
+        .filter(F.length("_qdb_fields") > 0)  # all-NULL rows are un-renderable
+        .select(F.concat(*parts).alias("_ilp"))
+    )
 
 
 def questdb_sink(host: str, port: int, table: str,

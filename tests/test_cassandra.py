@@ -121,3 +121,26 @@ def test_lint_knows_cassandra():
     from bento_spark.plans.lint import known_inputs
 
     assert "cassandra" in known_inputs()
+
+
+def test_read_all_null_column_keeps_type(spark, server):
+    """Schema comes from Rows metadata, never value inference — an
+    all-NULL optional column must not kill the read."""
+    c = CassandraClient(server.host, server.port)
+    stmt, cols = c.prepare(
+        "INSERT INTO ks.events (id, name, score, ok, small) VALUES (?, ?, ?, ?, ?)")
+    c.execute(stmt, [encode_value(v, t) for v, (_n, t) in
+                     zip([1, "x", None, None, None], cols)])
+    c.close()
+    df = cassandra_read(spark, server.address, "SELECT * FROM ks.events")
+    types = dict(df.dtypes)
+    assert types == {"id": "bigint", "name": "string", "score": "double",
+                     "ok": "boolean", "small": "int"}
+    row = df.collect()[0]
+    assert row.score is None and row.ok is None and row.small is None
+
+
+def test_split_args_array_escaped_backslash():
+    # a string literal ENDING in an escaped backslash must still close
+    assert _split_args_array('root = [ "\\\\", this.b ]') == ['"\\\\"', "this.b"]
+    assert _split_args_array('root = [ "a\\"b,c", this.b ]') == ['"a\\"b,c"', "this.b"]

@@ -304,3 +304,17 @@ def test_fake_function_kinds(spark):
 def test_fake_unknown_kind_fails_compile(spark):
     with pytest.raises(BloblangError, match="unsupported kind"):
         compile_expr('fake("bogus_kind")')
+
+
+def test_bcrypt_parse_is_cheap_format_check():
+    import time as _t
+
+    from bento_spark.functions.crypto_prims import bcrypt_parse
+
+    t0 = _t.monotonic()
+    # cost 14 would take minutes to COMPARE; parsing must be instant
+    assert bcrypt_parse(
+        "$2b$14$" + "a" * 22 + "b" * 31) == ("2b", 14, "a" * 22)
+    assert _t.monotonic() - t0 < 0.1
+    with pytest.raises(ValueError, match="malformed"):
+        bcrypt_parse("$9$nope")

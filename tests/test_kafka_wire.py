@@ -366,3 +366,65 @@ def test_lint_knows_kafka_franz():
     from bento_spark.plans.lint import known_inputs
 
     assert "kafka_franz" in known_inputs()
+
+
+# --------------------------------------------------------------------------
+# review fixes
+# --------------------------------------------------------------------------
+
+
+def test_spooler_clamps_no_timestamp_sentinel(broker, tmp_path):
+    """The spec's 'no timestamp' (-1) must not break the fixed-width spool
+    filename (kafka_* metadata would silently NULL)."""
+    p = KafkaWireClient("127.0.0.1", broker.port)
+    p.produce("nots", 0, encode_record_batch(0, [(-1, b"k", b"v", [])]))
+    p.close()
+    spool = tmp_path / "spool"
+    sp = KafkaSpooler("127.0.0.1", broker.port, ["nots"], str(spool)).start()
+    try:
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and not list(spool.glob("*.msg")):
+            time.sleep(0.05)
+        files = list(spool.glob("*.msg"))
+        assert files and "-" + "0" * 20 + "-" in files[0].name  # ts clamped to 0
+    finally:
+        sp.stop()
+
+
+def test_spooler_surfaces_undecodable_batch(broker, tmp_path):
+    """A compressed/corrupt batch must surface on spooler.error, not
+    silently kill the consumer thread."""
+    import struct as _struct
+
+    from bento_spark.streaming.kafka_wire import crc32c
+
+    batch = bytearray(encode_record_batch(0, [(0, None, b"x", [])]))
+    batch[22] |= 0x01  # gzip bit
+    _struct.pack_into(">I", batch, 17, crc32c(bytes(batch[21:])))
+    p = KafkaWireClient("127.0.0.1", broker.port)
+    p.produce("badbatch", 0, bytes(batch))
+    p.close()
+    spool = tmp_path / "spool"
+    sp = KafkaSpooler("127.0.0.1", broker.port, ["badbatch"], str(spool)).start()
+    try:
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and sp.error is None:
+            time.sleep(0.05)
+        assert sp.error and "compressed" in sp.error and "badbatch" in sp.error
+        assert not list(spool.glob("*.msg"))  # nothing half-spooled
+    finally:
+        sp.stop()
+
+
+def test_sink_timestamps_are_current(broker, spark):
+    df = spark.createDataFrame([("k1", 1)], "k string, n int")
+    kafka_wire_sink("127.0.0.1", broker.port, "tsed", key_col="k")(df, 0)
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        found = []
+        for pid in (0, 1):
+            _hw, recs = c.fetch("tsed", pid, 0, max_wait_ms=50)
+            found.extend(ts for _o, ts, *_ in recs)
+        assert found and all(ts > 1_600_000_000_000 for ts in found)  # not 1970
+    finally:
+        c.close()

@@ -263,3 +263,22 @@ output:
         assert ev["name"] == "line-arrived"
         seen[ev["channels"][0]] = json.loads(ev["data"])["line"]
     assert seen == {"chan-r1": "r1", "chan-r2": "r2"}
+
+
+def test_ilp_null_fields_omitted(spark):
+    from bento_spark.streaming.questdb import ilp_line
+
+    df = spark.createDataFrame(
+        [("a", 1, None), (None, None, 2.0), (None, None, None)],
+        "region string, n int, ratio double",
+    )
+    lines = [r._ilp for r in
+             ilp_line(df, "t", symbols=["region"]).collect()]
+    # NULL field/symbol omitted; all-NULL row dropped (invalid ILP)
+    assert lines == ["t,region=a n=1i", "t ratio=2.0"]
+
+
+def test_influx_measurement_escaping():
+    # measurement escapes ONLY ',' and ' ' — '=' is legal in that position
+    lines = influx_lines({"input_received": 1}, measurement="jobs=prod, x")
+    assert lines == ["jobs=prod\\,\\ x input_received=1i"]
