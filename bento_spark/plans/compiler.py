@@ -346,6 +346,20 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "nanomsg" in inp:
+            # nanomsg PULL/SUB (nanomsg/input.go) via the spool bridge —
+            # dependency-free SP-over-TCP implementation
+            # (streaming/nanomsg.py); the socket starts via
+            # start_nanomsg_subscriber(). At-most-once once delivered.
+            o = inp["nanomsg"]
+            if not streaming:
+                raise ValueError("nanomsg input is streaming-only (push source)")
+            from bento_spark.streaming.nanomsg import read_nanomsg_stream
+
+            return read_nanomsg_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "zmq4" in inp:
             # ZeroMQ PULL/SUB (zeromq/input_zmq4.go) via the spool bridge —
             # dependency-free ZMTP 3.0 implementation (streaming/zeromq.py);
@@ -662,6 +676,24 @@ class Pipeline:
         hp = str(url).removeprefix("nats://").removeprefix("tcp://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 4222)
+
+    def start_nanomsg_subscriber(self):
+        """Start the socket bridge for an `input.nanomsg` pipeline and
+        return its handle (caller owns `.stop()`). Same runtime-resource/
+        plan split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("nanomsg")
+        if not o:
+            raise ValueError("pipeline has no input.nanomsg section")
+        from bento_spark.streaming.nanomsg import NanomsgSpooler
+
+        return NanomsgSpooler(
+            socket_type=str(o.get("socket_type", "PULL")).upper(),
+            spool_dir=o["spool_dir"],
+            urls=[str(u) for u in o.get("urls") or []],
+            bind=bool(o.get("bind", False)),
+            sub_filters=[str(f) for f in o["sub_filters"]]
+            if o.get("sub_filters") is not None else None,
+        ).start()
 
     def start_zmq_subscriber(self):
         """Start the socket bridge for an `input.zmq4` pipeline and return
@@ -1898,6 +1930,7 @@ class Pipeline:
             or out.get("mqtt")
             or out.get("beanstalkd")
             or out.get("zmq4")
+            or out.get("nanomsg")
             or out.get("nsq")
             or out.get("nats")
             or out.get("redis_list")
@@ -2174,6 +2207,18 @@ class Pipeline:
                 str(mg["url"]), str(mg.get("database", "bento")),
                 str(mg["collection"]), operation=op,
                 upsert=bool(mg.get("upsert", False)),
+            )
+        elif out.get("nanomsg"):
+            # dependency-free SP-over-TCP publisher (nanomsg/output.go:
+            # socket_type PUSH|PUB, bind flag) — rows publish as JSON
+            from bento_spark.streaming.nanomsg import nanomsg_sink
+
+            nn = out["nanomsg"]
+            df = self.build_stream(spark)
+            writer = nanomsg_sink(
+                [str(u) for u in nn.get("urls") or []],
+                socket_type=str(nn.get("socket_type", "PUSH")).upper(),
+                bind=bool(nn.get("bind", False)),
             )
         elif out.get("zmq4"):
             # dependency-free ZMTP 3.0 publisher (zeromq/output_zmq4.go:
