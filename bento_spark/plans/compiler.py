@@ -968,6 +968,21 @@ class Pipeline:
                         value_field=d.get("value_field", "value"),
                         key_col=key_col, value_col=d.get("value_col", "value"),
                     )
+                if "couchbase" in r:
+                    d = r["couchbase"] or {}
+                    if "url" not in d:
+                        raise ValueError(
+                            f"cache resource {resource!r}: couchbase backend "
+                            "needs `url`"
+                        )
+                    from bento_spark.streaming.couchbase import CouchbaseCache
+
+                    return CouchbaseCache(
+                        spark, str(d["url"]), bucket=d.get("bucket"),
+                        username=d.get("username"), password=d.get("password"),
+                        key_col=key_col, value_col=d.get("value_col", "value"),
+                        default_ttl=d.get("default_ttl"),
+                    )
                 if "memcached" in r:
                     d = r["memcached"] or {}
                     if "addresses" not in d:
@@ -1596,6 +1611,26 @@ class Pipeline:
 
             return avro_record_encode(df, o["columns"], o["schema"],
                                       out_col=o.get("out", "avro_bytes"))
+        if name == "couchbase":
+            # couchbase/processor.go: interpolated id, Bloblang content,
+            # operation get|insert|remove|replace|upsert; KV binary
+            # protocol client (streaming/couchbase.py)
+            o = opts or {}
+            from bento_spark.streaming.couchbase import couchbase_map
+
+            work = df.withColumn("_cb_id", compile_interpolated(str(o["id"])))
+            content_col = None
+            if o.get("content") is not None:
+                work = work.withColumn("_cb_content", compile_expr(str(o["content"])))
+                content_col = "_cb_content"
+            out = couchbase_map(
+                work, str(o.get("url", "127.0.0.1:11210")), "_cb_id",
+                operation=str(o.get("operation", "get")),
+                content_col=content_col, bucket=o.get("bucket"),
+                username=o.get("username"), password=o.get("password"),
+                out_col=o.get("out", "couchbase"),
+            )
+            return out.drop("_cb_id", "_cb_content")
         if name == "schema_registry_encode":
             # confluent/processor_schema_registry_encode.go: subject's
             # latest Avro schema resolved at plan time, wire-format
