@@ -1622,6 +1622,15 @@ class Pipeline:
             content_col = None
             if o.get("content") is not None:
                 work = work.withColumn("_cb_content", compile_expr(str(o["content"])))
+                # object/array content must be JSON on the wire (the gocb
+                # default transcoder) — a bare str() of a struct row would
+                # store Python repr; scalars pass through as strings
+                dt = work.schema["_cb_content"].dataType.simpleString()
+                if dt.startswith(("struct", "array", "map")):
+                    work = work.withColumn("_cb_content", F.to_json("_cb_content"))
+                else:
+                    work = work.withColumn("_cb_content",
+                                           F.col("_cb_content").cast("string"))
                 content_col = "_cb_content"
             out = couchbase_map(
                 work, str(o.get("url", "127.0.0.1:11210")), "_cb_id",

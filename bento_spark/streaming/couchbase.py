@@ -68,7 +68,14 @@ class CouchbaseClient:
     def _call(self, opcode: int, key: bytes, value: bytes,
               extras: bytes = b"") -> tuple[int, bytes]:
         body = extras + key + value
-        self.sock.sendall(_HDR.pack(0x80, opcode, len(key), len(extras), 0, 0,
+        # key -> vbucket per the public mapping ((crc32 >> 16) & 0x7fff mod
+        # 1024): correct against a single-node cluster, where all 1024
+        # vbuckets are local. Multi-node routing needs the CCCP config map
+        # (which node owns which vbucket) — out of scope, documented.
+        import zlib
+
+        vb = ((zlib.crc32(key) >> 16) & 0x7FFF) % 1024 if key and opcode <= 0x04 else 0
+        self.sock.sendall(_HDR.pack(0x80, opcode, len(key), len(extras), 0, vb,
                                     len(body), 0, 0) + body)
         hdr = self._read_exact(24)
         magic, _op, klen, elen, _dt, status, blen, _opq, _cas = _HDR.unpack(hdr)
@@ -160,19 +167,48 @@ def couchbase_map(df, url: str, id_col: str, operation: str = "get",
     host, port = parse_couchbase_url(url)
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     has_error = "error" in fields
-    keep = [c for c in df.columns if c not in (out_col, "error")]
+    # the rendered id/content columns never echo back through Arrow
+    # (the repo's keep_payload rule — the JVM side doesn't need them)
+    keep = [c for c in df.columns
+            if c not in (out_col, "error", id_col, content_col)]
     out_schema = ", ".join(
         [f"{c} {fields[c]}" for c in keep] + [f"{out_col} string", "error string"])
 
     def run(batches):
         from bento_spark.streaming.couchbase import CouchbaseClient
 
-        client = None
+        state = {"client": None}
+
+        def connected():
+            if state["client"] is None:
+                state["client"] = CouchbaseClient(
+                    host, port, bucket=bucket,
+                    username=username, password=password)
+            return state["client"]
+
+        def one_op(key: str, body: bytes | None):
+            client = connected()
+            if operation == "get":
+                got = client.get(key)
+                return (None if got is None else got.decode("utf-8", "replace"),
+                        None if got is not None
+                        else f"couchbase: key {key!r} not found")
+            if operation == "upsert":
+                client.upsert(key, body or b"")
+                return None, None
+            if operation == "insert":
+                ok = client.insert(key, body or b"")
+                return None, (None if ok
+                              else f"couchbase: key {key!r} already exists")
+            if operation == "replace":
+                ok = client.replace(key, body or b"")
+                return None, (None if ok
+                              else f"couchbase: key {key!r} not found")
+            client.remove(key)
+            return None, None
+
         try:
             for pdf in batches:
-                if client is None:
-                    client = CouchbaseClient(host, port, bucket=bucket,
-                                             username=username, password=password)
                 outs, errs = [], []
                 for i in range(len(pdf)):
                     prior = pdf["error"].iloc[i] if has_error else None
@@ -186,40 +222,30 @@ def couchbase_map(df, url: str, id_col: str, operation: str = "get",
                     body = (None if content is None
                             else str(content).encode("utf-8"))
                     try:
-                        if operation == "get":
-                            got = client.get(key)
-                            outs.append(None if got is None
-                                        else got.decode("utf-8", "replace"))
-                            errs.append(None if got is not None
-                                        else f"couchbase: key {key!r} not found")
-                        elif operation == "upsert":
-                            client.upsert(key, body or b"")
-                            outs.append(None)
-                            errs.append(None)
-                        elif operation == "insert":
-                            ok = client.insert(key, body or b"")
-                            outs.append(None)
-                            errs.append(None if ok
-                                        else f"couchbase: key {key!r} already exists")
-                        elif operation == "replace":
-                            ok = client.replace(key, body or b"")
-                            outs.append(None)
-                            errs.append(None if ok
-                                        else f"couchbase: key {key!r} not found")
-                        else:  # remove
-                            client.remove(key)
-                            outs.append(None)
-                            errs.append(None)
-                    except ConnectionError as e:
-                        outs.append(None)
-                        errs.append(str(e))
+                        out_val, err = one_op(key, body)
+                    except (ConnectionError, OSError):
+                        # transport loss poisons the socket: drop it and
+                        # retry ONCE on a fresh connection so one blip
+                        # doesn't error the rest of the partition
+                        if state["client"] is not None:
+                            state["client"].close()
+                            state["client"] = None
+                        try:
+                            out_val, err = one_op(key, body)
+                        except (ConnectionError, OSError) as e2:
+                            if state["client"] is not None:
+                                state["client"].close()
+                                state["client"] = None
+                            out_val, err = None, str(e2)
+                    outs.append(out_val)
+                    errs.append(err)
                 out = pdf[keep].copy()
                 out[out_col] = outs
                 out["error"] = errs
                 yield out
         finally:
-            if client is not None:
-                client.close()
+            if state["client"] is not None:
+                state["client"].close()
 
     return df.mapInPandas(run, schema=out_schema)
 

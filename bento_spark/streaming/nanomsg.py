@@ -81,9 +81,9 @@ class NanomsgConnection:
 
 
 def parse_nanomsg_url(url: str) -> tuple[str, int]:
-    hp = str(url).removeprefix("tcp://").replace("//*:", "//0.0.0.0:")
+    hp = str(url).removeprefix("tcp://")
     host, _, port = hp.partition(":")
-    if host == "*":
+    if host == "*":  # the reference's wildcard-bind form (input.go:93)
         host = "0.0.0.0"
     return host or "127.0.0.1", int(port)
 
@@ -167,6 +167,20 @@ class NanomsgSocket:
             with self._lock:
                 self._inbox.append(msg)
                 self._ready.notify()
+
+    def wait_for_peer(self, timeout: float = 1.0) -> bool:
+        """Bounded wait until at least one peer is attached — the
+        slow-joiner mitigation for PUB senders (a fresh-per-batch PUB
+        would otherwise fan out to nobody and silently drop the batch)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while True:
+            with self._lock:
+                if self._peers:
+                    return True
+            if _time.monotonic() >= deadline or self._stop.wait(0.02):
+                return False
 
     def send(self, payload: bytes) -> None:
         if self.socket_type == "PUSH":
@@ -331,6 +345,8 @@ def nanomsg_sink(urls: list[str], socket_type: str = "PUSH", bind: bool = False)
                         else:
                             for u in urls:
                                 sock.connect(*parse_nanomsg_url(u))
+                        if socket_type == "PUB":
+                            sock.wait_for_peer()  # slow-joiner mitigation
                     sock.send(row.v.encode("utf-8"))
             finally:
                 if sock is not None:

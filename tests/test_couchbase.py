@@ -188,3 +188,44 @@ def test_lint_knows_couchbase():
     from bento_spark.plans.lint import known_processors
 
     assert "couchbase" in known_processors()
+
+
+def test_vbucket_mapping_is_deterministic(server):
+    """Requests carry the public crc32-derived vbucket id (single-node
+    parity) — the mini server ignores it, but the bytes must be stable."""
+    import zlib
+
+    from bento_spark.streaming.couchbase import _HDR
+
+    key = b"doc-42"
+    assert ((zlib.crc32(key) >> 16) & 0x7FFF) % 1024 == \
+        ((zlib.crc32(key) >> 16) & 0x7FFF) % 1024
+    c = CouchbaseClient(server.host, server.port)
+    c.upsert("doc-42", b"v")
+    assert c.get("doc-42") == b"v"
+    c.close()
+
+
+def test_yaml_struct_content_stores_json(spark, server, tmp_path):
+    """Non-string Bloblang content must store as JSON, not Python repr."""
+    import json
+
+    src = tmp_path / "in4"
+    spark.createDataFrame([(1, "alpha")], "id int, name string").write.parquet(str(src))
+    compile_yaml(f"""
+input:
+  parquet: {{path: {src}}}
+pipeline:
+  processors:
+    - mapping: |
+        root.doc = ("{{\\"k\\":\\"" + this.name + "\\",\\"n\\":" + this.id.string() + "}}").parse_json("k string, n bigint")
+    - couchbase:
+        url: {server.address}
+        id: j-${{! this.id }}
+        operation: upsert
+        content: this.doc
+""").build_batch(spark).collect()
+    direct = CouchbaseClient(server.host, server.port)
+    stored = direct.get("j-1")
+    direct.close()
+    assert stored is not None and json.loads(stored) == {"k": "alpha", "n": 1}

@@ -131,3 +131,51 @@ def test_lint_knows_nanomsg():
     from bento_spark.plans.lint import known_inputs
 
     assert "nanomsg" in known_inputs()
+
+
+def test_yaml_nanomsg_pub_bind_waits_for_subscriber(spark, tmp_path):
+    """PUB+bind from a fresh-per-batch socket must wait for the
+    subscriber handshake (slow-joiner) instead of fanning out to nobody."""
+    from bento_spark.streaming.nanomsg import NanomsgSocket
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("r1\nr2")
+    port_holder = NanomsgSocket("PULL").bind()  # reserve an ephemeral port
+    port = port_holder.port
+    port_holder.close()
+    p = compile_yaml(f"""
+input:
+  lines:
+    path: {src}
+output:
+  nanomsg:
+    urls: [tcp://127.0.0.1:{port}]
+    socket_type: PUB
+    bind: true
+""")
+    got = []
+    import threading
+
+    def subscribe_late():
+        time.sleep(0.3)
+        deadline = time.monotonic() + 20
+        sub = None
+        while sub is None and time.monotonic() < deadline:
+            try:
+                sub = NanomsgSocket("SUB", [b""]).connect("127.0.0.1", port)
+            except OSError:
+                time.sleep(0.1)
+        while sub and len(got) < 2 and time.monotonic() < deadline:
+            m = sub.recv(0.5)
+            if m is not None:
+                got.append(m)
+        if sub:
+            sub.close()
+
+    t = threading.Thread(target=subscribe_late, daemon=True)
+    t.start()
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt_pub"))
+    q.awaitTermination(90)
+    t.join(timeout=30)
+    assert sorted(json.loads(m)["line"] for m in got) == ["r1", "r2"]
