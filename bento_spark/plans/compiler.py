@@ -1611,6 +1611,23 @@ class Pipeline:
 
             return avro_record_encode(df, o["columns"], o["schema"],
                                       out_col=o.get("out", "avro_bytes"))
+        if name == "sentry_capture":
+            # sentry/processor_capture.go: interpolated message + tags,
+            # envelope POST per non-errored row, rows pass through
+            o = opts or {}
+            from bento_spark.operators.sentry import sentry_capture
+
+            work = df.withColumn("_sn_msg", compile_interpolated(str(o["message"])))
+            tag_cols = {}
+            for tname, expr in (o.get("tags") or {}).items():
+                col = f"_sn_tag_{tname}"
+                work = work.withColumn(col, compile_interpolated(str(expr)))
+                tag_cols[tname] = col
+            return sentry_capture(
+                work, str(o["dsn"]), "_sn_msg", tag_cols=tag_cols,
+                level=str(o.get("level", "ERROR")).lower(),
+                environment=o.get("environment"), release=o.get("release"),
+            )
         if name == "couchbase":
             # couchbase/processor.go: interpolated id, Bloblang content,
             # operation get|insert|remove|replace|upsert; KV binary
@@ -1966,6 +1983,7 @@ class Pipeline:
             or out.get("fallback")
             or out.get("http_client")
             or out.get("splunk_hec")
+            or out.get("slack_webhook")
             or out.get("questdb")
             or out.get("elasticsearch")
             or out.get("pusher")
@@ -2109,6 +2127,21 @@ class Pipeline:
                 host or "127.0.0.1", int(port or 9009), str(qd["table"]),
                 symbols=qd.get("symbols"), doubles=qd.get("doubles"),
                 designated_timestamp_field=qd.get("designated_timestamp_field"),
+            )
+        elif out.get("slack_webhook"):
+            # slack/output_slack_webhook.go: POST the message JSON to the
+            # webhook URL — the message must already be WebhookMessage-
+            # shaped (`text`, `blocks`, ... — the reference passes the
+            # payload through verbatim the same way)
+            from bento_spark.streaming.cep import duration_ms
+            from bento_spark.streaming.sink import http_post_writer
+
+            sl = out["slack_webhook"]
+            df = self.build_stream(spark)
+            writer = http_post_writer(
+                str(sl["webhook"]),
+                timeout=float(duration_ms(str(sl.get("timeout", "5s"))) / 1000.0),
+                retries=int(sl.get("retries", 3)),
             )
         elif out.get("splunk_hec"):
             # Splunk HTTP Event Collector (splunk/template_output.yaml —
