@@ -1986,6 +1986,7 @@ class Pipeline:
             or out.get("slack_webhook")
             or out.get("questdb")
             or out.get("elasticsearch")
+            or out.get("opensearch")
             or out.get("pusher")
             or out.get("cassandra")
             or out.get("mongodb")
@@ -2168,14 +2169,17 @@ class Pipeline:
                 retries=int(s.get("retries", 3)),
                 backoff_s=float(s.get("backoff", 0.25)),
             )
-        elif out.get("elasticsearch"):
-            # bulk indexer (elasticsearch/output.go): index/action/id/
-            # routing/pipeline interpolate PER MESSAGE (:353-363) — each
-            # compiles to a COLUMN, and both NDJSON bulk lines are built
-            # JVM-side; the executor loop only chunks bytes and POSTs
+        elif out.get("elasticsearch") or out.get("opensearch"):
+            # bulk indexer (elasticsearch/output.go; opensearch/output.go
+            # registers the SAME _bulk API shape — the reference maintains
+            # two near-identical outputs, this one serves both names):
+            # index/action/id/routing/pipeline interpolate PER MESSAGE
+            # (:353-363) — each compiles to a COLUMN, and both NDJSON bulk
+            # lines are built JVM-side; the executor loop only chunks
+            # bytes and POSTs
             from bento_spark.streaming.elasticsearch import ACTIONS, es_bulk_writer
 
-            e = out["elasticsearch"]
+            e = out.get("elasticsearch") or out["opensearch"]
             url = (e.get("urls") or [e.get("url", "http://127.0.0.1:9200")])[0]
             if "index" not in e:
                 raise ValueError("output.elasticsearch requires `index`")

@@ -126,3 +126,36 @@ def test_lint_knows_sentry():
     from bento_spark.plans.lint import known_processors
 
     assert "sentry_capture" in known_processors()
+
+
+def test_yaml_opensearch_alias(spark, tmp_path):
+    """output.opensearch routes to the same bulk writer as elasticsearch
+    (the reference maintains two near-identical outputs over one API)."""
+    from bento_spark.streaming.elasticsearch import MiniEsServer
+
+    srv = MiniEsServer().start()
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "a.txt").write_text("r1\nr2")
+        p = compile_yaml(f"""
+input:
+  lines:
+    path: {src}
+pipeline:
+  processors:
+    - mapping: 'root.line = this.line'
+output:
+  opensearch:
+    urls: ["http://127.0.0.1:{srv.port}"]
+    index: logs
+    action: index
+    id: doc-${{! this.line }}
+""")
+        q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt_os"))
+        q.awaitTermination(90)
+        docs = srv.indices.get("logs", {})
+        assert sorted(docs) == ["doc-r1", "doc-r2"]
+        assert sorted(d["line"] for d in docs.values()) == ["r1", "r2"]
+    finally:
+        srv.stop()
