@@ -346,6 +346,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "aws_sqs" in inp:
+            # SQS long-poll (aws/input_sqs.go) via the spool bridge —
+            # dependency-free JSON-protocol + SigV4 client
+            # (streaming/sqs.py); the consumer starts via
+            # start_sqs_consumer(). DeleteMessage fires only after the
+            # spool rename — at-least-once via the visibility timeout.
+            o = inp["aws_sqs"]
+            if not streaming:
+                raise ValueError("aws_sqs input is streaming-only (pull source)")
+            from bento_spark.streaming.sqs import read_sqs_stream
+
+            return read_sqs_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "nanomsg" in inp:
             # nanomsg PULL/SUB (nanomsg/input.go) via the spool bridge —
             # dependency-free SP-over-TCP implementation
@@ -676,6 +691,33 @@ class Pipeline:
         hp = str(url).removeprefix("nats://").removeprefix("tcp://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 4222)
+
+    def start_sqs_consumer(self):
+        """Start the consumer bridge for an `input.aws_sqs` pipeline and
+        return its handle (caller owns `.stop()`). Same runtime-resource/
+        plan split as start_http_listener. Credentials come from the
+        section or the standard AWS_* env vars."""
+        import os
+
+        o = (self.conf.get("input") or {}).get("aws_sqs")
+        if not o:
+            raise ValueError("pipeline has no input.aws_sqs section")
+        from bento_spark.streaming.sqs import SqsSpooler
+
+        return SqsSpooler(
+            endpoint=str(o.get("endpoint") or
+                         f"https://sqs.{o.get('region', 'us-east-1')}.amazonaws.com"),
+            queue_url=str(o["url"]),
+            access_key=str(o.get("access_key")
+                           or os.environ.get("AWS_ACCESS_KEY_ID", "")),
+            secret_key=str(o.get("secret_key")
+                           or os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+            spool_dir=o["spool_dir"],
+            region=str(o.get("region", "us-east-1")),
+            wait_time_s=int(o.get("wait_time_seconds", 1)),
+            max_messages=int(o.get("max_number_of_messages", 10)),
+            delete_message=bool(o.get("delete_message", True)),
+        ).start()
 
     def start_nanomsg_subscriber(self):
         """Start the socket bridge for an `input.nanomsg` pipeline and
@@ -1993,6 +2035,7 @@ class Pipeline:
             or out.get("mqtt")
             or out.get("beanstalkd")
             or out.get("zmq4")
+            or out.get("aws_sqs")
             or out.get("nanomsg")
             or out.get("nsq")
             or out.get("nats")
@@ -2288,6 +2331,29 @@ class Pipeline:
                 str(mg["url"]), str(mg.get("database", "bento")),
                 str(mg["collection"]), operation=op,
                 upsert=bool(mg.get("upsert", False)),
+            )
+        elif out.get("aws_sqs"):
+            # SigV4-signed SendMessage per row (aws/output_sqs.go) —
+            # optional FIFO message_group_id as an interpolated COLUMN
+            import os as _os
+
+            from bento_spark.streaming.sqs import sqs_sink
+
+            sq = out["aws_sqs"]
+            df = self.build_stream(spark)
+            group_col = None
+            if sq.get("message_group_id"):
+                df = df.withColumn(
+                    "_sqs_group", compile_interpolated(str(sq["message_group_id"])))
+                group_col = "_sqs_group"
+            writer = sqs_sink(
+                str(sq.get("endpoint") or
+                    f"https://sqs.{sq.get('region', 'us-east-1')}.amazonaws.com"),
+                str(sq["url"]),
+                str(sq.get("access_key") or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                str(sq.get("secret_key") or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                region=str(sq.get("region", "us-east-1")),
+                group_id_col=group_col,
             )
         elif out.get("nanomsg"):
             # dependency-free SP-over-TCP publisher (nanomsg/output.go:
