@@ -346,6 +346,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "gcp_pubsub" in inp:
+            # Pub/Sub pull (gcp/input_pubsub.go) via the spool bridge —
+            # dependency-free REST client with service-account JWT-bearer
+            # auth (streaming/pubsub.py); the consumer starts via
+            # start_pubsub_consumer(). acknowledge fires only after the
+            # spool rename — at-least-once via the ack deadline.
+            o = inp["gcp_pubsub"]
+            if not streaming:
+                raise ValueError("gcp_pubsub input is streaming-only (pull source)")
+            from bento_spark.streaming.pubsub import read_pubsub_stream
+
+            return read_pubsub_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "aws_sqs" in inp:
             # SQS long-poll (aws/input_sqs.go) via the spool bridge —
             # dependency-free JSON-protocol + SigV4 client
@@ -691,6 +706,39 @@ class Pipeline:
         hp = str(url).removeprefix("nats://").removeprefix("tcp://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 4222)
+
+    def start_pubsub_consumer(self):
+        """Start the consumer bridge for an `input.gcp_pubsub` pipeline
+        and return its handle (caller owns `.stop()`). `credentials` is
+        the service-account JSON (path or inline dict); absent =
+        unauthenticated emulator mode (PUBSUB_EMULATOR_HOST contract)."""
+        o = (self.conf.get("input") or {}).get("gcp_pubsub")
+        if not o:
+            raise ValueError("pipeline has no input.gcp_pubsub section")
+        from bento_spark.streaming.pubsub import PubSubSpooler
+
+        creds = self._pubsub_creds(o)
+        create = o.get("create_subscription") or {}
+        return PubSubSpooler(
+            endpoint=str(o.get("endpoint") or "https://pubsub.googleapis.com"),
+            project=str(o["project"]), subscription=str(o["subscription"]),
+            spool_dir=o["spool_dir"], credentials=creds,
+            max_messages=int(o.get("max_outstanding_messages", 10)),
+            create_topic=(str(create["topic"])
+                          if create.get("enabled") else None),
+        ).start()
+
+    @staticmethod
+    def _pubsub_creds(o: dict) -> dict | None:
+        import json as _json
+
+        c = o.get("credentials_json")
+        if c is None:
+            return None
+        if isinstance(c, dict):
+            return c
+        with open(str(c), encoding="utf-8") as f:
+            return _json.load(f)
 
     def start_sqs_consumer(self):
         """Start the consumer bridge for an `input.aws_sqs` pipeline and
@@ -2036,6 +2084,7 @@ class Pipeline:
             or out.get("beanstalkd")
             or out.get("zmq4")
             or out.get("aws_sqs")
+            or out.get("gcp_pubsub")
             or out.get("nanomsg")
             or out.get("nsq")
             or out.get("nats")
@@ -2331,6 +2380,19 @@ class Pipeline:
                 str(mg["url"]), str(mg.get("database", "bento")),
                 str(mg["collection"]), operation=op,
                 upsert=bool(mg.get("upsert", False)),
+            )
+        elif out.get("gcp_pubsub"):
+            # Pub/Sub publisher (gcp/output_pubsub.go: project +
+            # interpolated topic) — topic as a COLUMN, batched publishes
+            from bento_spark.streaming.pubsub import pubsub_sink
+
+            pb = out["gcp_pubsub"]
+            df = self.build_stream(spark).withColumn(
+                "_pubsub_topic", compile_interpolated(str(pb["topic"])))
+            writer = pubsub_sink(
+                str(pb.get("endpoint") or "https://pubsub.googleapis.com"),
+                str(pb["project"]), "_pubsub_topic",
+                credentials=self._pubsub_creds(pb),
             )
         elif out.get("aws_sqs"):
             # SigV4-signed SendMessage per row (aws/output_sqs.go) —
