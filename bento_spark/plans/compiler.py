@@ -1058,6 +1058,33 @@ class Pipeline:
                         value_field=d.get("value_field", "value"),
                         key_col=key_col, value_col=d.get("value_col", "value"),
                     )
+                if "aws_dynamodb" in r:
+                    d = r["aws_dynamodb"] or {}
+                    if "table" not in d:
+                        raise ValueError(
+                            f"cache resource {resource!r}: aws_dynamodb "
+                            "backend needs `table`"
+                        )
+                    import os as _os
+
+                    from bento_spark.streaming.dynamodb import DynamoCache
+
+                    return DynamoCache(
+                        spark,
+                        str(d.get("endpoint")
+                            or f"https://dynamodb.{d.get('region', 'us-east-1')}.amazonaws.com"),
+                        str(d["table"]),
+                        str(d.get("access_key")
+                            or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                        str(d.get("secret_key")
+                            or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                        region=str(d.get("region", "us-east-1")),
+                        hash_key=str(d.get("hash_key", "key")),
+                        data_key=str(d.get("data_key", "value")),
+                        ttl_key=d.get("ttl_key"),
+                        default_ttl=d.get("default_ttl"),
+                        key_col=key_col, value_col=d.get("value_col", "value"),
+                    )
                 if "couchbase" in r:
                     d = r["couchbase"] or {}
                     if "url" not in d:

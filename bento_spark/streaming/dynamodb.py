@@ -1,0 +1,370 @@
+"""DynamoDB cache backend — dependency-free client over the public
+DynamoDB JSON protocol (POST / with `X-Amz-Target: DynamoDB_20120810.<Op>`,
+application/x-amz-json-1.0, attribute-value maps like {"S": ...}) signed
+with the repo's SigV4 implementation (streaming/sqs.py, pinned against
+AWS's published vector), plus an in-process signature-verifying table
+service.
+
+Reference: internal/impl/aws/cache_dynamodb.go — table, `hash_key`
+(partition key holding the cache key), `data_key` (attribute holding the
+value), `default_ttl` + `ttl_key` (epoch-seconds TTL attribute for
+DynamoDB's native TTL sweeper). Get/Set/Add/Delete map to
+GetItem / PutItem / PutItem+attribute_not_exists condition / DeleteItem,
+exactly the reference's calls. Multi-key enrichment uses BatchGetItem —
+one request per <=100 distinct keys per executor partition.
+
+Spark-first mapping: the shared cache operator contract (see
+RedisCache), so `cache_resources:` wiring works unchanged. TTLs are
+epoch-second attributes evaluated by the server (the mini service
+honors them on read, like DynamoDB's filtered expiry)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+from bento_spark.streaming.sqs import sigv4_headers
+
+_TARGET = "DynamoDB_20120810"
+
+
+class DynamoClient:
+    """Minimal DynamoDB JSON-protocol client: GetItem/BatchGetItem/
+    PutItem (optionally conditional)/DeleteItem."""
+
+    def __init__(self, endpoint: str, access_key: str, secret_key: str,
+                 region: str = "us-east-1", timeout: float = 10.0):
+        import urllib.parse
+
+        u = urllib.parse.urlsplit(endpoint)
+        self._https = u.scheme == "https"
+        self.host = u.hostname
+        self.port = u.port or (443 if self._https else 80)
+        self.host_hdr = u.netloc
+        self.access_key, self.secret_key, self.region = access_key, secret_key, region
+        self.timeout = timeout
+
+    def call(self, op: str, body: dict) -> dict:
+        import http.client
+
+        payload = json.dumps(body).encode("utf-8")
+        headers = sigv4_headers(
+            "POST", self.host_hdr, "/", payload, self.access_key,
+            self.secret_key, self.region, "dynamodb", f"{_TARGET}.{op}")
+        cls = http.client.HTTPSConnection if self._https else http.client.HTTPConnection
+        conn = cls(self.host, self.port, timeout=self.timeout)
+        try:
+            conn.request("POST", "/", body=payload, headers=headers)
+            resp = conn.getresponse()
+            data = resp.read()
+            out = json.loads(data) if data else {}
+            if resp.status // 100 != 2:
+                if out.get("__type", "").endswith("ConditionalCheckFailedException"):
+                    raise KeyExistsError()
+                raise ConnectionError(f"dynamodb: {op} -> {resp.status} {data[:160]!r}")
+            return out
+        finally:
+            conn.close()
+
+
+class KeyExistsError(Exception):
+    """The conditional PutItem rejection (the reference maps it to
+    ErrKeyAlreadyExists)."""
+
+
+class DynamoCache:
+    """`aws_dynamodb` cache backend (cache_dynamodb.go): shared operator
+    contract over GetItem/PutItem/DeleteItem with the reference's
+    hash_key/data_key/ttl_key layout."""
+
+    single_value = True
+
+    def __init__(self, spark, endpoint: str, table: str,
+                 access_key: str, secret_key: str, region: str = "us-east-1",
+                 hash_key: str = "key", data_key: str = "value",
+                 ttl_key: str | None = None, default_ttl=None,
+                 key_col: str = "key", value_col: str = "value"):
+        from bento_spark.operators.cache import _ttl_ms
+
+        self.spark = spark
+        self.args = (endpoint, access_key, secret_key, region)
+        self.table = table
+        self.hash_key, self.data_key, self.ttl_key = hash_key, data_key, ttl_key
+        self.key_col, self.value_col = key_col, value_col
+        self.default_ttl_ms = None if default_ttl is None else _ttl_ms(default_ttl)
+        if self.default_ttl_ms is not None and ttl_key is None:
+            raise ValueError(
+                "dynamodb cache: default_ttl needs `ttl_key` (the table's "
+                "TTL attribute) — cache_dynamodb.go:47")
+
+    def _ttl_attr(self, ttl) -> int | None:
+        from bento_spark.operators.cache import _ttl_ms
+
+        ms = self.default_ttl_ms if ttl is None else _ttl_ms(ttl)
+        if ms is None:
+            return None
+        return int(time.time()) + max(1, -(-int(ms) // 1000))
+
+    def _item(self, k: str, v: str | None, expires: int | None) -> dict:
+        item = {self.hash_key: {"S": k},
+                self.data_key: {"S": "" if v is None else v}}
+        if expires is not None and self.ttl_key:
+            item[self.ttl_key] = {"N": str(expires)}
+        return item
+
+    def set(self, df, ttl=None, now_ms=None) -> None:
+        from pyspark.sql import functions as F
+
+        expires = self._ttl_attr(ttl)
+        args, table = self.args, self.table
+        hk, dk, tk = self.hash_key, self.data_key, self.ttl_key
+        rows = df.dropDuplicates([self.key_col]).select(
+            F.col(self.key_col).cast("string").alias("k"),
+            F.col(self.value_col).cast("string").alias("v"),
+        )
+
+        def send(it) -> None:
+            from bento_spark.streaming.dynamodb import DynamoClient
+
+            client = None
+            for row in it:
+                if client is None:
+                    client = DynamoClient(*args)
+                item = {hk: {"S": row.k}, dk: {"S": "" if row.v is None else row.v}}
+                if expires is not None and tk:
+                    item[tk] = {"N": str(expires)}
+                client.call("PutItem", {"TableName": table, "Item": item})
+
+        rows.foreachPartition(send)
+
+    def add(self, df, ttl=None, now_ms=None):
+        from pyspark.sql import functions as F
+
+        expires = self._ttl_attr(ttl)
+        args, table = self.args, self.table
+        hk, dk, tk = self.hash_key, self.data_key, self.ttl_key
+        key_col, value_col = self.key_col, self.value_col
+        fresh = df.dropDuplicates([key_col])
+
+        def attempt(iter_pdf):
+            import pandas as pd
+
+            from bento_spark.streaming.dynamodb import DynamoClient, KeyExistsError
+
+            client = DynamoClient(*args)
+            for pdf in iter_pdf:
+                accepted = []
+                for k, v in zip(pdf[key_col], pdf[value_col]):
+                    item = {hk: {"S": str(k)},
+                            dk: {"S": "" if v is None else str(v)}}
+                    if expires is not None and tk:
+                        item[tk] = {"N": str(expires)}
+                    try:
+                        client.call("PutItem", {
+                            "TableName": table, "Item": item,
+                            # the reference's insert-if-absent condition
+                            "ConditionExpression": "attribute_not_exists(#k)",
+                            "ExpressionAttributeNames": {"#k": hk},
+                        })
+                        accepted.append(True)
+                    except KeyExistsError:
+                        accepted.append(False)
+                yield pd.DataFrame({
+                    key_col: [str(k) for k in pdf[key_col]],
+                    "_accepted": accepted,
+                })
+
+        verdicts = (
+            fresh.select(F.col(key_col).cast("string").alias(key_col), value_col)
+            .mapInPandas(attempt, f"{key_col} string, _accepted boolean")
+            .localCheckpoint(eager=True)  # exactly-once add attempt
+        )
+        rejected = verdicts.filter(~F.col("_accepted")).select(key_col)
+        return fresh.join(F.broadcast(rejected), key_col, "left_semi")
+
+    def delete(self, keys) -> None:
+        from pyspark.sql import functions as F
+
+        args, table, hk = self.args, self.table, self.hash_key
+        rows = keys.select(F.col(self.key_col).cast("string").alias("k"))
+
+        def send(it) -> None:
+            from bento_spark.streaming.dynamodb import DynamoClient
+
+            client = None
+            for row in it:
+                if client is None:
+                    client = DynamoClient(*args)
+                client.call("DeleteItem", {
+                    "TableName": table, "Key": {hk: {"S": row.k}}})
+
+        rows.foreachPartition(send)
+
+    def get(self, df, on: str | None = None, broadcast: bool = True, now_ms=None):
+        """Enrich df with the cached value by key (miss = NULL).
+        BatchGetItem over the batch's distinct keys, <=100 per request
+        (the API cap)."""
+        from pyspark.sql import functions as F
+
+        key = on or self.key_col
+        args, table = self.args, self.table
+        hk, dk = self.hash_key, self.data_key
+        key_col, value_col = self.key_col, self.value_col
+        distinct = df.select(F.col(key).cast("string").alias(key_col)).distinct()
+
+        def fetch(iter_pdf):
+            import pandas as pd
+
+            from bento_spark.streaming.dynamodb import DynamoClient
+
+            client = DynamoClient(*args)
+            for pdf in iter_pdf:
+                ks = [str(k) for k in pdf[key_col]]
+                found: dict[str, str] = {}
+                for i in range(0, len(ks), 100):
+                    chunk = ks[i : i + 100]
+                    out = client.call("BatchGetItem", {"RequestItems": {
+                        table: {"Keys": [{hk: {"S": k}} for k in chunk]},
+                    }})
+                    for item in (out.get("Responses") or {}).get(table, []):
+                        found[item[hk]["S"]] = item.get(dk, {}).get("S")
+                yield pd.DataFrame({
+                    key_col: ks,
+                    value_col: [found.get(k) for k in ks],
+                })
+
+        side = distinct.mapInPandas(fetch, f"{key_col} string, {value_col} string")
+        side = side.filter(F.col(value_col).isNotNull())
+        if key != key_col:
+            side = side.withColumnRenamed(key_col, key)
+        if broadcast:
+            side = F.broadcast(side)
+        return df.join(side, key, "left")
+
+
+# --------------------------------------------------------------------------
+# in-process table service (test-grade, signature-verifying)
+# --------------------------------------------------------------------------
+
+
+class MiniDynamoServer:
+    """DynamoDB JSON-protocol subset for e2e tests: PutItem (with
+    attribute_not_exists condition), GetItem, BatchGetItem, DeleteItem;
+    ttl attributes are honored on read (expired items read as absent,
+    like the real TTL sweeper's eventual behavior). SigV4 recomputed and
+    rejected on mismatch (the recipe is vector-pinned in test_sqs)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 access_key: str = "AKIATEST", secret_key: str = "testsecret",
+                 region: str = "us-east-1"):
+        self.host, self.port = host, port
+        self.access_key, self.secret_key, self.region = access_key, secret_key, region
+        self._tables: dict[str, dict[str, dict]] = {}
+        self._lock = threading.Lock()
+        self._srv = None
+        self._thread = None
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> "MiniDynamoServer":
+        import http.server
+
+        svc = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def _reply(self, code: int, obj: dict) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/x-amz-json-1.0")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            @staticmethod
+            def _hash_of(item: dict) -> str:
+                # tables here are keyed by their first S attribute (the
+                # cache layout's hash_key) — enough for the cache contract
+                for v in item.values():
+                    if "S" in v:
+                        return v["S"]
+                raise KeyError("no string key attribute")
+
+            @staticmethod
+            def _alive(item: dict) -> bool:
+                # the cache layout's only numeric attribute is the ttl_key
+                # (epoch seconds) — honor it on read like the TTL sweeper
+                for v in item.values():
+                    if "N" in v:
+                        try:
+                            if int(v["N"]) <= int(time.time()):
+                                return False
+                        except ValueError:
+                            pass
+                return True
+
+            def do_POST(self):  # noqa: N802
+                n = int(self.headers.get("Content-Length", 0))
+                payload = self.rfile.read(n)
+                target = self.headers.get("X-Amz-Target", "")
+                expect = sigv4_headers(
+                    "POST", self.headers.get("Host", ""), "/", payload,
+                    svc.access_key, svc.secret_key, svc.region, "dynamodb",
+                    target, amz_date=self.headers.get("X-Amz-Date", ""),
+                )["Authorization"]
+                if self.headers.get("Authorization") != expect:
+                    return self._reply(403, {"__type": "InvalidSignatureException"})
+                req = json.loads(payload)
+                op = target.split(".")[-1]
+                with svc._lock:
+                    if op == "PutItem":
+                        table = svc._tables.setdefault(req["TableName"], {})
+                        item = req["Item"]
+                        k = self._hash_of(item)
+                        if (req.get("ConditionExpression") == "attribute_not_exists(#k)"
+                                and k in table and self._alive(table[k])):
+                            return self._reply(400, {
+                                "__type": ("com.amazonaws.dynamodb.v20120810#"
+                                           "ConditionalCheckFailedException")})
+                        table[k] = item
+                        return self._reply(200, {})
+                    if op == "DeleteItem":
+                        table = svc._tables.setdefault(req["TableName"], {})
+                        table.pop(self._hash_of(req["Key"]), None)
+                        return self._reply(200, {})
+                    if op == "GetItem":
+                        table = svc._tables.setdefault(req["TableName"], {})
+                        item = table.get(self._hash_of(req["Key"]))
+                        if item is None or not self._alive(item):
+                            return self._reply(200, {})
+                        return self._reply(200, {"Item": item})
+                    if op == "BatchGetItem":
+                        out: dict = {"Responses": {}}
+                        for tname, spec in req["RequestItems"].items():
+                            table = svc._tables.setdefault(tname, {})
+                            hits = []
+                            for keyspec in spec["Keys"]:
+                                item = table.get(self._hash_of(keyspec))
+                                if item is not None and self._alive(item):
+                                    hits.append(item)
+                            out["Responses"][tname] = hits
+                        return self._reply(200, out)
+                return self._reply(400, {"__type": "UnknownOperationException"})
+
+            def log_message(self, *a):
+                pass
+
+        self._srv = http.server.ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._srv.server_address[1]
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._srv is not None:
+            self._srv.shutdown()
+            self._srv = None

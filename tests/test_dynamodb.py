@@ -1,0 +1,125 @@
+"""DynamoDB cache backend (reference internal/impl/aws/cache_dynamodb.go):
+JSON-protocol client over SigV4, conditional-put add, BatchGetItem
+enrichment, ttl_key expiry, YAML cache_resources wiring — against the
+signature-verifying MiniDynamoServer."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from bento_spark.plans.compiler import compile_yaml
+from bento_spark.streaming.dynamodb import (
+    DynamoCache,
+    DynamoClient,
+    KeyExistsError,
+    MiniDynamoServer,
+)
+
+
+@pytest.fixture()
+def server():
+    s = MiniDynamoServer().start()
+    yield s
+    s.stop()
+
+
+def _cache(spark, server, **kw):
+    return DynamoCache(spark, server.endpoint, "cache", server.access_key,
+                       server.secret_key, **kw)
+
+
+def test_client_put_get_delete_conditional(server):
+    c = DynamoClient(server.endpoint, server.access_key, server.secret_key)
+    c.call("PutItem", {"TableName": "t",
+                       "Item": {"key": {"S": "a"}, "value": {"S": "1"}}})
+    out = c.call("GetItem", {"TableName": "t", "Key": {"key": {"S": "a"}}})
+    assert out["Item"]["value"]["S"] == "1"
+    with pytest.raises(KeyExistsError):
+        c.call("PutItem", {"TableName": "t",
+                           "Item": {"key": {"S": "a"}, "value": {"S": "x"}},
+                           "ConditionExpression": "attribute_not_exists(#k)",
+                           "ExpressionAttributeNames": {"#k": "key"}})
+    c.call("DeleteItem", {"TableName": "t", "Key": {"key": {"S": "a"}}})
+    assert "Item" not in c.call("GetItem", {"TableName": "t",
+                                            "Key": {"key": {"S": "a"}}})
+
+
+def test_bad_signature_rejected(server):
+    c = DynamoClient(server.endpoint, server.access_key, "wrong")
+    with pytest.raises(ConnectionError, match="403"):
+        c.call("GetItem", {"TableName": "t", "Key": {"key": {"S": "a"}}})
+
+
+def test_cache_contract(spark, server):
+    c = _cache(spark, server)
+    kv = spark.createDataFrame([("a", "1"), ("b", "2")], "key string, value string")
+    c.set(kv)
+    probe = spark.createDataFrame([("a",), ("b",), ("miss",)], "key string")
+    got = {r.key: r.value for r in c.get(probe).collect()}
+    assert got == {"a": "1", "b": "2", "miss": None}
+    rejected = c.add(spark.createDataFrame(
+        [("a", "x"), ("c", "3")], "key string, value string"))
+    assert [r.key for r in rejected.collect()] == ["a"]
+    c.delete(spark.createDataFrame([("a",)], "key string"))
+    got = {r.key: r.value for r in c.get(probe).collect()}
+    assert got["a"] is None and got["b"] == "2"
+
+
+def test_ttl_key_expiry(spark, server):
+    c = _cache(spark, server, ttl_key="expires", default_ttl=1)
+    c.set(spark.createDataFrame([("gone", "v")], "key string, value string"))
+    c.set(spark.createDataFrame([("keep", "v")], "key string, value string"),
+          ttl=60)
+    time.sleep(1.2)
+    probe = spark.createDataFrame([("gone",), ("keep",)], "key string")
+    got = {r.key: r.value for r in c.get(probe).collect()}
+    assert got == {"gone": None, "keep": "v"}
+    # expired counts as absent for add
+    assert c.add(spark.createDataFrame(
+        [("gone", "v2")], "key string, value string")).count() == 0
+
+
+def test_default_ttl_requires_ttl_key(spark, server):
+    with pytest.raises(ValueError, match="needs `ttl_key`"):
+        _cache(spark, server, default_ttl=60)
+
+
+def test_yaml_dynamodb_cache_resource(spark, server, tmp_path):
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id int, name string"
+    ).write.parquet(str(src))
+    resources = f"""
+cache_resources:
+  - label: ddb
+    aws_dynamodb:
+      endpoint: {server.endpoint}
+      table: cache
+      region: us-east-1
+      access_key: {server.access_key}
+      secret_key: {server.secret_key}
+"""
+    compile_yaml(f"""
+input:
+  parquet: {{path: {src}}}
+{resources}
+pipeline:
+  processors:
+    - mapping: 'root.k = this.id.string()'
+    - cache: {{resource: ddb, operator: set, key: k, columns: [name]}}
+""").build_batch(spark)
+    rows = {
+        r.id: r.value
+        for r in compile_yaml(f"""
+input:
+  parquet: {{path: {src}}}
+{resources}
+pipeline:
+  processors:
+    - mapping: 'root.k = this.id.string()'
+    - cache: {{resource: ddb, operator: get, key: k}}
+""").build_batch(spark).collect()
+    }
+    assert rows == {1: "alpha", 2: "beta"}
