@@ -346,6 +346,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "aws_kinesis" in inp:
+            # Kinesis shard iteration (aws/input_kinesis.go) via the spool
+            # bridge — JSON protocol over the vector-pinned SigV4
+            # (streaming/kinesis.py); the consumer starts via
+            # start_kinesis_consumer(). Sequence numbers checkpoint to the
+            # spool dir AFTER the covered records are durable.
+            o = inp["aws_kinesis"]
+            if not streaming:
+                raise ValueError("aws_kinesis input is streaming-only (pull source)")
+            from bento_spark.streaming.kinesis import read_kinesis_stream
+
+            return read_kinesis_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "gcp_pubsub" in inp:
             # Pub/Sub pull (gcp/input_pubsub.go) via the spool bridge —
             # dependency-free REST client with service-account JWT-bearer
@@ -706,6 +721,29 @@ class Pipeline:
         hp = str(url).removeprefix("nats://").removeprefix("tcp://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 4222)
+
+    def start_kinesis_consumer(self):
+        """Start the consumer bridge for an `input.aws_kinesis` pipeline
+        and return its handle (caller owns `.stop()`)."""
+        import os
+
+        o = (self.conf.get("input") or {}).get("aws_kinesis")
+        if not o:
+            raise ValueError("pipeline has no input.aws_kinesis section")
+        from bento_spark.streaming.kinesis import KinesisSpooler
+
+        return KinesisSpooler(
+            endpoint=str(o.get("endpoint") or
+                         f"https://kinesis.{o.get('region', 'us-east-1')}.amazonaws.com"),
+            streams=[str(s) for s in o["streams"]],
+            access_key=str(o.get("access_key")
+                           or os.environ.get("AWS_ACCESS_KEY_ID", "")),
+            secret_key=str(o.get("secret_key")
+                           or os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+            spool_dir=o["spool_dir"],
+            region=str(o.get("region", "us-east-1")),
+            checkpoint_limit=int(o.get("checkpoint_limit", 1000)),
+        ).start()
 
     def start_pubsub_consumer(self):
         """Start the consumer bridge for an `input.gcp_pubsub` pipeline
@@ -2111,6 +2149,7 @@ class Pipeline:
             or out.get("beanstalkd")
             or out.get("zmq4")
             or out.get("aws_sqs")
+            or out.get("aws_kinesis")
             or out.get("gcp_pubsub")
             or out.get("nanomsg")
             or out.get("nsq")
@@ -2407,6 +2446,30 @@ class Pipeline:
                 str(mg["url"]), str(mg.get("database", "bento")),
                 str(mg["collection"]), operation=op,
                 upsert=bool(mg.get("upsert", False)),
+            )
+        elif out.get("aws_kinesis"):
+            # SigV4-signed PutRecords (aws/output_kinesis.go) — the
+            # interpolated partition key as a COLUMN, <=500 records per
+            # request
+            import os as _os
+
+            from bento_spark.streaming.kinesis import kinesis_sink
+
+            kn = out["aws_kinesis"]
+            df = self.build_stream(spark)
+            pk_col = None
+            if kn.get("partition_key"):
+                df = df.withColumn(
+                    "_kinesis_pk", compile_interpolated(str(kn["partition_key"])))
+                pk_col = "_kinesis_pk"
+            writer = kinesis_sink(
+                str(kn.get("endpoint") or
+                    f"https://kinesis.{kn.get('region', 'us-east-1')}.amazonaws.com"),
+                str(kn["stream"]),
+                str(kn.get("access_key") or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                str(kn.get("secret_key") or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                region=str(kn.get("region", "us-east-1")),
+                partition_key_col=pk_col,
             )
         elif out.get("gcp_pubsub"):
             # Pub/Sub publisher (gcp/output_pubsub.go: project +
