@@ -12,9 +12,11 @@ Spark-first mapping: the interpolated message/tags compile JVM-side;
 executors post with one pooled connection per partition and pass rows
 through UNCHANGED (capture is a side effect, like the reference) — a
 transport failure flags the error column instead of dropping the row.
-event_id is the md5 of message+tags, so replays emit IDENTICAL events
-and Sentry's own dedupe collapses them (the determinism invariant
-working in our favor)."""
+event_id is a per-capture uuid like the reference SDK's: Sentry rejects
+duplicate event_ids, so a content-derived id would silently collapse
+every recurrence of the same error into one event (occurrence counts
+lost). The id never enters the DataFrame — transport metadata, outside
+the determinism invariant's data paths."""
 
 from __future__ import annotations
 
@@ -46,7 +48,7 @@ def sentry_capture(df, dsn: str, message_col: str,
                    release: str | None = None):
     """Capture one event per non-errored row; rows pass through unchanged
     (message/tag staging columns are dropped and never echo through
-    Arrow). Event ids are content-derived md5 — deterministic replays."""
+    Arrow)."""
     import pandas as pd
 
     scheme, host, port, key, project = parse_dsn(dsn)
@@ -59,9 +61,9 @@ def sentry_capture(df, dsn: str, message_col: str,
     lvl = level.lower()
 
     def run(batches):
-        import hashlib
         import http.client
         import json
+        import uuid as _uuid
 
         path = f"/api/{project}/envelope/"
         auth = (f"Sentry sentry_version=7, sentry_client=bento-spark/1, "
@@ -80,10 +82,9 @@ def sentry_capture(df, dsn: str, message_col: str,
                     tags = {name: str(pdf[col].iloc[i])
                             for name, col in tag_cols.items()
                             if pdf[col].iloc[i] is not None}
-                    ident = hashlib.md5(
-                        (str(msg) + json.dumps(tags, sort_keys=True)).encode()
-                    ).hexdigest()
-                    event = {"event_id": ident, "platform": "python",
+                    # per-capture uuid (the SDK contract): Sentry drops
+                    # duplicate ids, so recurrences must get fresh ones
+                    event = {"event_id": _uuid.uuid4().hex, "platform": "python",
                              "level": lvl,
                              "message": {"formatted": str(msg)}, "tags": tags}
                     if environment:
@@ -104,7 +105,10 @@ def sentry_capture(df, dsn: str, message_col: str,
                             errs.append(f"sentry: capture -> {resp.status}")
                         else:
                             errs.append(None)
-                    except (ConnectionError, OSError) as e:
+                    except (OSError, http.client.HTTPException) as e:
+                        # HTTPException covers broken keep-alive responses
+                        # (BadStatusLine etc.) — same contract as
+                        # http_post_writer
                         if conn is not None:
                             conn.close()
                             conn = None

@@ -45,27 +45,65 @@ class DynamoClient:
         self.access_key, self.secret_key, self.region = access_key, secret_key, region
         self.timeout = timeout
 
-    def call(self, op: str, body: dict) -> dict:
+    def call(self, op: str, body: dict, retries: int = 3,
+             backoff_s: float = 0.25) -> dict:
+        """One signed request; bounded in-call retry on transport errors /
+        5xx / throttling (a raise inside foreachPartition fails the task);
+        the conditional-put rejection maps to KeyExistsError; status is
+        checked BEFORE JSON parsing so non-JSON error bodies (proxy 502s)
+        surface as the informative ConnectionError."""
         import http.client
 
         payload = json.dumps(body).encode("utf-8")
-        headers = sigv4_headers(
-            "POST", self.host_hdr, "/", payload, self.access_key,
-            self.secret_key, self.region, "dynamodb", f"{_TARGET}.{op}")
-        cls = http.client.HTTPSConnection if self._https else http.client.HTTPConnection
-        conn = cls(self.host, self.port, timeout=self.timeout)
-        try:
-            conn.request("POST", "/", body=payload, headers=headers)
-            resp = conn.getresponse()
-            data = resp.read()
-            out = json.loads(data) if data else {}
-            if resp.status // 100 != 2:
-                if out.get("__type", "").endswith("ConditionalCheckFailedException"):
+        attempt = 0
+        while True:
+            headers = sigv4_headers(
+                "POST", self.host_hdr, "/", payload, self.access_key,
+                self.secret_key, self.region, "dynamodb", f"{_TARGET}.{op}")
+            cls = (http.client.HTTPSConnection if self._https
+                   else http.client.HTTPConnection)
+            conn = cls(self.host, self.port, timeout=self.timeout)
+            status, data, fault = None, b"", None
+            try:
+                conn.request("POST", "/", body=payload, headers=headers)
+                resp = conn.getresponse()
+                status, data = resp.status, resp.read()
+            except (OSError, http.client.HTTPException) as e:
+                fault = e
+            finally:
+                conn.close()
+            if status is not None and status // 100 == 2:
+                return json.loads(data) if data else {}
+            if status is not None and status // 100 == 4:
+                try:
+                    err_type = json.loads(data).get("__type", "")
+                except ValueError:
+                    err_type = ""
+                if err_type.endswith("ConditionalCheckFailedException"):
                     raise KeyExistsError()
-                raise ConnectionError(f"dynamodb: {op} -> {resp.status} {data[:160]!r}")
-            return out
-        finally:
-            conn.close()
+                if not err_type.endswith(
+                        "ProvisionedThroughputExceededException"):
+                    raise ConnectionError(
+                        f"dynamodb: {op} -> {status} {data[:160]!r}")
+            if attempt >= retries:
+                if fault is not None:
+                    raise ConnectionError(f"dynamodb: {op} -> {fault}") from fault
+                raise ConnectionError(f"dynamodb: {op} -> {status} {data[:160]!r}")
+            attempt += 1
+            time.sleep(backoff_s * (2 ** (attempt - 1)))
+
+
+def _batch_write(client: "DynamoClient", table: str, requests: list) -> None:
+    """BatchWriteItem with UnprocessedItems retry (throttled writes come
+    back unprocessed — dropping them would silently lose cache entries)."""
+    todo = requests
+    backoff = 0.1
+    while todo:
+        out = client.call("BatchWriteItem", {"RequestItems": {table: todo}})
+        todo = (out.get("UnprocessedItems") or {}).get(table) or []
+        if todo:
+            time.sleep(backoff)
+            backoff = min(backoff * 2, 2.0)
 
 
 class KeyExistsError(Exception):
@@ -125,16 +163,22 @@ class DynamoCache:
         )
 
         def send(it) -> None:
-            from bento_spark.streaming.dynamodb import DynamoClient
+            from bento_spark.streaming.dynamodb import DynamoClient, _batch_write
 
             client = None
+            pending = []
             for row in it:
                 if client is None:
                     client = DynamoClient(*args)
                 item = {hk: {"S": row.k}, dk: {"S": "" if row.v is None else row.v}}
                 if expires is not None and tk:
                     item[tk] = {"N": str(expires)}
-                client.call("PutItem", {"TableName": table, "Item": item})
+                pending.append({"PutRequest": {"Item": item}})
+                if len(pending) >= 25:  # BatchWriteItem API cap
+                    _batch_write(client, table, pending)
+                    pending = []
+            if client is not None and pending:
+                _batch_write(client, table, pending)
 
         rows.foreachPartition(send)
 
@@ -190,14 +234,19 @@ class DynamoCache:
         rows = keys.select(F.col(self.key_col).cast("string").alias("k"))
 
         def send(it) -> None:
-            from bento_spark.streaming.dynamodb import DynamoClient
+            from bento_spark.streaming.dynamodb import DynamoClient, _batch_write
 
             client = None
+            pending = []
             for row in it:
                 if client is None:
                     client = DynamoClient(*args)
-                client.call("DeleteItem", {
-                    "TableName": table, "Key": {hk: {"S": row.k}}})
+                pending.append({"DeleteRequest": {"Key": {hk: {"S": row.k}}}})
+                if len(pending) >= 25:
+                    _batch_write(client, table, pending)
+                    pending = []
+            if client is not None and pending:
+                _batch_write(client, table, pending)
 
         rows.foreachPartition(send)
 
@@ -223,12 +272,23 @@ class DynamoCache:
                 ks = [str(k) for k in pdf[key_col]]
                 found: dict[str, str] = {}
                 for i in range(0, len(ks), 100):
-                    chunk = ks[i : i + 100]
-                    out = client.call("BatchGetItem", {"RequestItems": {
-                        table: {"Keys": [{hk: {"S": k}} for k in chunk]},
-                    }})
-                    for item in (out.get("Responses") or {}).get(table, []):
-                        found[item[hk]["S"]] = item.get(dk, {}).get("S")
+                    todo = [{hk: {"S": k}} for k in ks[i : i + 100]]
+                    backoff = 0.1
+                    while todo:
+                        out = client.call("BatchGetItem", {"RequestItems": {
+                            table: {"Keys": todo},
+                        }})
+                        for item in (out.get("Responses") or {}).get(table, []):
+                            found[item[hk]["S"]] = item.get(dk, {}).get("S")
+                        # throttled keys come back in UnprocessedKeys —
+                        # dropping them would read as spurious cache misses
+                        todo = ((out.get("UnprocessedKeys") or {})
+                                .get(table, {}).get("Keys") or [])
+                        if todo:
+                            import time as _time
+
+                            _time.sleep(backoff)
+                            backoff = min(backoff * 2, 2.0)
                 yield pd.DataFrame({
                     key_col: ks,
                     value_col: [found.get(k) for k in ks],
@@ -342,6 +402,17 @@ class MiniDynamoServer:
                         if item is None or not self._alive(item):
                             return self._reply(200, {})
                         return self._reply(200, {"Item": item})
+                    if op == "BatchWriteItem":
+                        for tname, reqs in req["RequestItems"].items():
+                            table = svc._tables.setdefault(tname, {})
+                            for r in reqs:
+                                if "PutRequest" in r:
+                                    item = r["PutRequest"]["Item"]
+                                    table[self._hash_of(item)] = item
+                                else:
+                                    table.pop(self._hash_of(
+                                        r["DeleteRequest"]["Key"]), None)
+                        return self._reply(200, {"UnprocessedItems": {}})
                     if op == "BatchGetItem":
                         out: dict = {"Responses": {}}
                         for tname, spec in req["RequestItems"].items():

@@ -93,18 +93,32 @@ class KinesisClient:
                                         "Limit": limit})
         return out.get("Records", []), out.get("NextShardIterator", "")
 
-    def put_records(self, stream: str,
-                    records: list[tuple[bytes, str]]) -> None:
-        """records: [(data, partition_key)] — <=500 per request (API cap)."""
+    def put_records(self, stream: str, records: list[tuple[bytes, str]],
+                    retries: int = 5, backoff_s: float = 0.2) -> None:
+        """records: [(data, partition_key)] — <=500 per request (API cap).
+        Per-record failures (routine throttling returns FailedRecordCount>0
+        with ErrorCode on the failed entries) retry ONLY the failed subset
+        with backoff, like every real producer; a raise here would kill the
+        whole streaming query (foreachBatch has no in-run retry)."""
+        import time as _time
+
         for i in range(0, len(records), 500):
-            chunk = records[i : i + 500]
-            out = self._call("PutRecords", {"StreamName": stream, "Records": [
-                {"Data": base64.b64encode(d).decode("ascii"), "PartitionKey": pk}
-                for d, pk in chunk
-            ]})
-            if out.get("FailedRecordCount"):
-                raise ConnectionError(
-                    f"kinesis: PutRecords failed {out['FailedRecordCount']} records")
+            chunk = list(records[i : i + 500])
+            for attempt in range(retries + 1):
+                out = self._call("PutRecords", {"StreamName": stream, "Records": [
+                    {"Data": base64.b64encode(d).decode("ascii"), "PartitionKey": pk}
+                    for d, pk in chunk
+                ]})
+                if not out.get("FailedRecordCount"):
+                    break
+                results = out.get("Records", [])
+                chunk = [rec for rec, res in zip(chunk, results)
+                         if res.get("ErrorCode")] or chunk
+                if attempt == retries:
+                    raise ConnectionError(
+                        f"kinesis: PutRecords still failing {len(chunk)} "
+                        f"records after {retries} retries")
+                _time.sleep(backoff_s * (2 ** attempt))
 
     def close(self) -> None:  # connections are per-request
         pass
@@ -131,6 +145,7 @@ class KinesisSpooler:
     region: str = "us-east-1"
     checkpoint_limit: int = 1000
     poll_wait_s: float = 0.05
+    error: str | None = field(default=None, repr=False)
     _thread: threading.Thread | None = field(default=None, repr=False)
     _stop: threading.Event = field(default_factory=threading.Event, repr=False)
 
@@ -157,36 +172,60 @@ class KinesisSpooler:
             tmp.rename(ckpt_path)
 
         def run() -> None:
+            import sys
+
             while not self._stop.is_set():
                 progressed = False
                 for (stream, shard), it in list(iterators.items()):
                     if self._stop.is_set():
                         return
                     try:
-                        records, nxt = client.get_records(
-                            it, limit=self.checkpoint_limit)
-                    except (ConnectionError, OSError):
-                        if self._stop.wait(0.5):
-                            return
-                        continue
-                    iterators[(stream, shard)] = nxt or it
-                    for rec in records:
-                        seq_counter["n"] += 1
-                        data = base64.b64decode(rec.get("Data", ""))
-                        sn = rec.get("SequenceNumber", "")
-                        pk = rec.get("PartitionKey", "")
-                        name = (f"{seq_counter['n']:012d}"
-                                f"-{stream.encode().hex()}"
-                                f"-{shard.encode().hex()}"
-                                f"-{sn.encode().hex()}-{pk.encode().hex()}"
-                                f"-{uuid.uuid4().hex}.msg")
-                        tmp = spool / f".{name}.tmp"
-                        tmp.write_bytes(data)
-                        tmp.rename(spool / name)
-                        sequences[f"{stream}/{shard}"] = sn
-                        progressed = True
-                    if records:
-                        commit()
+                        try:
+                            records, nxt = client.get_records(
+                                it, limit=self.checkpoint_limit)
+                        except (ConnectionError, OSError):
+                            if self._stop.wait(0.5):
+                                return
+                            # expired/invalid iterator or network loss:
+                            # re-acquire from the checkpointed sequence
+                            # (retrying the same token would stall forever)
+                            try:
+                                iterators[(stream, shard)] = client.get_shard_iterator(
+                                    stream, shard,
+                                    after_sequence=sequences.get(f"{stream}/{shard}"))
+                            except (ConnectionError, OSError):
+                                pass
+                            continue
+                        if nxt:
+                            iterators[(stream, shard)] = nxt
+                        elif not records:
+                            # closed shard (resharding): a null iterator
+                            # with no records means the shard is drained
+                            del iterators[(stream, shard)]
+                            continue
+                        for rec in records:
+                            seq_counter["n"] += 1
+                            data = base64.b64decode(rec.get("Data", ""))
+                            sn = rec.get("SequenceNumber", "")
+                            pk = rec.get("PartitionKey", "")
+                            name = (f"{seq_counter['n']:012d}"
+                                    f"-{stream.encode().hex()}"
+                                    f"-{shard.encode().hex()}"
+                                    f"-{sn.encode().hex()}-{pk.encode().hex()}"
+                                    f"-{uuid.uuid4().hex}.msg")
+                            tmp = spool / f".{name}.tmp"
+                            tmp.write_bytes(data)
+                            tmp.rename(spool / name)
+                            sequences[f"{stream}/{shard}"] = sn
+                            progressed = True
+                        if records:
+                            commit()
+                        if not nxt and records:
+                            del iterators[(stream, shard)]  # closed, drained
+                    except Exception as e:  # decode/disk/protocol faults
+                        self.error = f"kinesis: {stream}/{shard}: {e}"
+                        print(self.error, file=sys.stderr)
+                        return
                 if not progressed:
                     self._stop.wait(self.poll_wait_s)
 

@@ -104,21 +104,36 @@ class PubSubClient:
         self._token_exp = time.time() + float(resp.get("expires_in", 3600))
         return self._token
 
-    def _raw_request(self, host, port, https, method, path, body, headers) -> dict:
+    def _raw_request(self, host, port, https, method, path, body, headers,
+                     retries: int = 3, backoff_s: float = 0.25) -> dict:
+        """Bounded in-call retry on transport errors / 5xx / 429 (a raise
+        inside foreachBatch kills the query); permanent 4xx fail fast."""
         import http.client
 
         cls = http.client.HTTPSConnection if https else http.client.HTTPConnection
-        conn = cls(host, port, timeout=self.timeout)
-        try:
-            conn.request(method, path, body=body, headers=headers)
-            resp = conn.getresponse()
-            data = resp.read()
-            if resp.status // 100 != 2:
+        attempt = 0
+        while True:
+            conn = cls(host, port, timeout=self.timeout)
+            status, data, fault = None, b"", None
+            try:
+                conn.request(method, path, body=body, headers=headers)
+                resp = conn.getresponse()
+                status, data = resp.status, resp.read()
+            except (OSError, http.client.HTTPException) as e:
+                fault = e
+            finally:
+                conn.close()
+            if status is not None and status // 100 == 2:
+                return json.loads(data) if data else {}
+            transient = fault is not None or status >= 500 or status == 429
+            if not transient or attempt >= retries:
+                if fault is not None:
+                    raise ConnectionError(
+                        f"pubsub: {method} {path} -> {fault}") from fault
                 raise ConnectionError(
-                    f"pubsub: {method} {path} -> {resp.status} {data[:160]!r}")
-            return json.loads(data) if data else {}
-        finally:
-            conn.close()
+                    f"pubsub: {method} {path} -> {status} {data[:160]!r}")
+            attempt += 1
+            time.sleep(backoff_s * (2 ** (attempt - 1)))
 
     def _call(self, method: str, path: str, body: dict | None = None) -> dict:
         headers = {"Content-Type": "application/json"}
@@ -158,8 +173,15 @@ class PubSubClient:
 
     def create_subscription(self, project: str, subscription: str,
                             topic: str) -> None:
-        self._call("PUT", f"/v1/projects/{project}/subscriptions/{subscription}",
-                   {"topic": f"projects/{project}/topics/{topic}"})
+        """Idempotent: the real API's 409 ALREADY_EXISTS on a restart is
+        success, not failure (the reference input ignores AlreadyExists)."""
+        try:
+            self._call("PUT",
+                       f"/v1/projects/{project}/subscriptions/{subscription}",
+                       {"topic": f"projects/{project}/topics/{topic}"})
+        except ConnectionError as e:
+            if "409" not in str(e) and "ALREADY_EXISTS" not in str(e):
+                raise
 
     def close(self) -> None:  # connections are per-request
         pass
@@ -185,6 +207,7 @@ class PubSubSpooler:
     credentials: dict | None = None
     max_messages: int = 10
     create_topic: str | None = None
+    error: str | None = field(default=None, repr=False)
     _thread: threading.Thread | None = field(default=None, repr=False)
     _stop: threading.Event = field(default_factory=threading.Event, repr=False)
 
@@ -209,18 +232,25 @@ class PubSubSpooler:
                 if not got:
                     self._stop.wait(0.05)
                     continue
-                acks = []
-                for rm in got:
-                    msg = rm.get("message") or {}
-                    data = base64.b64decode(msg.get("data", ""))
-                    mid = msg.get("messageId", "")
-                    seq["n"] += 1
-                    name = (f"{seq['n']:012d}-{mid.encode().hex()}"
-                            f"-{uuid.uuid4().hex}.msg")
-                    tmp = spool / f".{name}.tmp"
-                    tmp.write_bytes(data)
-                    tmp.rename(spool / name)
-                    acks.append(rm["ackId"])
+                try:
+                    acks = []
+                    for rm in got:
+                        msg = rm.get("message") or {}
+                        data = base64.b64decode(msg.get("data", ""))
+                        mid = msg.get("messageId", "")
+                        seq["n"] += 1
+                        name = (f"{seq['n']:012d}-{mid.encode().hex()}"
+                                f"-{uuid.uuid4().hex}.msg")
+                        tmp = spool / f".{name}.tmp"
+                        tmp.write_bytes(data)
+                        tmp.rename(spool / name)
+                        acks.append(rm["ackId"])
+                except Exception as e:  # disk/decode faults: surface loudly
+                    import sys
+
+                    self.error = f"gcp_pubsub: {e}"
+                    print(self.error, file=sys.stderr)
+                    return
                 try:
                     client.acknowledge(self.project, self.subscription, acks)
                 except (ConnectionError, OSError):
@@ -401,9 +431,13 @@ class MiniPubSubServer:
                 if m:
                     topic = body.get("topic", "").split("/")[-1]
                     with svc._lock:
+                        if m.group(1) in svc._subs:
+                            # the real API's restart behavior — clients
+                            # must treat this as success
+                            return self._reply(409, {"error": {
+                                "code": 409, "status": "ALREADY_EXISTS"}})
                         svc._topics.setdefault(topic, [])
-                        svc._subs.setdefault(
-                            m.group(1), {"topic": topic, "queue": []})
+                        svc._subs[m.group(1)] = {"topic": topic, "queue": []}
                     return self._reply(200, {"name": self.path[4:]})
                 return self._reply(404, {"error": "unknown path"})
 

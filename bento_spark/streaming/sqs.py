@@ -117,24 +117,41 @@ class SqsClient:
         self.access_key, self.secret_key, self.region = access_key, secret_key, region
         self.timeout = timeout
 
-    def _call(self, op: str, body: dict) -> dict:
+    def _call(self, op: str, body: dict, retries: int = 3,
+              backoff_s: float = 0.25) -> dict:
+        """One signed request with bounded in-call retry on transport
+        errors / 5xx / 429 — a raise inside foreachBatch kills the whole
+        query (the repo's http_post_writer contract), so transient AWS
+        throttling must heal here. Permanent 4xx fail fast."""
         import http.client
 
         payload = json.dumps(body).encode("utf-8")
-        headers = sigv4_headers(
-            "POST", self.host_hdr, "/", payload, self.access_key,
-            self.secret_key, self.region, "sqs", f"AmazonSQS.{op}")
-        cls = http.client.HTTPSConnection if self._https else http.client.HTTPConnection
-        conn = cls(self.host, self.port, timeout=self.timeout)
-        try:
-            conn.request("POST", "/", body=payload, headers=headers)
-            resp = conn.getresponse()
-            data = resp.read()
-            if resp.status // 100 != 2:
-                raise ConnectionError(f"sqs: {op} -> {resp.status} {data[:160]!r}")
-            return json.loads(data) if data else {}
-        finally:
-            conn.close()
+        attempt = 0
+        while True:
+            headers = sigv4_headers(
+                "POST", self.host_hdr, "/", payload, self.access_key,
+                self.secret_key, self.region, "sqs", f"AmazonSQS.{op}")
+            cls = (http.client.HTTPSConnection if self._https
+                   else http.client.HTTPConnection)
+            conn = cls(self.host, self.port, timeout=self.timeout)
+            status, data, fault = None, b"", None
+            try:
+                conn.request("POST", "/", body=payload, headers=headers)
+                resp = conn.getresponse()
+                status, data = resp.status, resp.read()
+            except (OSError, http.client.HTTPException) as e:
+                fault = e
+            finally:
+                conn.close()
+            if status is not None and status // 100 == 2:
+                return json.loads(data) if data else {}
+            transient = fault is not None or status >= 500 or status == 429
+            if not transient or attempt >= retries:
+                if fault is not None:
+                    raise ConnectionError(f"sqs: {op} -> {fault}") from fault
+                raise ConnectionError(f"sqs: {op} -> {status} {data[:160]!r}")
+            attempt += 1
+            time.sleep(backoff_s * (2 ** (attempt - 1)))
 
     def send_message(self, queue_url: str, body: str,
                      group_id: str | None = None) -> str:
@@ -142,6 +159,26 @@ class SqsClient:
         if group_id is not None:
             req["MessageGroupId"] = group_id
         return self._call("SendMessage", req).get("MessageId", "")
+
+    def send_message_batch(self, queue_url: str,
+                           entries: list[tuple[str, str | None]]) -> None:
+        """entries: [(body, group_id)] — SendMessageBatch, <=10 per request
+        (the API cap); per-entry failures raise naming the entries."""
+        for i in range(0, len(entries), 10):
+            chunk = entries[i : i + 10]
+            req_entries = []
+            for j, (body, gid) in enumerate(chunk):
+                e: dict = {"Id": str(j), "MessageBody": body}
+                if gid is not None:
+                    e["MessageGroupId"] = gid
+                req_entries.append(e)
+            out = self._call("SendMessageBatch",
+                             {"QueueUrl": queue_url, "Entries": req_entries})
+            failed = out.get("Failed") or []
+            if failed:
+                raise ConnectionError(
+                    f"sqs: SendMessageBatch rejected {len(failed)} entries: "
+                    f"{failed[:3]!r}")
 
     def receive_message(self, queue_url: str, max_messages: int = 10,
                         wait_time_s: int = 0) -> list[dict]:
@@ -182,6 +219,7 @@ class SqsSpooler:
     wait_time_s: int = 1
     max_messages: int = 10
     delete_message: bool = True
+    error: str | None = field(default=None, repr=False)
     _thread: threading.Thread | None = field(default=None, repr=False)
     _stop: threading.Event = field(default_factory=threading.Event, repr=False)
 
@@ -191,9 +229,14 @@ class SqsSpooler:
         client = SqsClient(self.endpoint, self.access_key, self.secret_key,
                            region=self.region)
         seq = {"n": 0}
-        seen: set[str] = set()  # leave-in-queue mode: don't re-spool
+        # leave-in-queue mode only: remember spooled ids so re-visible
+        # messages don't duplicate; delete_message mode never consults it
+        # (tracking there would be an unbounded leak for zero benefit)
+        seen: set[str] | None = None if self.delete_message else set()
 
         def run() -> None:
+            import sys
+
             while not self._stop.is_set():
                 try:
                     msgs = client.receive_message(
@@ -206,25 +249,31 @@ class SqsSpooler:
                 if not msgs:
                     self._stop.wait(0.05)
                     continue
-                for m in msgs:
-                    mid = m.get("MessageId", "")
-                    if not self.delete_message and mid in seen:
-                        continue
-                    seen.add(mid)
-                    seq["n"] += 1
-                    # message id rides the filename hex-encoded (ids are
-                    # service-defined strings, not filename-safe)
-                    name = (f"{seq['n']:012d}-{mid.encode().hex()}"
-                            f"-{uuid.uuid4().hex}.msg")
-                    tmp = spool / f".{name}.tmp"
-                    tmp.write_bytes(m.get("Body", "").encode("utf-8"))
-                    tmp.rename(spool / name)
-                    if self.delete_message:
-                        try:
-                            client.delete_message(self.queue_url,
-                                                  m["ReceiptHandle"])
-                        except (ConnectionError, OSError, KeyError):
-                            pass  # visibility timeout re-delivers; dedupe downstream
+                try:
+                    for m in msgs:
+                        mid = m.get("MessageId", "")
+                        if seen is not None:
+                            if mid in seen:
+                                continue
+                            seen.add(mid)
+                        seq["n"] += 1
+                        # message id rides the filename hex-encoded (ids
+                        # are service-defined strings, not filename-safe)
+                        name = (f"{seq['n']:012d}-{mid.encode().hex()}"
+                                f"-{uuid.uuid4().hex}.msg")
+                        tmp = spool / f".{name}.tmp"
+                        tmp.write_bytes(m.get("Body", "").encode("utf-8"))
+                        tmp.rename(spool / name)
+                        if self.delete_message:
+                            try:
+                                client.delete_message(self.queue_url,
+                                                      m["ReceiptHandle"])
+                            except (ConnectionError, OSError, KeyError):
+                                pass  # visibility timeout re-delivers
+                except Exception as e:  # disk/decode faults: surface, don't vanish
+                    self.error = f"aws_sqs: {e}"
+                    print(self.error, file=sys.stderr)
+                    return
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
@@ -277,8 +326,14 @@ def sqs_sink(endpoint: str, queue_url: str, access_key: str, secret_key: str,
             from bento_spark.streaming.sqs import SqsClient
 
             client = SqsClient(endpoint, access_key, secret_key, region=region)
+            pending: list[tuple[str, str | None]] = []
             for row in rows:
-                client.send_message(queue_url, row.v, group_id=row.g)
+                pending.append((row.v, row.g))
+                if len(pending) >= 10:  # SendMessageBatch API cap
+                    client.send_message_batch(queue_url, pending)
+                    pending = []
+            if pending:
+                client.send_message_batch(queue_url, pending)
 
         payloads.foreachPartition(send)
 
@@ -357,6 +412,16 @@ class MiniSqsServer:
                         svc._queues.setdefault(req["QueueUrl"], []).append(
                             [mid, req["MessageBody"], 0.0])
                     return self._reply(200, {"MessageId": mid})
+                if op == "SendMessageBatch":
+                    ok = []
+                    with svc._lock:
+                        q = svc._queues.setdefault(req["QueueUrl"], [])
+                        for e in req.get("Entries", []):
+                            svc._seq += 1
+                            mid = f"m-{svc._seq:08d}"
+                            q.append([mid, e["MessageBody"], 0.0])
+                            ok.append({"Id": e["Id"], "MessageId": mid})
+                    return self._reply(200, {"Successful": ok, "Failed": []})
                 if op == "ReceiveMessage":
                     deadline = time.monotonic() + float(req.get("WaitTimeSeconds", 0))
                     while True:

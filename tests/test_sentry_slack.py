@@ -93,7 +93,10 @@ pipeline:
     e1 = by_msg["worker failed: disk full"]
     assert e1["level"] == "warn" and e1["environment"] == "ci"
     assert e1["tags"] == {"worker": "w-1"}
-    assert len(e1["event_id"]) == 32  # content-derived md5, replay-stable
+    # per-capture uuid (Sentry drops duplicate ids, so recurrences must
+    # get fresh ones); distinct events carry distinct ids
+    assert len(e1["event_id"]) == 32
+    assert len({e["event_id"] for e in events}) == 2
 
 
 def test_yaml_slack_webhook_output(spark, capture_server, tmp_path):
