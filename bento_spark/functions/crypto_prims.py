@@ -519,6 +519,11 @@ def bcrypt_hash(password: bytes, cost: int, salt: bytes, prefix: str = "2b") -> 
         raise ValueError("bcrypt: salt must be 16 bytes")
     if not 4 <= cost <= 31:
         raise ValueError("bcrypt: cost out of range")
+    if len(password) > 72:
+        # x/crypto/bcrypt returns ErrPasswordTooLong instead of silently
+        # truncating (a wrong long password with a matching 72-byte prefix
+        # must NOT compare equal) — same contract here
+        raise ValueError("bcrypt: password longer than 72 bytes")
     key = (password + b"\x00")[:72]
     P, S = _bf_initial()
     _bf_expand(P, S, _cyclic_words(key), _cyclic_words(salt))

@@ -1003,7 +1003,8 @@ class Pipeline:
         ).start()
 
     # -------------------------------------------------------- cache resources
-    def _cache_backend(self, resource: str, spark: SparkSession, key_col: str = "key"):
+    def _cache_backend(self, resource: str, spark: SparkSession, key_col: str = "key",
+                       _visiting: frozenset | None = None):
         """Resolve a `resource:` reference to a cache backend. A label
         declared under top-level `cache_resources:` wins (the reference
         registers caches as named resources — config/schema.go's
@@ -1048,8 +1049,18 @@ class Pipeline:
                     names = r["multilevel"] or []
                     if resource in names:
                         raise ValueError(f"multilevel cache {resource!r} references itself")
+                    # mutual cycles (A: multilevel [B], B: multilevel [A])
+                    # would recurse to RecursionError — the memo entry only
+                    # lands after construction, so thread a visiting-set
+                    visiting = _visiting or frozenset()
+                    if resource in visiting:
+                        raise ValueError(
+                            f"multilevel cache cycle through {resource!r} "
+                            f"(visiting: {sorted(visiting)})")
                     mem[resource] = MultilevelCache(
-                        [self._cache_backend(str(n), spark) for n in names]
+                        [self._cache_backend(str(n), spark,
+                                             _visiting=visiting | {resource})
+                         for n in names]
                     )
                     return mem[resource]
                 if "file" in r:

@@ -81,8 +81,13 @@ class DynamoClient:
                     err_type = ""
                 if err_type.endswith("ConditionalCheckFailedException"):
                     raise KeyExistsError()
-                if not err_type.endswith(
-                        "ProvisionedThroughputExceededException"):
+                # AWS throttling surfaces under several 400-level names —
+                # all must heal in-call, not fail the executor task
+                throttled = (
+                    err_type.endswith("ProvisionedThroughputExceededException")
+                    or err_type.endswith("ThrottlingException")
+                    or err_type.endswith("RequestLimitExceeded"))
+                if not throttled:
                     raise ConnectionError(
                         f"dynamodb: {op} -> {status} {data[:160]!r}")
             if attempt >= retries:

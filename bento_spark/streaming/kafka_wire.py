@@ -261,11 +261,11 @@ _BATCH_HEAD = struct.Struct(">qiibI")
 
 def encode_record_batch(
     base_offset: int,
-    records: list[tuple[int, bytes | None, bytes, list[tuple[str, bytes]]]],
+    records: list[tuple[int, bytes | None, bytes | None, list[tuple[str, bytes]]]],
 ) -> bytes:
-    """records: [(timestamp_ms, key|None, value, headers)] -> one
-    uncompressed v2 batch. CRC32C covers attributes..end (the spec's
-    post-crc region)."""
+    """records: [(timestamp_ms, key|None, value|None, headers)] -> one
+    uncompressed v2 batch; a None value encodes as vlen=-1 (a tombstone).
+    CRC32C covers attributes..end (the spec's post-crc region)."""
     if not records:
         raise ValueError("kafka: empty record batch")
     first_ts = records[0][0]
@@ -282,8 +282,11 @@ def encode_record_batch(
         else:
             rec += _enc_varint(len(key))
             rec += key
-        rec += _enc_varint(len(value))
-        rec += value
+        if value is None:
+            rec += _enc_varint(-1)
+        else:
+            rec += _enc_varint(len(value))
+            rec += value
         rec += _enc_varint(len(headers))
         for hk, hv in headers:
             hkb = hk.encode("utf-8")
@@ -301,12 +304,15 @@ def encode_record_batch(
 
 def decode_record_batches(
     buf: bytes,
-) -> list[tuple[int, int, bytes | None, bytes, list[tuple[str, bytes]]]]:
+) -> list[tuple[int, int, bytes | None, bytes | None, list[tuple[str, bytes]]]]:
     """Parse a fetch record-set (>=0 concatenated v2 batches) ->
-    [(offset, timestamp_ms, key|None, value, headers)]. A trailing
-    partial batch (the broker may truncate at max_bytes) is ignored,
-    exactly like real clients."""
-    out: list[tuple[int, int, bytes | None, bytes, list[tuple[str, bytes]]]] = []
+    [(offset, timestamp_ms, key|None, value|None, headers)]. A null value
+    (vlen < 0) is a TOMBSTONE — compacted-topic delete marker — and is
+    preserved as None, distinct from a genuinely empty b"" message
+    (franz-go preserves nil values the same way). A trailing partial
+    batch (the broker may truncate at max_bytes) is ignored, exactly
+    like real clients."""
+    out: list[tuple[int, int, bytes | None, bytes | None, list[tuple[str, bytes]]]] = []
     r = _Reader(buf)
     while r.remaining() >= 12:
         base_offset = r.i64()
@@ -342,7 +348,7 @@ def decode_record_batches(
             klen = rec.varint()
             key = None if klen < 0 else rec.raw(klen)
             vlen = rec.varint()
-            value = b"" if vlen < 0 else rec.raw(vlen)
+            value = None if vlen < 0 else rec.raw(vlen)
             headers: list[tuple[str, bytes]] = []
             for _h in range(rec.varint()):
                 hklen = rec.varint()
@@ -685,13 +691,20 @@ class KafkaSpooler:
                         # record metadata), decoded JVM-side. The spec's
                         # "no timestamp" sentinel -1 clamps to 0 so the
                         # fixed-width filename stays parseable.
+                        # the 1-char flag distinguishes a tombstone (null
+                        # value, compacted-topic delete) from an empty
+                        # message; the body gets a 1-byte pad because
+                        # Spark's text source emits NO row for a 0-byte
+                        # file — tombstones and empty messages would
+                        # silently vanish from the stream
                         name = (
                             f"{seq['n']:012d}-{topic.encode().hex()}-{pid:05d}"
                             f"-{off:020d}-{max(ts, 0):020d}-{(rkey or b'').hex()}"
+                            f"-{'n' if value is None else 'v'}"
                             f"-{uuid.uuid4().hex}.msg"
                         )
                         tmp = spool / f".{name}.tmp"
-                        tmp.write_bytes(value)
+                        tmp.write_bytes(b"." + (value or b""))
                         tmp.rename(spool / name)
                         offsets[key] = off + 1
                         progressed = True
@@ -727,10 +740,18 @@ def read_kafka_wire_stream(spark, spool_dir: str,
     df = read_spool_stream(spark, spool_dir, whole_body=True,
                            max_files_per_trigger=max_files_per_trigger)
     fname = F.input_file_name()
-    pat = r"/\d{12}-([0-9a-f]*)-(\d{5})-(\d{20})-(\d{20})-([0-9a-f]*)-[0-9a-f]{32}\.msg$"
+    pat = (r"/\d{12}-([0-9a-f]*)-(\d{5})-(\d{20})-(\d{20})-([0-9a-f]*)"
+           r"-([nv])-[0-9a-f]{32}\.msg$")
     key = F.decode(F.unhex(F.regexp_extract(fname, pat, 5)), "UTF-8")
     return (
-        df.withColumn("kafka_topic",
+        # strip the 1-byte pad (see the spooler: 0-byte files emit no row
+        # from the text source); tombstones (flag 'n') surface value as
+        # NULL — compacted-topic delete semantics survive the spool bridge
+        df.withColumn("value", F.when(
+              F.regexp_extract(fname, pat, 6) == "n",
+              F.lit(None).cast("string"))
+          .otherwise(F.expr("substring(value, 2)")))
+          .withColumn("kafka_topic",
                       F.decode(F.unhex(F.regexp_extract(fname, pat, 1)), "UTF-8"))
           .withColumn("kafka_partition", F.regexp_extract(fname, pat, 2).cast("int"))
           .withColumn("kafka_offset", F.regexp_extract(fname, pat, 3).cast("bigint"))

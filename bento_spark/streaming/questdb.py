@@ -26,10 +26,16 @@ import threading
 
 
 def _esc_tag(c):
-    """Escape a symbol/tag value column: `,`, ` `, `=` per the ILP spec."""
+    """Escape a symbol/tag value column: `,`, ` `, `=` per the ILP spec.
+    ILP is newline-framed and tag positions have NO newline escape, so a
+    raw \\n or \\r would terminate the line mid-row and inject the rest
+    as extra rows — render them as the literal two-char sequences \\n /
+    \\r instead (the questdb-client-go sanitization contract)."""
     from pyspark.sql import functions as F
 
-    return F.regexp_replace(c.cast("string"), "([ ,=])", r"\\$1")
+    esc = F.regexp_replace(c.cast("string"), "([ ,=])", r"\\$1")
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    return F.regexp_replace(esc, "\r", r"\\r")
 
 
 def ilp_line(df, table: str, symbols: list[str] | None = None,
@@ -73,6 +79,11 @@ def ilp_line(df, table: str, symbols: list[str] | None = None,
             quoted = F.regexp_replace(
                 F.regexp_replace(col.cast("string"), r"\\", r"\\\\"),
                 '"', '\\\\"')
+            # raw newlines terminate the newline-framed line mid-row
+            # (data-dependent row injection) — escape AFTER the backslash
+            # doubling so the inserted '\' survives as-is
+            quoted = F.regexp_replace(quoted, "\n", r"\\n")
+            quoted = F.regexp_replace(quoted, "\r", r"\\r")
             rendered = F.concat(F.lit('"'), quoted, F.lit('"'))
         frag = F.concat(F.lit(f",{name}="), rendered)
         field_frags.append(F.when(col.isNotNull(), frag).otherwise(F.lit("")))

@@ -21,7 +21,8 @@ Spark-first mapping (same spool-bridge rationale as every pull source):
   durability = at-least-once: an un-deleted message re-appears after its
   visibility timeout, the SQS contract). MessageId rides the spool
   FILENAME and surfaces as `sqs_message_id`.
-- output -> foreachBatch SendMessage per row, body serialized JVM-side.
+- output -> foreachBatch SendMessageBatch in <=10-entry chunks (the API
+  cap), bodies serialized JVM-side.
 
 The x-amz-date header is request-time wall clock — transport metadata
 SigV4 requires, never row content (the determinism invariant governs

@@ -205,6 +205,28 @@ pipeline:
         p.build_batch(spark)
 
 
+def test_yaml_multilevel_mutual_cycle_raises(spark, tmp_path):
+    """A: multilevel [B], B: multilevel [A] — must fail with a clear
+    cycle error at plan-build time, not a RecursionError."""
+    src = tmp_path / "in"
+    spark.createDataFrame([(1,)], "id int").write.parquet(str(src))
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {src}}}
+cache_resources:
+  - label: a
+    multilevel: [b]
+  - label: b
+    multilevel: [a]
+pipeline:
+  processors:
+    - mapping: 'root.k = this.id.string()'
+    - cache: {{resource: a, operator: get, key: k}}
+""")
+    with pytest.raises(ValueError, match="multilevel cache cycle"):
+        p.build_batch(spark)
+
+
 # ------------------------------------------------------------------- lint
 
 

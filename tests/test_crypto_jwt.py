@@ -238,6 +238,13 @@ def test_bcrypt_openbsd_vectors():
     assert h.startswith("$2b$06$") and bcrypt_compare(b"swordfish", h)
     with pytest.raises(ValueError, match="malformed"):
         bcrypt_compare(b"x", "$9z$06$nope")
+    # x/crypto/bcrypt's ErrPasswordTooLong contract: >72 bytes raises
+    # instead of silently truncating (a wrong long password whose first
+    # 72 bytes match must not compare True)
+    with pytest.raises(ValueError, match="72"):
+        bcrypt_hash(b"p" * 73, 6, bytes(range(16)))
+    with pytest.raises(ValueError, match="72"):
+        bcrypt_compare(b"p" * 73, h)
 
 
 def test_bcrypt_reference_docstring_example():

@@ -52,6 +52,51 @@ def test_bad_signature_rejected(server):
         c.call("GetItem", {"TableName": "t", "Key": {"key": {"S": "a"}}})
 
 
+@pytest.mark.parametrize("err_type", [
+    "com.amazonaws.dynamodb.v20120810#ProvisionedThroughputExceededException",
+    "com.amazon.coral.availability#ThrottlingException",
+    "RequestLimitExceeded",
+])
+def test_throttling_400s_retry_in_call(err_type):
+    """AWS throttling surfaces under several 400-level names — all must
+    heal inside call() (a raise in foreachPartition fails the task)."""
+    import http.server
+    import json
+    import threading
+
+    hits = {"n": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            hits["n"] += 1
+            if hits["n"] == 1:
+                body = json.dumps({"__type": err_type}).encode()
+                self.send_response(400)
+            else:
+                body = b"{}"
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c = DynamoClient(f"http://127.0.0.1:{srv.server_address[1]}",
+                         "ak", "sk")
+        assert c.call("PutItem", {"TableName": "t", "Item": {}},
+                      backoff_s=0.01) == {}
+        assert hits["n"] == 2  # throttled once, retried, succeeded
+    finally:
+        srv.shutdown()
+
+
 def test_cache_contract(spark, server):
     c = _cache(spark, server)
     kv = spark.createDataFrame([("a", "1"), ("b", "2")], "key string, value string")

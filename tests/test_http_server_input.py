@@ -529,6 +529,18 @@ class _TlsWsServer(_WsTestServer):
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
 
+    def _serve(self):
+        import ssl
+
+        # a client that (correctly) rejects the self-signed cert aborts the
+        # server-side handshake inside accept() — expected in the
+        # verification-default test, so swallow it instead of leaving an
+        # unhandled-thread SSL warning in pytest output
+        try:
+            super()._serve()
+        except (ssl.SSLError, OSError):
+            pass
+
 
 def test_websocket_wss_tls_handshake(tmp_path):
     """wss:// over an in-process TLS server (RFC 6455 §4.1: TLS first,

@@ -70,6 +70,8 @@ def test_record_batch_roundtrip():
         (1_700_000_000_000, b"k1", b"v1", []),
         (1_700_000_000_250, None, b"v2", [("h", b"x"), ("h2", b"")]),
         (1_700_000_000_500, b"", b"", []),
+        # tombstone (null value) stays None — distinct from empty b""
+        (1_700_000_000_750, b"k1", None, []),
     ]
     batch = encode_record_batch(42, recs)
     out = decode_record_batches(batch)
@@ -77,6 +79,7 @@ def test_record_batch_roundtrip():
         (42, 1_700_000_000_000, b"k1", b"v1", []),
         (43, 1_700_000_000_250, None, b"v2", [("h", b"x"), ("h2", b"")]),
         (44, 1_700_000_000_500, b"", b"", []),
+        (45, 1_700_000_000_750, b"k1", None, []),
     ]
 
 
@@ -178,13 +181,17 @@ def test_spooler_end_to_end(broker, spark, tmp_path):
     p.produce("logs", 0, encode_record_batch(
         0, [(1000, b"a", json.dumps({"n": i}).encode(), []) for i in range(3)]))
     p.produce("logs", 1, encode_record_batch(
-        0, [(2000, None, json.dumps({"n": 10}).encode(), [])]))
+        0, [(2000, None, json.dumps({"n": 10}).encode(), []),
+            # tombstone (null value) vs genuinely-empty message — the
+            # spool bridge must keep them distinct (NULL vs "")
+            (2500, b"gone", None, []),
+            (2600, b"blank", b"", [])]))
     spool = str(tmp_path / "spool")
     sp = KafkaSpooler("127.0.0.1", broker.port, ["logs"], spool).start()
     try:
         deadline = time.monotonic() + 10
         while time.monotonic() < deadline:
-            if len(list(Path(spool).glob("*.msg"))) >= 4:
+            if len(list(Path(spool).glob("*.msg"))) >= 6:
                 break
             time.sleep(0.05)
         df = read_kafka_wire_stream(spark, spool)
@@ -197,12 +204,15 @@ def test_spooler_end_to_end(broker, spark, tmp_path):
             "select kafka_topic, kafka_partition, kafka_offset, kafka_key, value "
             "from kafka_wire_e2e order by kafka_partition, kafka_offset"
         ).collect()
-        assert len(rows) == 4
+        assert len(rows) == 6
         assert all(r.kafka_topic == "logs" for r in rows)
         assert [(r.kafka_partition, r.kafka_offset) for r in rows] == [
-            (0, 0), (0, 1), (0, 2), (1, 0)]
+            (0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
         assert rows[0].kafka_key == "a" and rows[3].kafka_key is None
         assert json.loads(rows[3].value) == {"n": 10}
+        # tombstone surfaces as NULL; empty message stays ""
+        assert rows[4].kafka_key == "gone" and rows[4].value is None
+        assert rows[5].kafka_key == "blank" and rows[5].value == ""
         # kafka_ts decoded from the record timestamp
         ts = spark.sql("select min(kafka_ts) t from kafka_wire_e2e").collect()[0].t
         assert ts is not None and ts.year == 1970  # 1000ms epoch
@@ -231,7 +241,8 @@ def test_spooler_restart_resumes_from_committed_offset(broker, tmp_path):
     sp2.stop()
     files = sorted(Path(spool).glob("*.msg"))
     assert len(files) == 2
-    assert [f.read_bytes() for f in files] == [b"one", b"two"]
+    # spool bodies carry the 1-byte pad (see KafkaSpooler)
+    assert [f.read_bytes() for f in files] == [b".one", b".two"]
     p.close()
 
 

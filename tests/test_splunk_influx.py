@@ -159,6 +159,22 @@ def test_ilp_line_rendering(spark):
     assert forced == "t n=7.0"
 
 
+def test_ilp_newlines_cannot_inject_rows(spark):
+    """ILP is newline-framed: a raw \\n or \\r in a string field or tag
+    value must be escaped, never emitted — otherwise the remainder parses
+    as injected extra rows (the questdb-client-go sanitization rule)."""
+    from bento_spark.streaming.questdb import ilp_line
+
+    df = spark.createDataFrame(
+        [("tag\nval", 'line1\nfake,inj=1 x=9i\rline3')],
+        "region string, note string",
+    )
+    out = ilp_line(df, "t", symbols=["region"]).first()._ilp
+    assert "\n" not in out and "\r" not in out
+    assert out.startswith("t,region=tag\\nval ")
+    assert 'note="line1\\nfake,inj=1 x=9i\\rline3"' in out
+
+
 def test_yaml_questdb_output(spark, tmp_path):
     from bento_spark.streaming.questdb import MiniQuestDbServer
 
