@@ -60,6 +60,19 @@ def _scratch_dir(key: str, fresh: bool = False) -> str:
     return d
 
 
+def _cross(primary: DataFrame, *others: DataFrame) -> DataFrame:
+    """Fold several equivalent implementations into ONE oracle entry
+    (VERDICT r04 'Next round' #8): every alternative path still EXECUTES,
+    and the result equals `primary` iff ALL paths agree — any divergence
+    appends the symmetric difference as extra rows, so the driver's
+    rowcount/hash compare turns red. Distributed (exceptAll on the tiny
+    aggregated outputs), no driver-side collect."""
+    out = primary
+    for o in others:
+        out = out.unionByName(o.exceptAll(primary)).unionByName(primary.exceptAll(o))
+    return out
+
+
 # --------------------------------------------------------------------------
 # Relational core (mapping / filter / agg — reference processor_mapping.go,
 # Bloblang agg methods §2.8)
@@ -111,13 +124,17 @@ def q_group_by_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         default="normal",
     )
-    return labeled.groupBy(F.col(grouping.GROUP_COL).alias("grp")).agg(
+    op = labeled.groupBy(F.col(grouping.GROUP_COL).alias("grp")).agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
     )
+    # cross-checked against the YAML group_by section (folded, VERDICT r04 #8)
+    return _cross(op, q_yaml_group_by(spark, sf_dir))
 
 
 def q_switch_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """switch processor first-match routing (processor_switch.go:77)."""
+    """switch processor first-match routing (processor_switch.go:77) —
+    operator API cross-checked against the YAML section path (folded
+    per VERDICT r04 #8: both paths execute, divergence turns the row red)."""
     from bento_spark.operators.switch import switch_expr
 
     ev = _t(spark, sf_dir, "events")
@@ -129,9 +146,10 @@ def q_switch_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         default=F.lit("rest"),
     )
-    return ev.withColumn("route", route).groupBy("route").agg(
+    op = ev.withColumn("route", route).groupBy("route").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
     )
+    return _cross(op, q_yaml_switch_routing(spark, sf_dir))
 
 
 def q_bounds_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +167,9 @@ def q_error_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = errors.set_error_when(ev, F.col("k") > 80, "k out of range")
     caught = errors.catch_(flagged, lambda d: d.withColumn("k", F.lit(-1)))
-    return caught.groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+    op = caught.groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+    # cross-checked against the YAML try/catch sections (folded, VERDICT r04 #8)
+    return _cross(op, q_yaml_try_catch(spark, sf_dir))
 
 
 _EH_PIPE = """
@@ -173,21 +193,21 @@ def _q_error_strategy(spark: SparkSession, sf_dir: str, eh: str) -> DataFrame:
     )
 
 
-def q_error_strategy_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-level error_handling strategy=reject (errorhandling/docs.go:7,
-    strict mode bundle/strict/processor.go): ONE top-level knob drops
-    errored rows from the whole pipeline's output."""
-    return _q_error_strategy(spark, sf_dir, "{strategy: reject}")
-
-
-def q_error_strategy_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """strategy=retry with bounded attempts + on_exhausted=reject
-    (feedback pipeline, bundle/strict/pipeline.go): deterministic errors
-    survive both attempts, the exhaustion path rejects them — same rows as
-    the reject strategy, proving the loop + exhaustion plumbing."""
-    return _q_error_strategy(
+def q_error_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level error_handling strategies (errorhandling/docs.go:7,
+    strict mode bundle/strict/processor.go), folded into one entry
+    (VERDICT r04 #8): strategy=reject (ONE top-level knob drops errored
+    rows from the whole pipeline's output) cross-checked against
+    strategy=retry with bounded attempts + on_exhausted=reject (feedback
+    pipeline, bundle/strict/pipeline.go — deterministic errors survive
+    both attempts and the exhaustion path rejects them, so both
+    strategies must yield identical rows, proving the loop + exhaustion
+    plumbing)."""
+    reject = _q_error_strategy(spark, sf_dir, "{strategy: reject}")
+    retry = _q_error_strategy(
         spark, sf_dir, "{strategy: retry, max_attempts: 2, on_exhausted: reject}"
     )
+    return _cross(reject, retry)
 
 
 # --------------------------------------------------------------------------
@@ -206,11 +226,13 @@ def q_unarchive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_select_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """select_parts indexes [0, -1]: first & last event per user batch."""
+    """select_parts indexes [0, -1]: first & last event per user batch —
+    operator API cross-checked against the YAML section (folded, r04 #8)."""
     ev = _t(spark, sf_dir, "events")
-    return batching.select_parts(ev, "user_id", "event_id", [0, -1]).select(
+    op = batching.select_parts(ev, "user_id", "event_id", [0, -1]).select(
         "user_id", "event_id", "event_type"
     )
+    return _cross(op, q_yaml_select_parts(spark, sf_dir))
 
 
 def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,14 +273,17 @@ def q_broker_fan_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cache-get / sql_select enrichment as broadcast lookup join."""
+    """cache-get / sql_select enrichment as broadcast lookup join —
+    operator API cross-checked against the YAML lookup section (folded,
+    VERDICT r04 #8)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     joined = enrich.lookup_join(li, p, on=[li.l_partkey == p.p_partkey], how="inner")
-    return joined.groupBy("p_brand").agg(
+    op = joined.groupBy("p_brand").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+    return _cross(op, q_yaml_lookup(spark, sf_dir))
 
 
 def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,18 +379,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedupe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: jaccard pairs -> connected components (iterative
-    min-label propagation, the `while`-processor shape) -> groups."""
-    return dedupe_fuzzy.dedupe_clusters(_t(spark, sf_dir, "documents"), threshold=0.6)
-
-
-def q_dedupe_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same clustering via large/small-star connected components (Kiveris
-    et al., SoCC'14) — O(log^2 n) rounds independent of graph diameter, the
-    scale path when pair graphs may chain. Shares the min-label oracle."""
-    return dedupe_fuzzy.dedupe_clusters(
-        _t(spark, sf_dir, "documents"), threshold=0.6, algo="star"
-    )
+    """Near-dup clustering: jaccard pairs -> connected components -> groups.
+    BOTH algorithms run and must agree (folded, VERDICT r04 #8): iterative
+    min-label propagation (the `while`-processor shape) cross-checked
+    against large/small-star CC (Kiveris et al., SoCC'14 — O(log^2 n)
+    rounds independent of graph diameter, the scale path when pair graphs
+    may chain)."""
+    docs = _t(spark, sf_dir, "documents")
+    label = dedupe_fuzzy.dedupe_clusters(docs, threshold=0.6)
+    star = dedupe_fuzzy.dedupe_clusters(docs, threshold=0.6, algo="star")
+    return _cross(label, star)
 
 
 def q_generate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,10 +489,16 @@ def q_cache_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache.set(n)
     c = _t(spark, sf_dir, "customer")
     enriched = cache.get(c)
-    return enriched.groupBy("nation_name").agg(
+    op = enriched.groupBy("nation_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
     )
+    # cross-checked against three more backends sharing this oracle
+    # (folded, VERDICT r04 #8): the YAML cache set/get pipelines, the
+    # `file` backend, and the sqlite backend — all four still execute
+    return _cross(op, q_yaml_cache_set_get(spark, sf_dir),
+                  q_file_cache_roundtrip(spark, sf_dir),
+                  q_sqlite_cache_roundtrip(spark, sf_dir))
 
 
 def q_cache_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,6 +669,20 @@ def q_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").alias("sum_ids"),
         F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_codec_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three binary record codecs folded into one entry (VERDICT r04
+    #8): msgpack, Avro, and protobuf each encode every event row to one
+    blob and decode it back through their independent dependency-free
+    spec codecs; all three aggregated results must agree with each other
+    AND the source-side oracle — a value lost on any wire format (varint
+    edge, zigzag, double bits, union tag) breaks the cross-check."""
+    return _cross(
+        q_msgpack_roundtrip(spark, sf_dir),
+        q_avro_roundtrip(spark, sf_dir),
+        q_protobuf_roundtrip(spark, sf_dir),
     )
 
 
@@ -1260,6 +1303,151 @@ def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.stop()
 
 
+def q_dynamodb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aws_dynamodb output end-to-end (aws/output_dynamodb.go over the
+    JSON protocol + vector-pinned SigV4): nations write as keyed items
+    through the BatchWriteItem sink (25-item chunks, executors sign their
+    own requests), then read back through the cache backend's
+    BatchGetItem enrichment (cache_dynamodb.go) keyed on the same
+    hash_key. The in-process signature-VERIFYING MiniDynamoServer stands
+    in for the table."""
+    from bento_spark.streaming.dynamodb import (
+        DynamoCache,
+        MiniDynamoServer,
+        dynamodb_sink,
+    )
+
+    srv = MiniDynamoServer().start()
+    try:
+        n = _t(spark, sf_dir, "nation")
+        items = n.select(
+            F.format_string("%05d", F.col("n_nationkey")).alias("key"),
+            F.to_json(
+                F.struct(
+                    F.col("n_name").alias("name"),
+                    (F.col("n_regionkey") * 10).cast("long").alias("score"),
+                )
+            ).alias("doc"),
+        )
+        dynamodb_sink(srv.endpoint, "nations", srv.access_key, srv.secret_key,
+                      string_cols=["key", "doc"])(items, 0)
+        keys = n.select(
+            F.col("n_nationkey"),
+            F.format_string("%05d", F.col("n_nationkey")).alias("key"),
+        )
+        cache = DynamoCache(spark, srv.endpoint, "nations",
+                            srv.access_key, srv.secret_key,
+                            hash_key="key", data_key="doc",
+                            key_col="key", value_col="doc")
+        rec = F.from_json("doc", "name string, score bigint")
+        out = cache.get(keys).select(
+            "n_nationkey",
+            rec.getField("name").alias("nation_name"),
+            rec.getField("score").alias("score"),
+        )
+        # the lazy plan would re-query the (stopped) server at collect
+        # time — pin it while the mini service is still up
+        return out.localCheckpoint(eager=True)
+    finally:
+        srv.stop()
+
+
+def q_sql_raw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sql_raw family end-to-end (sql/input_sql_raw.go +
+    processor_sql_raw.go:30-80 over the stdlib sqlite3 DB-API path):
+    nations insert through the exec_only processor (args_mapping binds,
+    ONE executemany transaction per batch), then read back through the
+    one-shot sql_raw input. Text binds re-type through sqlite column
+    affinity — the DB-API convention the reference's drivers share."""
+    from bento_spark.operators.sql_raw import sql_raw_exec
+    from bento_spark.plans.compiler import compile_yaml
+
+    d = _scratch_dir(f"sql_raw_{os.path.basename(sf_dir.rstrip('/'))}", fresh=True)
+    dsn = f"{d}/nations.db"
+    sql_raw_exec("sqlite", dsn,
+                 "CREATE TABLE nations (nk INTEGER PRIMARY KEY, "
+                 "name TEXT, score INTEGER)")
+    writer = compile_yaml(f"""
+input:
+  parquet: {{path: {sf_dir}/nation.parquet}}
+pipeline:
+  processors:
+    - sql_raw:
+        driver: sqlite
+        dsn: {dsn}
+        query: 'INSERT INTO nations (nk, name, score) VALUES (?, ?, ?)'
+        args_mapping: '[ this.n_nationkey.string(), this.n_name, (this.n_regionkey * 10).string() ]'
+        exec_only: true
+""")
+    writer.build_batch(spark)
+    reader = compile_yaml(f"""
+input:
+  sql_raw:
+    driver: sqlite
+    dsn: {dsn}
+    query: 'SELECT nk, name, score FROM nations ORDER BY nk'
+""")
+    return reader.build_batch(spark).select(
+        F.col("nk").cast("int").alias("n_nationkey"),
+        F.col("name").alias("nation_name"),
+        F.col("score").alias("score"),
+    )
+
+
+def q_s3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 message-level connector family end-to-end (aws/output_s3.go +
+    input_s3.go over the dependency-free REST + SigV4 layer,
+    streaming/s3.py): nations write one object each through the output
+    writer (interpolated object path + body rendered JVM-side, executors
+    PutObject), then the bucket listing is consumed back through the
+    S3Spooler (the reference's plain-listing mode: one pass, then stop)
+    and decoded from the spool. The in-process signature-VERIFYING
+    MiniS3Server stands in for S3."""
+    from bento_spark.streaming.s3 import (
+        MiniS3Server,
+        S3Spooler,
+        read_s3_spool_batch,
+        s3_sink,
+    )
+
+    srv = MiniS3Server().start()
+    try:
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            F.format_string("nations/%05d.json", F.col("n_nationkey")).alias("_s3_path"),
+            F.to_json(
+                F.struct(
+                    F.col("n_nationkey").alias("nk"),
+                    F.col("n_name").alias("name"),
+                    (F.col("n_regionkey") * 10).cast("long").alias("score"),
+                )
+            ).alias("body"),
+        )
+        s3_sink(srv.endpoint, "bento", srv.access_key, srv.secret_key,
+                path_col="_s3_path", value_col="body")(df, 0)
+        spool = _scratch_dir(
+            f"s3_spool_{os.path.basename(sf_dir.rstrip('/'))}", fresh=True)
+        sp = S3Spooler(
+            endpoint=srv.endpoint, bucket="bento",
+            access_key=srv.access_key, secret_key=srv.secret_key,
+            spool_dir=spool, prefix="nations/",
+        ).start()
+        try:
+            if not sp.wait_finished(60) or sp.error:
+                raise RuntimeError(f"s3 spooler did not finish: {sp.error}")
+        finally:
+            sp.stop()
+        out = read_s3_spool_batch(spark, spool)
+        rec = F.from_json("value", "nk int, name string, score bigint")
+        return out.select(
+            "s3_key",
+            rec.getField("nk").alias("n_nationkey"),
+            rec.getField("name").alias("nation_name"),
+            rec.getField("score").alias("score"),
+        )
+    finally:
+        srv.stop()
+
+
 def q_awk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`awk` processor (awk/processor.go) over the system awk binary:
     codec json flattens each nation document into variables, the program
@@ -1575,20 +1763,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the round driver samples the FIRST 50 entries in dict
-    # order for CORRECTNESS_r{N}.json.  Rotation policy (VERDICT r03 "Next
-    # round #1"): the 15 entries that fell outside the r03 window lead in
-    # r04, then round-4 additions (incl. kafka_roundtrip/jwt_roundtrip),
-    # then r03's rows.  The 28 entries past position 50 all have green
-    # CORRECTNESS_r03 rows AND pass the full tools/check_oracle.py run at
-    # sf0.001 + sf0.01 (re-verified this round) — every entry gets a
-    # driver-green row within two rounds.
+    # order for CORRECTNESS_r{N}.json.  Rotation policy (CLAUDE.md
+    # invariant): the entries that fell outside the previous round's window
+    # lead, new entries right behind them, so every entry gets a
+    # driver-green row within two rounds.  r05 also FOLDS the
+    # aliased-oracle twins into cross-checking parents (VERDICT r04 #8,
+    # see _cross): yaml_switch_routing/yaml_group_by/yaml_try_catch/
+    # yaml_select_parts/yaml_lookup run inside their operator-API parents,
+    # dedupe_clusters runs BOTH CC algorithms, error_strategies runs
+    # reject AND retry, codec_roundtrips runs msgpack+avro+protobuf, and
+    # cache_enrichment runs the parquet/yaml/file/sqlite backends — every
+    # folded path still executes; divergence turns the parent red.
     return {
-        # -- r03 window dropouts first (all green in r02 + judge's full run) --
+        # -- r04 window dropouts first (all green in r03 + the judge's own
+        #    full check_oracle run), folded parents among them --
+        "dedupe_clusters": q_dedupe_clusters,
+        "tar_roundtrip": q_tar_roundtrip,
+        "chunker_scan": q_chunker_scan,
+        "codec_roundtrips": q_codec_roundtrips,
+        "parquet_roundtrip": q_parquet_roundtrip,
+        "xml_extract": q_xml_extract,
+        "json_schema_check": q_json_schema_check,
+        "jq_extract": q_jq_extract,
+        "parse_log": q_parse_log,
+        "cache_enrichment": q_cache_enrichment,
+        "generate_rows": q_generate_rows,
+        "error_protocol": q_error_protocol,
+        "yaml_interp_group": q_yaml_interp_group,
+        "yaml_insert_part": q_yaml_insert_part,
+        "pricing_summary": q_pricing_summary,
+        "filter_revenue": q_filter_revenue,
+        "group_by_value": q_group_by_value,
+        "group_by_checks": q_group_by_checks,
+        "switch_routing": q_switch_routing,
+        "bounds_check": q_bounds_check,
+        "archive_lines": q_archive_lines,
+        "unarchive_tokens": q_unarchive_tokens,
+        "select_parts": q_select_parts,
+        # folded parents whose shape changed this round -> need r05 rows
+        "lookup_join": q_lookup_join,
+        "error_strategies": q_error_strategies,
+        # -- round-5 additions --
+        "s3_roundtrip": q_s3_roundtrip,
+        "sql_raw_roundtrip": q_sql_raw_roundtrip,
+        "dynamodb_roundtrip": q_dynamodb_roundtrip,
+        # -- code paths touched this round --
+        "kafka_roundtrip": q_kafka_roundtrip,
+        # -- r04-green rows (rotate into the window as slots allow) --
         "broker_fan_in": q_broker_fan_in,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
-        "lookup_join": q_lookup_join,
         "multi_join": q_multi_join,
         "dedupe_exact": q_dedupe_exact,
         "dedupe_first_per_key": q_dedupe_first_per_key,
@@ -1599,21 +1824,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": q_top_k_per_group,
         "semi_anti": q_semi_anti,
         "embedding_norms": q_embedding_norms,
-        # -- round-4 additions --
-        "file_cache_roundtrip": q_file_cache_roundtrip,
-        "sqlite_cache_roundtrip": q_sqlite_cache_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
         "jmespath_projection": q_jmespath_projection,
         "image_features": q_image_features,
         "video_features": q_video_features,
         "frame_sample": q_frame_sample,
-        "protobuf_roundtrip": q_protobuf_roundtrip,
-        "kafka_roundtrip": q_kafka_roundtrip,
         "jwt_roundtrip": q_jwt_roundtrip,
         "mongodb_roundtrip": q_mongodb_roundtrip,
         "es_roundtrip": q_es_roundtrip,
         "awk_extract": q_awk_extract,
-        # -- round-3 additions --
         "audio_features_window": q_audio_features_window,
         "clip_transcript_join": q_clip_transcript_join,
         "compress_roundtrip": q_compress_roundtrip,
@@ -1624,12 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branch_enrich": q_branch_enrich,
         "workflow_dag": q_workflow_dag,
         "yaml_while": q_yaml_while,
-        "yaml_lookup": q_yaml_lookup,
-        "yaml_cache_set_get": q_yaml_cache_set_get,
         "cache_ttl_expiry": q_cache_ttl_expiry,
-        "error_strategy_reject": q_error_strategy_reject,
-        "error_strategy_retry": q_error_strategy_retry,
-        # -- heavier / newer operators --
         "cep_funnel": q_cep_funnel,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1637,35 +1850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
-        "dedupe_clusters": q_dedupe_clusters,
-        "dedupe_clusters_star": q_dedupe_clusters_star,
-        "tar_roundtrip": q_tar_roundtrip,
-        "chunker_scan": q_chunker_scan,
-        "msgpack_roundtrip": q_msgpack_roundtrip,
-        "parquet_roundtrip": q_parquet_roundtrip,
-        "xml_extract": q_xml_extract,
-        "json_schema_check": q_json_schema_check,
-        "jq_extract": q_jq_extract,
-        "parse_log": q_parse_log,
-        "cache_enrichment": q_cache_enrichment,
-        "generate_rows": q_generate_rows,
-        "error_protocol": q_error_protocol,
-        "yaml_switch_routing": q_yaml_switch_routing,
-        "yaml_group_by": q_yaml_group_by,
-        "yaml_try_catch": q_yaml_try_catch,
-        "yaml_interp_group": q_yaml_interp_group,
-        "yaml_select_parts": q_yaml_select_parts,
-        "yaml_insert_part": q_yaml_insert_part,
-        # -- long-stable rows --
-        "pricing_summary": q_pricing_summary,
-        "filter_revenue": q_filter_revenue,
-        "group_by_value": q_group_by_value,
-        "group_by_checks": q_group_by_checks,
-        "switch_routing": q_switch_routing,
-        "bounds_check": q_bounds_check,
-        "archive_lines": q_archive_lines,
-        "unarchive_tokens": q_unarchive_tokens,
-        "select_parts": q_select_parts,
     }
 
 
@@ -1734,7 +1918,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY k
         """,
-        "error_strategy_reject": """
+        "error_strategies": """
             SELECT event_type, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k
             FROM (SELECT event_type,
                          CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -2129,7 +2313,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(transcript, ' ')) AS INT) AS n_tokens
             FROM '{_FIX}/clip_meta.parquet'
         """,
-        "msgpack_roundtrip": """
+        "codec_roundtrips": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(event_id) AS BIGINT) AS sum_ids,
                    round(sum(value), 4) AS total_value
@@ -2194,15 +2378,10 @@ def oracle_sql() -> dict[str, str]:
     # YAML twins that share an existing query's contract reuse its oracle
     # verbatim — the pair (python-API query, YAML query) hashing to the same
     # oracle is exactly the parity claim.
-    sql["yaml_switch_routing"] = sql["switch_routing"]
-    sql["yaml_group_by"] = sql["group_by_checks"]
-    sql["yaml_try_catch"] = sql["error_protocol"]
-    sql["yaml_select_parts"] = sql["select_parts"]
-    sql["yaml_cache_set_get"] = sql["cache_enrichment"]
-    sql["file_cache_roundtrip"] = sql["cache_enrichment"]
-    sql["sqlite_cache_roundtrip"] = sql["cache_enrichment"]
-    sql["avro_roundtrip"] = sql["msgpack_roundtrip"]
-    sql["protobuf_roundtrip"] = sql["msgpack_roundtrip"]
+    # r05 fold (VERDICT r04 #8): the former aliased-oracle twins
+    # (yaml_* sections, avro/protobuf codecs, file/sqlite cache backends,
+    # error_strategy_retry, dedupe_clusters_star) now execute INSIDE their
+    # parents via _cross, so their aliases are gone with them.
     sql["jwt_roundtrip"] = """
         SELECT n_nationkey, n_name AS nation_name,
                CAST(n_regionkey * 10 AS BIGINT) AS score
@@ -2210,6 +2389,22 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["kafka_roundtrip"] = """
         SELECT n_name AS nation_name, n_nationkey,
+               CAST(n_regionkey * 10 AS BIGINT) AS score
+        FROM nation
+    """
+    sql["dynamodb_roundtrip"] = """
+        SELECT n_nationkey, n_name AS nation_name,
+               CAST(n_regionkey * 10 AS BIGINT) AS score
+        FROM nation
+    """
+    sql["sql_raw_roundtrip"] = """
+        SELECT n_nationkey, n_name AS nation_name,
+               CAST(n_regionkey * 10 AS BIGINT) AS score
+        FROM nation
+    """
+    sql["s3_roundtrip"] = """
+        SELECT printf('nations/%05d.json', n_nationkey) AS s3_key,
+               n_nationkey, n_name AS nation_name,
                CAST(n_regionkey * 10 AS BIGINT) AS score
         FROM nation
     """
@@ -2278,9 +2473,6 @@ def oracle_sql() -> dict[str, str]:
     """
     # retry with deterministic errors + on_exhausted=reject converges to the
     # reject strategy's rows — shared oracle by design (see the docstring)
-    sql["error_strategy_retry"] = sql["error_strategy_reject"]
-    sql["yaml_lookup"] = sql["lookup_join"]
-    sql["dedupe_clusters_star"] = sql["dedupe_clusters"]
     sql["generate_rows"] = """
         SELECT id % 7 AS k, count(*) AS n, CAST(sum(id * id) AS BIGINT) AS sum_v
         FROM (SELECT range AS id FROM range(200)) GROUP BY id % 7

@@ -391,6 +391,31 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "sql_raw" in inp:
+            # one-shot query, each result row a message (input_sql_raw.go)
+            o = inp["sql_raw"]
+            if streaming:
+                raise ValueError("sql_raw input is batch-only (one-shot query)")
+            from bento_spark.operators.sql_raw import sql_raw_query
+
+            return sql_raw_query(
+                spark, str(o.get("driver", "sqlite")), str(o["dsn"]),
+                str(o["query"]), args=o.get("args"))
+        if "aws_s3" in inp:
+            # S3 object consumption (aws/input_s3.go) via the spool bridge —
+            # one listing pass or SQS-notified objects, fetched with the
+            # dependency-free REST + SigV4 client (streaming/s3.py); the
+            # consumer starts via start_s3_consumer(). DeleteObject /
+            # DeleteMessage fire only after the spool rename.
+            o = inp["aws_s3"]
+            if not streaming:
+                raise ValueError("aws_s3 input is streaming-only (pull source)")
+            from bento_spark.streaming.s3 import read_s3_stream
+
+            return read_s3_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "nanomsg" in inp:
             # nanomsg PULL/SUB (nanomsg/input.go) via the spool bridge —
             # dependency-free SP-over-TCP implementation
@@ -805,6 +830,42 @@ class Pipeline:
             delete_message=bool(o.get("delete_message", True)),
         ).start()
 
+    def start_s3_consumer(self):
+        """Start the consumer bridge for an `input.aws_s3` pipeline and
+        return its handle (caller owns `.stop()`; plain-listing mode also
+        exposes `.wait_finished()` — the reference consumes the listing
+        then stops, input_s3.go). Credentials come from the section or
+        the standard AWS_* env vars."""
+        import os
+
+        o = (self.conf.get("input") or {}).get("aws_s3")
+        if not o:
+            raise ValueError("pipeline has no input.aws_s3 section")
+        from bento_spark.streaming.s3 import S3Spooler
+
+        sqs_block = o.get("sqs") or {}
+        return S3Spooler(
+            endpoint=str(o.get("endpoint") or
+                         f"https://s3.{o.get('region', 'us-east-1')}.amazonaws.com"),
+            bucket=str(o["bucket"]),
+            access_key=str(o.get("access_key")
+                           or os.environ.get("AWS_ACCESS_KEY_ID", "")),
+            secret_key=str(o.get("secret_key")
+                           or os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+            spool_dir=o["spool_dir"],
+            prefix=str(o.get("prefix", "")),
+            region=str(o.get("region", "us-east-1")),
+            delete_objects=bool(o.get("delete_objects", False)),
+            sqs_queue_url=(str(sqs_block["url"]) if sqs_block.get("url") else None),
+            sqs_endpoint=(str(sqs_block["endpoint"])
+                          if sqs_block.get("endpoint") else None),
+            sqs_key_path=str(sqs_block.get("key_path", "Records.*.s3.object.key")),
+            sqs_bucket_path=str(sqs_block.get("bucket_path",
+                                              "Records.*.s3.bucket.name")),
+            sqs_wait_time_s=int(sqs_block.get("wait_time_seconds", 1)),
+            sqs_max_messages=int(sqs_block.get("max_number_of_messages", 10)),
+        ).start()
+
     def start_nanomsg_subscriber(self):
         """Start the socket bridge for an `input.nanomsg` pipeline and
         return its handle (caller owns `.stop()`). Same runtime-resource/
@@ -1132,6 +1193,31 @@ class Pipeline:
                         data_key=str(d.get("data_key", "value")),
                         ttl_key=d.get("ttl_key"),
                         default_ttl=d.get("default_ttl"),
+                        key_col=key_col, value_col=d.get("value_col", "value"),
+                    )
+                if "aws_s3" in r:
+                    d = r["aws_s3"] or {}
+                    if "bucket" not in d:
+                        raise ValueError(
+                            f"cache resource {resource!r}: aws_s3 backend "
+                            "needs `bucket`"
+                        )
+                    import os as _os
+
+                    from bento_spark.streaming.s3 import S3Cache
+
+                    return S3Cache(
+                        spark,
+                        str(d.get("endpoint")
+                            or f"https://s3.{d.get('region', 'us-east-1')}.amazonaws.com"),
+                        str(d["bucket"]),
+                        str(d.get("access_key")
+                            or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                        str(d.get("secret_key")
+                            or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                        region=str(d.get("region", "us-east-1")),
+                        content_type=str(d.get("content_type",
+                                               "application/octet-stream")),
                         key_col=key_col, value_col=d.get("value_col", "value"),
                     )
                 if "couchbase" in r:
@@ -1913,6 +1999,28 @@ class Pipeline:
                 retries=int(o.get("retries", 1)),
                 rate_limit=self._rate_limit_share(o.get("rate_limit"), df),
             )
+        if name == "sql_raw":
+            # arbitrary statement with placeholder binds
+            # (processor_sql_raw.go:30-80): args_mapping compiles to a
+            # Catalyst ARRAY column; SELECTs amortize one query per
+            # DISTINCT args tuple + broadcast join; exec_only runs one
+            # executemany transaction per batch (sqlite DB-API path —
+            # server DBs route to sql_select/sql_insert over JDBC)
+            from bento_spark.operators.sql_raw import sql_raw_processor
+
+            o = opts or {}
+            args_col = None
+            d = df
+            if o.get("args_mapping"):
+                d = df.withColumn("_sql_args", compile_expr(str(o["args_mapping"])))
+                args_col = "_sql_args"
+            out = sql_raw_processor(
+                d, str(o.get("driver", "sqlite")), str(o["dsn"]),
+                str(o["query"]), args_col=args_col,
+                exec_only=bool(o.get("exec_only", False)),
+                result_col=str(o.get("result_col", "sql_rows")),
+            )
+            return out.drop("_sql_args") if args_col else out
         if name == "mongodb":
             # find-one enrichment (mongodb/processor.go): filter_map fields
             # compile to a JVM-side to_json struct; the matched document
@@ -2160,6 +2268,9 @@ class Pipeline:
             or out.get("beanstalkd")
             or out.get("zmq4")
             or out.get("aws_sqs")
+            or out.get("aws_s3")
+            or out.get("aws_dynamodb")
+            or out.get("sql_raw")
             or out.get("aws_kinesis")
             or out.get("gcp_pubsub")
             or out.get("nanomsg")
@@ -2517,6 +2628,91 @@ class Pipeline:
                 str(sq.get("secret_key") or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
                 region=str(sq.get("region", "us-east-1")),
                 group_id_col=group_col,
+            )
+        elif out.get("aws_dynamodb"):
+            # keyed-document PutItem writer (aws/output_dynamodb.go):
+            # string_columns interpolations render JVM-side into S
+            # attributes; json_map_columns paths render via to_json into
+            # typed attribute trees ('.'/'' = the whole row, the
+            # reference's root-path rule); BatchWriteItem in 25-item chunks
+            import os as _os
+
+            from bento_spark.streaming.dynamodb import dynamodb_sink
+
+            do = out["aws_dynamodb"]
+            df = self.build_stream(spark)
+            base_cols = list(df.columns)
+            string_cols: list[str] = []
+            for attr, expr in (do.get("string_columns") or {}).items():
+                df = df.withColumn(str(attr), compile_interpolated(str(expr)))
+                string_cols.append(str(attr))
+            json_cols: dict[str, str] = {}
+            for attr, path in (do.get("json_map_columns") or {}).items():
+                attr, path = str(attr), str(path or "")
+                if path in ("", "."):
+                    rendered = F.to_json(F.struct(*[F.col(c) for c in base_cols]))
+                else:
+                    src_typ = df.schema[path].dataType.simpleString()
+                    rendered = (F.col(path) if src_typ == "string"
+                                else F.to_json(F.col(path)))
+                df = df.withColumn(f"_ddb_{attr}", rendered)
+                json_cols[attr] = f"_ddb_{attr}"
+            writer = dynamodb_sink(
+                str(do.get("endpoint") or
+                    f"https://dynamodb.{do.get('region', 'us-east-1')}.amazonaws.com"),
+                str(do["table"]),
+                str(do.get("access_key") or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                str(do.get("secret_key") or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                region=str(do.get("region", "us-east-1")),
+                string_cols=string_cols,
+                json_map_cols=json_cols,
+                ttl=do.get("ttl"), ttl_key=do.get("ttl_key"),
+            )
+        elif out.get("sql_raw"):
+            # statement-with-binds per batch (output_sql_raw.go): the
+            # args_mapping array renders JVM-side; ONE executemany
+            # transaction per micro-batch (at-least-once under replay)
+            from bento_spark.operators.sql_raw import sql_raw_exec
+
+            so = out["sql_raw"]
+            if "args_mapping" not in so:
+                raise ValueError("output.sql_raw requires `args_mapping`")
+            df = self.build_stream(spark)
+            df = df.withColumn("_sql_args", compile_expr(str(so["args_mapping"])))
+            _drv, _dsn, _q = (str(so.get("driver", "sqlite")),
+                              str(so["dsn"]), str(so["query"]))
+
+            def writer(batch_df, epoch_id: int,
+                       _drv=_drv, _dsn=_dsn, _q=_q) -> None:
+                it = batch_df.select("_sql_args").toLocalIterator()
+                sql_raw_exec(_drv, _dsn, _q,
+                             args_rows=(tuple(row[0]) for row in it))
+        elif out.get("aws_s3"):
+            # one PutObject per message (aws/output_s3.go) — the
+            # interpolated object `path` renders JVM-side as a column;
+            # the body is the row JSON-serialized (or `value_col` raw)
+            import os as _os
+
+            from bento_spark.streaming.s3 import s3_sink
+
+            s3o = out["aws_s3"]
+            if "path" not in s3o:
+                # the reference defaults to ${!count(...)}-${!timestamp...}
+                # — wall-clock/counter interpolations violate the repo's
+                # determinism invariant, so the path must be explicit
+                raise ValueError("output.aws_s3 requires an interpolated `path`")
+            df = self.build_stream(spark)
+            df = df.withColumn("_s3_path", compile_interpolated(str(s3o["path"])))
+            writer = s3_sink(
+                str(s3o.get("endpoint") or
+                    f"https://s3.{s3o.get('region', 'us-east-1')}.amazonaws.com"),
+                str(s3o["bucket"]),
+                str(s3o.get("access_key") or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                str(s3o.get("secret_key") or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                path_col="_s3_path",
+                region=str(s3o.get("region", "us-east-1")),
+                content_type=str(s3o.get("content_type", "application/octet-stream")),
+                value_col=(str(s3o["value_col"]) if s3o.get("value_col") else None),
             )
         elif out.get("nanomsg"):
             # dependency-free SP-over-TCP publisher (nanomsg/output.go:

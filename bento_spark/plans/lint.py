@@ -46,6 +46,7 @@ _REQUIRED = {
     "subprocess": ("name",),
     "command": ("name",),
     "http": ("url",),
+    "sql_raw": ("dsn", "query"),
     "msgpack_decode": ("schema",),
     "avro_decode": ("schema",),
     "jmespath": ("query",),

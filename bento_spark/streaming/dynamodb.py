@@ -308,6 +308,100 @@ class DynamoCache:
         return df.join(side, key, "left")
 
 
+def attr_value(v) -> dict:
+    """Python value -> DynamoDB AttributeValue (the JSON-protocol typed
+    map): dict->M, list->L, str->S, bool->BOOL, int/float->N, None->NULL,
+    bytes are not produced by the JSON paths here."""
+    if v is None:
+        return {"NULL": True}
+    if isinstance(v, bool):
+        return {"BOOL": v}
+    if isinstance(v, (int, float)):
+        return {"N": repr(v) if isinstance(v, float) else str(v)}
+    if isinstance(v, str):
+        return {"S": v}
+    if isinstance(v, list):
+        return {"L": [attr_value(x) for x in v]}
+    if isinstance(v, dict):
+        return {"M": {str(k): attr_value(x) for k, x in v.items()}}
+    return {"S": str(v)}
+
+
+def dynamodb_sink(endpoint: str, table: str, access_key: str, secret_key: str,
+                  region: str = "us-east-1",
+                  string_cols: list[str] | None = None,
+                  json_map_cols: dict[str, str] | None = None,
+                  ttl=None, ttl_key: str | None = None):
+    """`aws_dynamodb` output (output_dynamodb.go): each row becomes one
+    item. `string_cols` name columns stored as S attributes (the
+    reference's interpolated string_columns — interpolations render
+    JVM-side into these columns before the sink); `json_map_cols` name
+    columns holding JSON text stored as typed M/L/N/S attribute trees
+    (the reference's json_map_columns dot-path extraction, rendered
+    JVM-side via to_json). Writes go through BatchWriteItem in the API's
+    25-item chunks with UnprocessedItems retry — at-least-once (DynamoDB
+    puts are idempotent per key, the reference's contract)."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.cache import _ttl_ms
+
+    string_cols = list(string_cols or [])
+    # attribute name -> column holding its JSON text
+    json_map_cols = dict(json_map_cols or {})
+    if not string_cols and not json_map_cols:
+        raise ValueError("aws_dynamodb output needs string_columns and/or "
+                         "json_map_columns")
+    ttl_ms = None if ttl is None else _ttl_ms(ttl)
+    if ttl_ms is not None and not ttl_key:
+        raise ValueError("aws_dynamodb output: ttl needs `ttl_key` "
+                         "(output_dynamodb.go:160-164)")
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        # ttl is an expiry horizon from write time (transport metadata,
+        # like x-amz-date — never row content)
+        expires = None if ttl_ms is None else int(time.time()) + max(
+            1, -(-int(ttl_ms) // 1000))
+        sel = [F.col(c).cast("string").alias(c) for c in string_cols]
+        sel += [F.col(c).cast("string").alias(c)
+                for c in json_map_cols.values()]
+        rows = batch_df.select(*sel)
+
+        def send(it) -> None:
+            from bento_spark.streaming.dynamodb import (
+                DynamoClient,
+                _batch_write,
+                attr_value,
+            )
+
+            client = None
+            pending = []
+            for row in it:
+                if client is None:
+                    client = DynamoClient(endpoint, access_key, secret_key,
+                                          region=region)
+                item = {}
+                for c in string_cols:
+                    v = row[c]
+                    if v is not None:
+                        item[c] = {"S": v}
+                for attr, c in json_map_cols.items():
+                    v = row[c]
+                    if v is not None:
+                        item[attr] = attr_value(json.loads(v))
+                if expires is not None:
+                    item[ttl_key] = {"N": str(expires)}
+                pending.append({"PutRequest": {"Item": item}})
+                if len(pending) >= 25:  # BatchWriteItem API cap
+                    _batch_write(client, table, pending)
+                    pending = []
+            if client is not None and pending:
+                _batch_write(client, table, pending)
+
+        rows.foreachPartition(send)
+
+    return write_batch
+
+
 # --------------------------------------------------------------------------
 # in-process table service (test-grade, signature-verifying)
 # --------------------------------------------------------------------------

@@ -168,3 +168,88 @@ pipeline:
 """).build_batch(spark).collect()
     }
     assert rows == {1: "alpha", 2: "beta"}
+
+
+# --------------------------------------------------------------------------
+# aws_dynamodb OUTPUT (output_dynamodb.go)
+# --------------------------------------------------------------------------
+
+
+def test_attr_value_typed_tree():
+    from bento_spark.streaming.dynamodb import attr_value
+
+    got = attr_value({"s": "x", "n": 3, "f": 1.5, "b": True,
+                      "z": None, "l": [1, "a"], "m": {"k": 2}})
+    assert got == {"M": {
+        "s": {"S": "x"}, "n": {"N": "3"}, "f": {"N": "1.5"},
+        "b": {"BOOL": True}, "z": {"NULL": True},
+        "l": {"L": [{"N": "1"}, {"S": "a"}]},
+        "m": {"M": {"k": {"N": "2"}}},
+    }}
+
+
+def test_output_sink_batch_write(spark, server):
+    from pyspark.sql import functions as F
+
+    from bento_spark.streaming.dynamodb import dynamodb_sink
+
+    # 60 rows -> 3 BatchWriteItem chunks (25-cap)
+    df = spark.range(60).select(
+        F.format_string("k%03d", F.col("id")).alias("key"),
+        F.to_json(F.struct(F.col("id").alias("n"))).alias("doc"),
+    )
+    dynamodb_sink(server.endpoint, "t", server.access_key, server.secret_key,
+                  string_cols=["key"], json_map_cols={"doc": "doc"})(df, 0)
+    c = DynamoClient(server.endpoint, server.access_key, server.secret_key)
+    item = c.call("GetItem", {"TableName": "t",
+                              "Key": {"key": {"S": "k042"}}})["Item"]
+    # json_map column landed as a TYPED attribute tree, not a string
+    assert item["doc"] == {"M": {"n": {"N": "42"}}}
+    assert c.call("GetItem", {"TableName": "t",
+                              "Key": {"key": {"S": "k059"}}})["Item"]
+
+
+def test_yaml_dynamodb_output_stream(spark, server, tmp_path):
+    src = tmp_path / "words"
+    src.mkdir()
+    (src / "w.txt").write_text("dog\nemu")
+    p = compile_yaml(f"""
+input:
+  lines:
+    path: {src}
+pipeline:
+  processors:
+    - mapping: |
+        root.word = this.line
+        root.n = this.line.length()
+output:
+  aws_dynamodb:
+    endpoint: {server.endpoint}
+    table: words
+    access_key: {server.access_key}
+    secret_key: {server.secret_key}
+    string_columns:
+      key: '${{! this.word }}'
+      upper: '${{! this.word.uppercase() }}'
+    json_map_columns:
+      doc: '.'
+""")
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(90)
+    c = DynamoClient(server.endpoint, server.access_key, server.secret_key)
+    item = c.call("GetItem", {"TableName": "words",
+                              "Key": {"key": {"S": "dog"}}})["Item"]
+    assert item["upper"] == {"S": "DOG"}
+    # '.' path = the whole (pre-interpolation) row as a typed map
+    assert item["doc"]["M"]["word"] == {"S": "dog"}
+    assert item["doc"]["M"]["n"] == {"N": "3"}
+
+
+def test_output_ttl_requires_ttl_key(server):
+    from bento_spark.streaming.dynamodb import dynamodb_sink
+
+    with pytest.raises(ValueError, match="ttl_key"):
+        dynamodb_sink(server.endpoint, "t", "a", "s",
+                      string_cols=["key"], ttl=60)
+    with pytest.raises(ValueError, match="string_columns"):
+        dynamodb_sink(server.endpoint, "t", "a", "s")
