@@ -391,6 +391,20 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "amqp_1" in inp:
+            # AMQP 1.0 receiver link (amqp1/input.go) via the spool bridge
+            # — dependency-free OASIS-spec client (streaming/amqp1.py);
+            # the consumer starts via start_amqp1_consumer(). The accepted
+            # disposition fires only after the spool rename.
+            o = inp["amqp_1"]
+            if not streaming:
+                raise ValueError("amqp_1 input is streaming-only (push source)")
+            from bento_spark.streaming.amqp1 import read_amqp1_stream
+
+            return read_amqp1_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "sql_raw" in inp:
             # one-shot query, each result row a message (input_sql_raw.go)
             o = inp["sql_raw"]
@@ -828,6 +842,25 @@ class Pipeline:
             wait_time_s=int(o.get("wait_time_seconds", 1)),
             max_messages=int(o.get("max_number_of_messages", 10)),
             delete_message=bool(o.get("delete_message", True)),
+        ).start()
+
+    def start_amqp1_consumer(self):
+        """Start the consumer bridge for an `input.amqp_1` pipeline and
+        return its handle (caller owns `.stop()`). Same runtime-resource/
+        plan split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("amqp_1")
+        if not o:
+            raise ValueError("pipeline has no input.amqp_1 section")
+        from bento_spark.streaming.amqp1 import Amqp1Spooler
+
+        url = o.get("url") or (o.get("urls") or [None])[0]
+        if not url:
+            raise ValueError("input.amqp_1 needs `url` (or `urls`)")
+        return Amqp1Spooler(
+            url=str(url),
+            source_address=str(o["source_address"]),
+            spool_dir=o["spool_dir"],
+            credit=int(o.get("credit", 64)),
         ).start()
 
     def start_s3_consumer(self):
@@ -2281,6 +2314,7 @@ class Pipeline:
             or out.get("redis_streams")
             or out.get("redis_hash")
             or out.get("amqp_0_9")
+            or out.get("amqp_1")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -2629,6 +2663,18 @@ class Pipeline:
                 region=str(sq.get("region", "us-east-1")),
                 group_id_col=group_col,
             )
+        elif out.get("amqp_1"):
+            # AMQP 1.0 sender link (amqp1/output.go): rows publish as JSON
+            # amqp-value sections; the batch waits for accepted
+            # dispositions (the reference's outcome wait)
+            from bento_spark.streaming.amqp1 import amqp1_sink
+
+            a1 = out["amqp_1"]
+            url = a1.get("url") or (a1.get("urls") or [None])[0]
+            if not url:
+                raise ValueError("output.amqp_1 needs `url` (or `urls`)")
+            df = self.build_stream(spark)
+            writer = amqp1_sink(str(url), str(a1["target_address"]))
         elif out.get("aws_dynamodb"):
             # keyed-document PutItem writer (aws/output_dynamodb.go):
             # string_columns interpolations render JVM-side into S
