@@ -391,6 +391,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "azure_blob_storage" in inp:
+            # container-listing consumption (azure/input_blob_storage.go)
+            # via the spool bridge — dependency-free SharedKey REST client
+            # (streaming/azure_blob.py); the consumer starts via
+            # start_azure_blob_consumer().
+            o = inp["azure_blob_storage"]
+            if not streaming:
+                raise ValueError(
+                    "azure_blob_storage input is streaming-only (pull source)")
+            from bento_spark.streaming.azure_blob import read_azure_blob_stream
+
+            return read_azure_blob_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "amqp_1" in inp:
             # AMQP 1.0 receiver link (amqp1/input.go) via the spool bridge
             # — dependency-free OASIS-spec client (streaming/amqp1.py);
@@ -842,6 +857,33 @@ class Pipeline:
             wait_time_s=int(o.get("wait_time_seconds", 1)),
             max_messages=int(o.get("max_number_of_messages", 10)),
             delete_message=bool(o.get("delete_message", True)),
+        ).start()
+
+    def start_azure_blob_consumer(self):
+        """Start the consumer bridge for an `input.azure_blob_storage`
+        pipeline and return its handle (caller owns `.stop()`; exposes
+        `.wait_finished()` — the reference consumes the listing then
+        stops). Credentials come from the section or the standard
+        AZURE_STORAGE_* env vars."""
+        import os
+
+        o = (self.conf.get("input") or {}).get("azure_blob_storage")
+        if not o:
+            raise ValueError("pipeline has no input.azure_blob_storage section")
+        from bento_spark.streaming.azure_blob import AzureBlobSpooler
+
+        account = str(o.get("storage_account")
+                      or os.environ.get("AZURE_STORAGE_ACCOUNT", ""))
+        return AzureBlobSpooler(
+            endpoint=str(o.get("endpoint")
+                         or f"https://{account}.blob.core.windows.net"),
+            account=account,
+            account_key=str(o.get("storage_access_key")
+                            or os.environ.get("AZURE_STORAGE_ACCESS_KEY", "")),
+            container=str(o["container"]),
+            spool_dir=o["spool_dir"],
+            prefix=str(o.get("prefix", "")),
+            delete_blobs=bool(o.get("delete_objects", False)),
         ).start()
 
     def start_amqp1_consumer(self):
@@ -2315,6 +2357,7 @@ class Pipeline:
             or out.get("redis_hash")
             or out.get("amqp_0_9")
             or out.get("amqp_1")
+            or out.get("azure_blob_storage")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -2662,6 +2705,34 @@ class Pipeline:
                 str(sq.get("secret_key") or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
                 region=str(sq.get("region", "us-east-1")),
                 group_id_col=group_col,
+            )
+        elif out.get("azure_blob_storage"):
+            # one Put Blob per message (azure/output_blob_storage.go) —
+            # interpolated blob `path` renders JVM-side as a column
+            import os as _os
+
+            from bento_spark.streaming.azure_blob import azure_blob_sink
+
+            ab = out["azure_blob_storage"]
+            if "path" not in ab:
+                raise ValueError(
+                    "output.azure_blob_storage requires an interpolated `path`")
+            account = str(ab.get("storage_account")
+                          or _os.environ.get("AZURE_STORAGE_ACCOUNT", ""))
+            df = self.build_stream(spark)
+            df = df.withColumn("_blob_path",
+                               compile_interpolated(str(ab["path"])))
+            writer = azure_blob_sink(
+                str(ab.get("endpoint")
+                    or f"https://{account}.blob.core.windows.net"),
+                account,
+                str(ab.get("storage_access_key")
+                    or _os.environ.get("AZURE_STORAGE_ACCESS_KEY", "")),
+                str(ab["container"]),
+                path_col="_blob_path",
+                content_type=str(ab.get("content_type",
+                                        "application/octet-stream")),
+                value_col=(str(ab["value_col"]) if ab.get("value_col") else None),
             )
         elif out.get("amqp_1"):
             # AMQP 1.0 sender link (amqp1/output.go): rows publish as JSON
