@@ -2358,6 +2358,8 @@ class Pipeline:
             or out.get("amqp_0_9")
             or out.get("amqp_1")
             or out.get("azure_blob_storage")
+            or out.get("aws_sns")
+            or out.get("aws_kinesis_firehose")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -2705,6 +2707,51 @@ class Pipeline:
                 str(sq.get("secret_key") or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
                 region=str(sq.get("region", "us-east-1")),
                 group_id_col=group_col,
+            )
+        elif out.get("aws_sns"):
+            # PublishBatch per partition (aws/output_sns.go): FIFO
+            # group/dedupe ids as interpolated COLUMNS
+            import os as _os
+
+            from bento_spark.streaming.sns import sns_sink
+
+            sn = out["aws_sns"]
+            df = self.build_stream(spark)
+            group_col = dedupe_col = None
+            if sn.get("message_group_id"):
+                df = df.withColumn(
+                    "_sns_group", compile_interpolated(str(sn["message_group_id"])))
+                group_col = "_sns_group"
+            if sn.get("message_deduplication_id"):
+                df = df.withColumn(
+                    "_sns_dedupe",
+                    compile_interpolated(str(sn["message_deduplication_id"])))
+                dedupe_col = "_sns_dedupe"
+            writer = sns_sink(
+                str(sn.get("endpoint") or
+                    f"https://sns.{sn.get('region', 'us-east-1')}.amazonaws.com"),
+                str(sn["topic_arn"]),
+                str(sn.get("access_key") or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                str(sn.get("secret_key") or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                region=str(sn.get("region", "us-east-1")),
+                group_id_col=group_col, dedupe_id_col=dedupe_col,
+            )
+        elif out.get("aws_kinesis_firehose"):
+            # PutRecordBatch with per-record failure retry
+            # (aws/output_kinesis_firehose.go)
+            import os as _os
+
+            from bento_spark.streaming.firehose import firehose_sink
+
+            fh = out["aws_kinesis_firehose"]
+            df = self.build_stream(spark)
+            writer = firehose_sink(
+                str(fh.get("endpoint") or
+                    f"https://firehose.{fh.get('region', 'us-east-1')}.amazonaws.com"),
+                str(fh["stream"]),
+                str(fh.get("access_key") or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                str(fh.get("secret_key") or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                region=str(fh.get("region", "us-east-1")),
             )
         elif out.get("azure_blob_storage"):
             # one Put Blob per message (azure/output_blob_storage.go) —

@@ -78,28 +78,35 @@ def sigv4_signature(method: str, path: str, query: str,
 def sigv4_headers(method: str, host: str, path: str, payload: bytes,
                   access_key: str, secret_key: str, region: str,
                   service: str, amz_target: str,
-                  amz_date: str | None = None) -> dict[str, str]:
-    """-> headers incl. Authorization for an x-amz-json-1.0 request."""
+                  amz_date: str | None = None,
+                  content_type: str = "application/x-amz-json-1.0",
+                  ) -> dict[str, str]:
+    """-> headers incl. Authorization for an x-amz-json / Query-protocol
+    request (content_type selects the wire dialect; the Query protocol's
+    form-encoded services pass no X-Amz-Target — give amz_target ''
+    to omit the header from signing and the wire)."""
     if amz_date is None:
         amz_date = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
-    content_type = "application/x-amz-json-1.0"
     headers = {
         "content-type": content_type,
         "host": host,
         "x-amz-date": amz_date,
-        "x-amz-target": amz_target,
     }
+    if amz_target:
+        headers["x-amz-target"] = amz_target
     signed, sig = sigv4_signature(method, path, "", headers, payload,
                                   secret_key, region, service, amz_date)
     scope = f"{amz_date[:8]}/{region}/{service}/aws4_request"
-    return {
+    out = {
         "Content-Type": content_type,
         "X-Amz-Date": amz_date,
-        "X-Amz-Target": amz_target,
         "Authorization": (
             f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
             f"SignedHeaders={signed}, Signature={sig}"),
     }
+    if amz_target:
+        out["X-Amz-Target"] = amz_target
+    return out
 
 
 class SqsClient:
