@@ -272,18 +272,24 @@ def q_broker_fan_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _lookup_join_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator-API lookup-join plan alone — the unit the plan-shape
+    tests audit (BroadcastHashJoin, single Exchange); q_lookup_join wraps
+    it in the YAML cross-check."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = enrich.lookup_join(li, p, on=[li.l_partkey == p.p_partkey], how="inner")
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cache-get / sql_select enrichment as broadcast lookup join —
     operator API cross-checked against the YAML lookup section (folded,
     VERDICT r04 #8)."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    joined = enrich.lookup_join(li, p, on=[li.l_partkey == p.p_partkey], how="inner")
-    op = joined.groupBy("p_brand").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
-    return _cross(op, q_yaml_lookup(spark, sf_dir))
+    return _cross(_lookup_join_op(spark, sf_dir), q_yaml_lookup(spark, sf_dir))
 
 
 def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:

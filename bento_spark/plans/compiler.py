@@ -391,6 +391,20 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "azure_queue_storage" in inp:
+            # queue polling (azure/input_queue_storage.go) via the spool
+            # bridge — Delete Message (pop receipt) only after the rename;
+            # the consumer starts via start_azure_queue_consumer().
+            o = inp["azure_queue_storage"]
+            if not streaming:
+                raise ValueError(
+                    "azure_queue_storage input is streaming-only (pull source)")
+            from bento_spark.streaming.azure_queue import read_azure_queue_stream
+
+            return read_azure_queue_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "azure_blob_storage" in inp:
             # container-listing consumption (azure/input_blob_storage.go)
             # via the spool bridge — dependency-free SharedKey REST client
@@ -857,6 +871,33 @@ class Pipeline:
             wait_time_s=int(o.get("wait_time_seconds", 1)),
             max_messages=int(o.get("max_number_of_messages", 10)),
             delete_message=bool(o.get("delete_message", True)),
+        ).start()
+
+    def start_azure_queue_consumer(self):
+        """Start the consumer bridge for an `input.azure_queue_storage`
+        pipeline and return its handle (caller owns `.stop()`)."""
+        import os
+
+        from bento_spark.streaming.cep import duration_ms
+
+        o = (self.conf.get("input") or {}).get("azure_queue_storage")
+        if not o:
+            raise ValueError("pipeline has no input.azure_queue_storage section")
+        from bento_spark.streaming.azure_queue import AzureQueueSpooler
+
+        account = str(o.get("storage_account")
+                      or os.environ.get("AZURE_STORAGE_ACCOUNT", ""))
+        vis = o.get("dequeue_visibility_timeout", "30s")
+        return AzureQueueSpooler(
+            endpoint=str(o.get("endpoint")
+                         or f"https://{account}.queue.core.windows.net"),
+            account=account,
+            account_key=str(o.get("storage_access_key")
+                            or os.environ.get("AZURE_STORAGE_ACCESS_KEY", "")),
+            queue=str(o["queue_name"]),
+            spool_dir=o["spool_dir"],
+            max_messages=int(o.get("max_in_flight", 16)),
+            visibility_timeout_s=max(1, duration_ms(str(vis)) // 1000),
         ).start()
 
     def start_azure_blob_consumer(self):
@@ -2358,6 +2399,7 @@ class Pipeline:
             or out.get("amqp_0_9")
             or out.get("amqp_1")
             or out.get("azure_blob_storage")
+            or out.get("azure_queue_storage")
             or out.get("aws_sns")
             or out.get("aws_kinesis_firehose")
             or "sync_response" in out
@@ -2707,6 +2749,27 @@ class Pipeline:
                 str(sq.get("secret_key") or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
                 region=str(sq.get("region", "us-east-1")),
                 group_id_col=group_col,
+            )
+        elif out.get("azure_queue_storage"):
+            # one Put Message per row (azure/output_queue_storage.go)
+            import os as _os
+
+            from bento_spark.streaming.azure_queue import azure_queue_sink
+            from bento_spark.streaming.cep import duration_ms
+
+            aq = out["azure_queue_storage"]
+            account = str(aq.get("storage_account")
+                          or _os.environ.get("AZURE_STORAGE_ACCOUNT", ""))
+            df = self.build_stream(spark)
+            writer = azure_queue_sink(
+                str(aq.get("endpoint")
+                    or f"https://{account}.queue.core.windows.net"),
+                account,
+                str(aq.get("storage_access_key")
+                    or _os.environ.get("AZURE_STORAGE_ACCESS_KEY", "")),
+                str(aq["queue_name"]),
+                ttl_s=(max(1, duration_ms(str(aq["ttl"])) // 1000)
+                       if aq.get("ttl") else None),
             )
         elif out.get("aws_sns"):
             # PublishBatch per partition (aws/output_sns.go): FIFO

@@ -37,7 +37,9 @@ def test_filter_pushdown_and_pruning(spark):
 
 
 def test_lookup_join_is_broadcast(spark):
-    p = plan_of(em.q_lookup_join(spark, SF))
+    # audit the operator-API plan alone: q_lookup_join folds in the YAML
+    # path + exceptAll cross-check (r05), which legitimately adds exchanges
+    p = plan_of(em._lookup_join_op(spark, SF))
     assert "BroadcastHashJoin" in p
     # the big (fact) side must not be exchanged for the join: the only
     # shuffle allowed is the final groupBy agg
