@@ -346,6 +346,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "pulsar" in inp:
+            # Pulsar subscription (pulsar/input.go) via the spool bridge —
+            # dependency-free binary-protocol client (streaming/pulsar.py);
+            # the subscriber starts via start_pulsar_subscriber(). ACK fires
+            # only after the spool rename, so at-least-once holds into the
+            # replayable file source.
+            o = inp["pulsar"]
+            if not streaming:
+                raise ValueError("pulsar input is streaming-only (push source)")
+            from bento_spark.streaming.pulsar import read_pulsar_stream
+
+            return read_pulsar_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "aws_kinesis" in inp:
             # Kinesis shard iteration (aws/input_kinesis.go) via the spool
             # bridge — JSON protocol over the vector-pinned SigV4
@@ -789,6 +804,26 @@ class Pipeline:
         hp = str(url).removeprefix("nats://").removeprefix("tcp://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 4222)
+
+    def start_pulsar_subscriber(self):
+        """Start the subscriber bridge for an `input.pulsar` pipeline and
+        return its handle (caller owns `.stop()`). Fields follow
+        pulsar/input.go: url, topics / topics_pattern, subscription_name,
+        subscription_type, auth.token."""
+        o = (self.conf.get("input") or {}).get("pulsar")
+        if not o:
+            raise ValueError("pipeline has no input.pulsar section")
+        from bento_spark.streaming.pulsar import PulsarSpooler, parse_pulsar_url
+
+        host, port = parse_pulsar_url(str(o.get("url", "pulsar://127.0.0.1:6650")))
+        auth = (o.get("auth") or {}).get("token") or {}
+        token = auth.get("token") if auth.get("enabled") else None
+        return PulsarSpooler(
+            host=host, port=port, topics=list(o.get("topics") or []),
+            subscription=o["subscription_name"], spool_dir=o["spool_dir"],
+            sub_type=o.get("subscription_type", "shared"),
+            topics_pattern=o.get("topics_pattern"), token=token,
+        ).start()
 
     def start_kinesis_consumer(self):
         """Start the consumer bridge for an `input.aws_kinesis` pipeline
@@ -2392,6 +2427,7 @@ class Pipeline:
             or out.get("nanomsg")
             or out.get("nsq")
             or out.get("nats")
+            or out.get("pulsar")
             or out.get("redis_list")
             or out.get("redis_pubsub")
             or out.get("redis_streams")
@@ -3014,6 +3050,31 @@ class Pipeline:
                 "_nats_subject", compile_interpolated(str(n["subject"])))
             host, port = self._nats_addr(n)
             writer = nats_sink(host, port, "_nats_subject")
+        elif out.get("pulsar"):
+            # dependency-free Pulsar producer (pulsar/output.go: topic +
+            # interpolated key / ordering_key, max_in_flight) — the per-row
+            # keys compile to COLUMNS, rows publish as JSON with pipelined
+            # sends + a receipt drain per partition
+            from bento_spark.streaming.pulsar import parse_pulsar_url, pulsar_sink
+
+            p = out["pulsar"]
+            host, port = parse_pulsar_url(
+                str(p.get("url", "pulsar://127.0.0.1:6650")))
+            df = self.build_stream(spark)
+            key_col = ok_col = None
+            if p.get("key"):
+                df = df.withColumn("_pulsar_key",
+                                   compile_interpolated(str(p["key"])))
+                key_col = "_pulsar_key"
+            if p.get("ordering_key"):
+                df = df.withColumn("_pulsar_ordering_key",
+                                   compile_interpolated(str(p["ordering_key"])))
+                ok_col = "_pulsar_ordering_key"
+            auth = (p.get("auth") or {}).get("token") or {}
+            token = auth.get("token") if auth.get("enabled") else None
+            writer = pulsar_sink(host, port, str(p["topic"]), key_col=key_col,
+                                 ordering_key_col=ok_col, token=token,
+                                 max_in_flight=int(p.get("max_in_flight", 64)))
         elif out.get("amqp_0_9"):
             # AMQP 0.9.1 publisher (amqp09/output.go: interpolated exchange
             # `key`) — the routing key compiles to a COLUMN, rows publish
