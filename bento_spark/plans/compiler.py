@@ -435,6 +435,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "azure_table_storage" in inp:
+            # entity-query consumption (azure/input_table_storage.go) via
+            # the spool bridge — dependency-free SharedKey(Table) REST
+            # client (streaming/azure_table.py); the consumer starts via
+            # start_azure_table_consumer().
+            o = inp["azure_table_storage"]
+            if not streaming:
+                raise ValueError(
+                    "azure_table_storage input is streaming-only (pull source)")
+            from bento_spark.streaming.azure_table import read_azure_table_stream
+
+            return read_azure_table_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "amqp_1" in inp:
             # AMQP 1.0 receiver link (amqp1/input.go) via the spool bridge
             # — dependency-free OASIS-spec client (streaming/amqp1.py);
@@ -933,6 +948,34 @@ class Pipeline:
             spool_dir=o["spool_dir"],
             max_messages=int(o.get("max_in_flight", 16)),
             visibility_timeout_s=max(1, duration_ms(str(vis)) // 1000),
+        ).start()
+
+    def start_azure_table_consumer(self):
+        """Start the consumer bridge for an `input.azure_table_storage`
+        pipeline and return its handle (caller owns `.stop()`; exposes
+        `.wait_finished()` — the reference's pager consumes the query then
+        stops). Credentials come from the section or the standard
+        AZURE_STORAGE_* env vars."""
+        import os
+
+        o = (self.conf.get("input") or {}).get("azure_table_storage")
+        if not o:
+            raise ValueError("pipeline has no input.azure_table_storage section")
+        from bento_spark.streaming.azure_table import AzureTableSpooler
+
+        account = str(o.get("storage_account")
+                      or os.environ.get("AZURE_STORAGE_ACCOUNT", ""))
+        return AzureTableSpooler(
+            endpoint=str(o.get("endpoint")
+                         or f"https://{account}.table.core.windows.net"),
+            account=account,
+            account_key=str(o.get("storage_access_key")
+                            or os.environ.get("AZURE_STORAGE_ACCESS_KEY", "")),
+            table=str(o["table_name"]),
+            spool_dir=o["spool_dir"],
+            filter=str(o.get("filter", "")),
+            select=str(o.get("select", "")),
+            page_size=int(o.get("page_size", 1000)),
         ).start()
 
     def start_azure_blob_consumer(self):
@@ -2436,6 +2479,7 @@ class Pipeline:
             or out.get("amqp_1")
             or out.get("azure_blob_storage")
             or out.get("azure_queue_storage")
+            or out.get("azure_table_storage")
             or out.get("aws_sns")
             or out.get("aws_kinesis_firehose")
             or "sync_response" in out
@@ -2880,6 +2924,45 @@ class Pipeline:
                                         "application/octet-stream")),
                 value_col=(str(ab["value_col"]) if ab.get("value_col") else None),
             )
+        elif out.get("azure_table_storage"):
+            # per-row entity operation (azure/output_table_storage.go) —
+            # interpolated table_name/partition_key/row_key/transaction_type
+            # render JVM-side as columns; properties default to ALL json
+            # fields stringified (the reference's marshalling contract)
+            import os as _os
+
+            from bento_spark.streaming.azure_table import azure_table_sink
+
+            at = out["azure_table_storage"]
+            account = str(at.get("storage_account")
+                          or _os.environ.get("AZURE_STORAGE_ACCOUNT", ""))
+            df = self.build_stream(spark)
+            data_cols = list(df.columns)
+            df = (df.withColumn("_at_table",
+                                compile_interpolated(str(at["table_name"])))
+                    .withColumn("_at_pk",
+                                compile_interpolated(str(at.get("partition_key", ""))))
+                    .withColumn("_at_rk",
+                                compile_interpolated(str(at.get("row_key", ""))))
+                    .withColumn("_at_op",
+                                compile_interpolated(str(at.get("transaction_type",
+                                                                "INSERT")))))
+            props = at.get("properties") or {}
+            if props:
+                df = df.withColumn("_at_props", F.to_json(F.struct(*[
+                    compile_interpolated(str(v)).alias(str(k))
+                    for k, v in props.items()])))
+            else:
+                df = df.withColumn("_at_props", F.to_json(F.struct(*[
+                    F.col(c) for c in data_cols])))
+            writer = azure_table_sink(
+                str(at.get("endpoint")
+                    or f"https://{account}.table.core.windows.net"),
+                account,
+                str(at.get("storage_access_key")
+                    or _os.environ.get("AZURE_STORAGE_ACCESS_KEY", "")),
+                table_col="_at_table", pk_col="_at_pk", rk_col="_at_rk",
+                op_col="_at_op", props_col="_at_props")
         elif out.get("amqp_1"):
             # AMQP 1.0 sender link (amqp1/output.go): rows publish as JSON
             # amqp-value sections; the batch waits for accepted
