@@ -435,6 +435,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "azure_cosmosdb" in inp:
+            # parametrized-query consumption (azure/input_cosmosdb.go) via
+            # the spool bridge — dependency-free master-key REST client
+            # (streaming/cosmosdb.py); the consumer starts via
+            # start_cosmos_consumer().
+            o = inp["azure_cosmosdb"]
+            if not streaming:
+                raise ValueError(
+                    "azure_cosmosdb input is streaming-only (pull source)")
+            from bento_spark.streaming.cosmosdb import read_cosmos_stream
+
+            return read_cosmos_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "azure_table_storage" in inp:
             # entity-query consumption (azure/input_table_storage.go) via
             # the spool bridge — dependency-free SharedKey(Table) REST
@@ -949,6 +964,46 @@ class Pipeline:
             max_messages=int(o.get("max_in_flight", 16)),
             visibility_timeout_s=max(1, duration_ms(str(vis)) // 1000),
         ).start()
+
+    def start_cosmos_consumer(self):
+        """Start the consumer bridge for an `input.azure_cosmosdb`
+        pipeline and return its handle (caller owns `.stop()`; exposes
+        `.wait_finished()`). `partition_keys_map` follows the reference:
+        a Bloblang mapping evaluated once with no input — i.e. a literal
+        (input_cosmosdb.go:96)."""
+        o = (self.conf.get("input") or {}).get("azure_cosmosdb")
+        if not o:
+            raise ValueError("pipeline has no input.azure_cosmosdb section")
+        from bento_spark.streaming.cosmosdb import CosmosSpooler, parse_pk_mapping
+
+        endpoint, key = self._cosmos_creds(o)
+        pk = (parse_pk_mapping(str(o["partition_keys_map"]))
+              if o.get("partition_keys_map") is not None
+              else o.get("partition_key"))
+        # engine contract: STRING partition keys end-to-end (the per-row
+        # mapping on the write side compiles to a string column)
+        if pk is not None and not isinstance(pk, str):
+            pk = ("true" if pk is True else "false" if pk is False
+                  else str(pk))
+        params = [{"name": str(p["name"]), "value": p["value"]}
+                  for p in (o.get("args") or [])]
+        return CosmosSpooler(
+            endpoint=endpoint, account_key=key,
+            database=str(o["database"]), container=str(o["container"]),
+            partition_key=pk, query=str(o["query"]),
+            spool_dir=o["spool_dir"], parameters=params,
+            page_size=int(o.get("batch_count", 100)),
+        ).start()
+
+    @staticmethod
+    def _cosmos_creds(o: dict) -> tuple[str, str]:
+        """connection_string wins over endpoint+account_key, like the
+        reference's credential docs."""
+        if o.get("connection_string"):
+            from bento_spark.streaming.cosmosdb import parse_connection_string
+
+            return parse_connection_string(str(o["connection_string"]))
+        return str(o["endpoint"]), str(o["account_key"])
 
     def start_azure_table_consumer(self):
         """Start the consumer bridge for an `input.azure_table_storage`
@@ -2074,6 +2129,45 @@ class Pipeline:
                 level=str(o.get("level", "ERROR")).lower(),
                 environment=o.get("environment"), release=o.get("release"),
             )
+        if name == "azure_cosmosdb":
+            # azure/processor_cosmosdb.go over cosmosdb/docs.go: operation
+            # Create|Upsert|Read|Replace|Delete|Patch, per-row partition
+            # key (`partition_keys_map` compiled to a COLUMN), interpolated
+            # item_id; the document is the message JSON rendered JVM-side
+            o = opts or {}
+            from bento_spark.streaming.cosmosdb import cosmos_map
+
+            endpoint, key = self._cosmos_creds(o)
+            op = str(o.get("operation", "Create"))
+            work = df
+            pk_src = str(o.get("partition_keys_map", "root = null"))
+            pk_expr = re.sub(r"^\s*root\s*=\s*", "", pk_src)
+            work = work.withColumn(
+                "_cdb_pk", compile_expr(pk_expr).cast("string"))
+            id_col = None
+            if o.get("item_id"):
+                work = work.withColumn(
+                    "_cdb_id", compile_interpolated(str(o["item_id"])))
+                id_col = "_cdb_id"
+            doc_col = None
+            if op in ("Create", "Upsert", "Replace"):
+                data_cols = [c for c in df.columns if c != "error"]
+                work = work.withColumn("_cdb_doc", F.to_json(F.struct(*[
+                    F.col(c) for c in data_cols])))
+                doc_col = "_cdb_doc"
+            patches = [{"operation": str(p["operation"]),
+                        "path": str(p["path"]),
+                        **({"value": p["value"]} if "value" in p else {})}
+                       for p in (o.get("patch_operations") or [])]
+            out = cosmos_map(
+                work, endpoint, key, str(o["database"]), str(o["container"]),
+                "_cdb_pk", operation=op, doc_col=doc_col, id_col=id_col,
+                auto_id=bool(o.get("auto_id", True)),
+                patch_operations=patches or None,
+                patch_condition=(str(o["patch_condition"])
+                                 if o.get("patch_condition") else None),
+                out_col=str(o.get("out", "cosmosdb")))
+            return out
         if name == "couchbase":
             # couchbase/processor.go: interpolated id, Bloblang content,
             # operation get|insert|remove|replace|upsert; KV binary
@@ -2480,6 +2574,7 @@ class Pipeline:
             or out.get("azure_blob_storage")
             or out.get("azure_queue_storage")
             or out.get("azure_table_storage")
+            or out.get("azure_cosmosdb")
             or out.get("aws_sns")
             or out.get("aws_kinesis_firehose")
             or "sync_response" in out
@@ -2924,6 +3019,32 @@ class Pipeline:
                                         "application/octet-stream")),
                 value_col=(str(ab["value_col"]) if ab.get("value_col") else None),
             )
+        elif out.get("azure_cosmosdb"):
+            # per-row document operation (azure/output_cosmosdb.go) — the
+            # partition key compiles to a COLUMN (`partition_keys_map`),
+            # the document renders JVM-side, item_id interpolates
+            from bento_spark.streaming.cosmosdb import cosmos_sink
+
+            cd = out["azure_cosmosdb"]
+            endpoint, key = self._cosmos_creds(cd)
+            df = self.build_stream(spark)
+            data_cols = [c for c in df.columns if c != "error"]
+            pk_src = str(cd.get("partition_keys_map", "root = null"))
+            df = (df.withColumn("_cdb_pk",
+                                compile_expr(re.sub(r"^\s*root\s*=\s*", "",
+                                                    pk_src)).cast("string"))
+                    .withColumn("_cdb_doc", F.to_json(F.struct(*[
+                        F.col(c) for c in data_cols]))))
+            id_col = None
+            if cd.get("item_id"):
+                df = df.withColumn("_cdb_id",
+                                   compile_interpolated(str(cd["item_id"])))
+                id_col = "_cdb_id"
+            writer = cosmos_sink(
+                endpoint, key, str(cd["database"]), str(cd["container"]),
+                pk_col="_cdb_pk", doc_col="_cdb_doc", id_col=id_col,
+                operation=str(cd.get("operation", "Create")),
+                auto_id=bool(cd.get("auto_id", True)))
         elif out.get("azure_table_storage"):
             # per-row entity operation (azure/output_table_storage.go) —
             # interpolated table_name/partition_key/row_key/transaction_type
