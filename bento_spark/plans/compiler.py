@@ -435,6 +435,23 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "azure_service_bus_queue" in inp:
+            # CBS-authenticated AMQP 1.0 receiver
+            # (azure/input_service_bus_queue.go) via the spool bridge; the
+            # consumer starts via start_service_bus_consumer().
+            o = inp["azure_service_bus_queue"]
+            if not streaming:
+                raise ValueError(
+                    "azure_service_bus_queue input is streaming-only "
+                    "(push source)")
+            from bento_spark.streaming.azure_servicebus import (
+                read_service_bus_stream,
+            )
+
+            return read_service_bus_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "azure_cosmosdb" in inp:
             # parametrized-query consumption (azure/input_cosmosdb.go) via
             # the spool bridge — dependency-free master-key REST client
@@ -963,6 +980,38 @@ class Pipeline:
             spool_dir=o["spool_dir"],
             max_messages=int(o.get("max_in_flight", 16)),
             visibility_timeout_s=max(1, duration_ms(str(vis)) // 1000),
+        ).start()
+
+    def start_service_bus_consumer(self):
+        """Start the consumer bridge for an `input.azure_service_bus_queue`
+        pipeline and return its handle (caller owns `.stop()`). The
+        connection string follows the reference
+        (input_service_bus_queue.go): Endpoint=sb://..;
+        SharedAccessKeyName=..;SharedAccessKey=..[;EntityPath=..]."""
+        o = (self.conf.get("input") or {}).get("azure_service_bus_queue")
+        if not o:
+            raise ValueError(
+                "pipeline has no input.azure_service_bus_queue section")
+        from bento_spark.streaming.azure_servicebus import (
+            ServiceBusSpooler,
+            parse_sb_connection_string,
+        )
+
+        host, key_name, key, entity = parse_sb_connection_string(
+            str(o["connection_string"]))
+        # real Service Bus listens on 5671 (amqps); the Endpoint may carry
+        # an explicit port (the mini broker / emulators do)
+        port = int(o.get("port", 0))
+        if not port:
+            m = re.search(r"Endpoint=sb://[^:;/]+:(\d+)",
+                          str(o["connection_string"]))
+            port = int(m.group(1)) if m else 5671
+        return ServiceBusSpooler(
+            host=host, port=port,
+            queue=str(o.get("queue") or entity or ""),
+            spool_dir=o["spool_dir"], key_name=key_name, key=key,
+            nack_reject_patterns=[str(p) for p in
+                                  (o.get("nack_reject_patterns") or [])],
         ).start()
 
     def start_cosmos_consumer(self):
