@@ -1309,6 +1309,115 @@ def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.stop()
 
 
+def q_pulsar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 connector family end-to-end, folded into ONE cross-checking
+    entry (the codec_roundtrips pattern): nations ride through (a) the
+    Pulsar binary-protocol producer/consumer (pulsar/output.go+input.go —
+    CRC32C payload frames, key column, MiniPulsarBroker), (b) the Azure
+    Table Storage transaction writer + OData query-back
+    (azure/output_table_storage.go + input_table_storage.go, SharedKey
+    Table flavor), and (c) the CosmosDB document writer + SQL query-back
+    (azure/output_cosmosdb.go + input_cosmosdb.go, master-key tokens).
+    All three must agree — any divergence appends symmetric-difference
+    rows and fails the driver's hash gate. Read-backs are driver-side
+    control-plane (25 rows); bulk data rides parquet/Iceberg."""
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_name").alias("k"),
+        F.col("n_nationkey").alias("nk"),
+        (F.col("n_regionkey") * 10).cast("long").alias("score"),
+    )
+
+    def via_pulsar() -> DataFrame:
+        from bento_spark.streaming.pulsar import (
+            Consumer,
+            MiniPulsarBroker,
+            PulsarClient,
+            pulsar_sink,
+        )
+
+        srv = MiniPulsarBroker().start()
+        try:
+            topic = "persistent://public/default/nations"
+            pulsar_sink("127.0.0.1", srv.port, topic, key_col="k")(base, 0)
+            cc = PulsarClient("127.0.0.1", srv.port)
+            try:
+                cons = Consumer(cc, topic, "oracle")
+                rows = []
+                for _ in range(base.count()):
+                    m = cons.receive()
+                    rows.append((m.metadata.get("partition_key"),
+                                 m.payload.decode("utf-8")))
+                    cons.ack(m.message_id)
+            finally:
+                cc.close()
+        finally:
+            srv.stop()
+        out = spark.createDataFrame(rows, "pulsar_key string, value string")
+        rec = F.from_json("value", "nk int, score bigint")
+        return out.select(
+            F.col("pulsar_key").alias("nation_name"),
+            rec.getField("nk").alias("n_nationkey"),
+            rec.getField("score").alias("score"),
+        )
+
+    def via_azure_table() -> DataFrame:
+        from bento_spark.streaming.azure_table import (
+            AzureTableClient,
+            MiniAzureTableServer,
+            azure_table_sink,
+        )
+
+        srv = MiniAzureTableServer().start()
+        try:
+            staged = base.select(
+                F.lit("nations").alias("t"), F.col("k").alias("pk"),
+                F.format_string("%05d", F.col("nk")).alias("rk"),
+                F.lit("INSERT").alias("op"),
+                F.to_json(F.struct(F.col("nk"), F.col("score"))).alias("props"),
+            )
+            azure_table_sink(srv.endpoint, srv.account, srv.account_key,
+                             table_col="t", pk_col="pk", rk_col="rk",
+                             op_col="op", props_col="props")(staged, 0)
+            client = AzureTableClient(srv.endpoint, srv.account,
+                                      srv.account_key)
+            rows = [(e["PartitionKey"], int(e["nk"]), int(e["score"]))
+                    for e in client.query("nations")]
+        finally:
+            srv.stop()
+        return spark.createDataFrame(
+            rows, "nation_name string, n_nationkey int, score bigint")
+
+    def via_cosmos() -> DataFrame:
+        from bento_spark.streaming.cosmosdb import (
+            CosmosClient,
+            MiniCosmosServer,
+            cosmos_sink,
+        )
+
+        srv = MiniCosmosServer().start()
+        try:
+            staged = base.select(
+                F.lit("tpch").alias("_cdb_pk"),
+                F.to_json(F.struct(
+                    F.format_string("%05d", F.col("nk")).alias("id"),
+                    F.col("k").alias("name"), F.col("nk"), F.col("score"),
+                )).alias("_cdb_doc"),
+            )
+            cosmos_sink(srv.endpoint, srv.account_key, "tpchdb", "nations",
+                        pk_col="_cdb_pk", doc_col="_cdb_doc",
+                        auto_id=False)(staged, 0)
+            client = CosmosClient(srv.endpoint, srv.account_key)
+            rows = [(d["name"], int(d["nk"]), int(d["score"]))
+                    for d in client.query("tpchdb", "nations", "tpch",
+                                          "SELECT * FROM c")]
+        finally:
+            srv.stop()
+        return spark.createDataFrame(
+            rows, "nation_name string, n_nationkey int, score bigint")
+
+    return _cross(via_pulsar(), via_azure_table(), via_cosmos())
+
+
 def q_dynamodb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aws_dynamodb output end-to-end (aws/output_dynamodb.go over the
     JSON protocol + vector-pinned SigV4): nations write as keyed items
@@ -1810,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_join": q_lookup_join,
         "error_strategies": q_error_strategies,
         # -- round-5 additions --
+        "pulsar_roundtrip": q_pulsar_roundtrip,
         "s3_roundtrip": q_s3_roundtrip,
         "sql_raw_roundtrip": q_sql_raw_roundtrip,
         "dynamodb_roundtrip": q_dynamodb_roundtrip,
@@ -2390,6 +2500,11 @@ def oracle_sql() -> dict[str, str]:
     # parents via _cross, so their aliases are gone with them.
     sql["jwt_roundtrip"] = """
         SELECT n_nationkey, n_name AS nation_name,
+               CAST(n_regionkey * 10 AS BIGINT) AS score
+        FROM nation
+    """
+    sql["pulsar_roundtrip"] = """
+        SELECT n_name AS nation_name, n_nationkey,
                CAST(n_regionkey * 10 AS BIGINT) AS score
         FROM nation
     """
