@@ -2626,6 +2626,7 @@ class Pipeline:
             or out.get("azure_cosmosdb")
             or out.get("aws_sns")
             or out.get("aws_kinesis_firehose")
+            or out.get("snowflake_put")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -3068,6 +3069,36 @@ class Pipeline:
                                         "application/octet-stream")),
                 value_col=(str(ab["value_col"]) if ab.get("value_col") else None),
             )
+        elif out.get("snowflake_put"):
+            # snowflake/output_snowflake_put.go: rows group into stage
+            # files per interpolated (stage, path), compressed, announced
+            # via the public Snowpipe insertFiles REST (key-pair JWT);
+            # stage upload transport modeled — see streaming/snowflake.py
+            from bento_spark.streaming.snowflake import snowflake_put_sink
+
+            sf = out["snowflake_put"]
+            pem = sf.get("private_key")
+            if not pem and sf.get("private_key_file"):
+                from pathlib import Path as _Path
+
+                pem = _Path(str(sf["private_key_file"])).read_text()
+            if not pem:
+                raise ValueError(
+                    "output.snowflake_put requires private_key or "
+                    "private_key_file (key-pair JWT auth)")
+            account = str(sf["account"])
+            endpoint = str(sf.get("endpoint")
+                           or f"https://{account}.snowflakecomputing.com")
+            df = self.build_stream(spark)
+            df = (df.withColumn("_sf_stage",
+                                compile_interpolated(str(sf["stage"])))
+                    .withColumn("_sf_path",
+                                compile_interpolated(str(sf.get("path", "")))))
+            writer = snowflake_put_sink(
+                endpoint, account, str(sf["user"]), str(pem),
+                stage_col="_sf_stage", path_col="_sf_path",
+                pipe=(str(sf["snowpipe"]) if sf.get("snowpipe") else None),
+                compression=str(sf.get("compression", "AUTO")))
         elif out.get("azure_cosmosdb"):
             # per-row document operation (azure/output_cosmosdb.go) — the
             # partition key compiles to a COLUMN (`partition_keys_map`),
