@@ -435,6 +435,19 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "sftp" in inp:
+            # glob-resolved file consumption (sftp/input.go) over the
+            # from-scratch SSH transport via the spool bridge; the
+            # consumer starts via start_sftp_consumer().
+            o = inp["sftp"]
+            if not streaming:
+                raise ValueError("sftp input is streaming-only (pull source)")
+            from bento_spark.streaming.sftp import read_sftp_stream
+
+            return read_sftp_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "azure_service_bus_queue" in inp:
             # CBS-authenticated AMQP 1.0 receiver
             # (azure/input_service_bus_queue.go) via the spool bridge; the
@@ -980,6 +993,42 @@ class Pipeline:
             spool_dir=o["spool_dir"],
             max_messages=int(o.get("max_in_flight", 16)),
             visibility_timeout_s=max(1, duration_ms(str(vis)) // 1000),
+        ).start()
+
+    def start_sftp_consumer(self):
+        """Start the consumer bridge for an `input.sftp` pipeline and
+        return its handle (caller owns `.stop()`; `.wait_finished()` for
+        the one-pass mode). Fields follow sftp/input.go: address,
+        credentials.username/password, paths (globs), delete_on_finish,
+        watcher.{enabled,poll_interval,minimum_age}. private_key_file
+        credentials raise: the transport implements password auth (see
+        streaming/sftp.py's credential-scope note)."""
+        o = (self.conf.get("input") or {}).get("sftp")
+        if not o:
+            raise ValueError("pipeline has no input.sftp section")
+        from bento_spark.streaming.cep import duration_ms
+        from bento_spark.streaming.sftp import SftpSpooler, parse_sftp_address
+
+        creds = o.get("credentials") or {}
+        if creds.get("private_key_file"):
+            raise ValueError(
+                "sftp: private_key_file auth is not supported by the "
+                "built-in SSH transport — use credentials.password")
+        host, port = parse_sftp_address(str(o.get("address",
+                                                  "127.0.0.1:22")))
+        w = o.get("watcher") or {}
+        return SftpSpooler(
+            host=host, port=port,
+            username=str(creds.get("username", "")),
+            password=str(creds.get("password", "")),
+            paths=[str(p) for p in (o.get("paths") or [])],
+            spool_dir=o["spool_dir"],
+            delete_on_finish=bool(o.get("delete_on_finish", False)),
+            watcher=bool(w.get("enabled", False)),
+            poll_interval_s=duration_ms(str(w.get("poll_interval",
+                                                  "1s"))) / 1000.0,
+            minimum_age_s=duration_ms(str(w.get("minimum_age",
+                                                "0s"))) / 1000.0,
         ).start()
 
     def start_service_bus_consumer(self):
@@ -2627,6 +2676,7 @@ class Pipeline:
             or out.get("aws_sns")
             or out.get("aws_kinesis_firehose")
             or out.get("snowflake_put")
+            or out.get("sftp")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -3069,6 +3119,27 @@ class Pipeline:
                                         "application/octet-stream")),
                 value_col=(str(ab["value_col"]) if ab.get("value_col") else None),
             )
+        elif out.get("sftp"):
+            # per-row upload to the interpolated path (sftp/output.go:
+            # codec all|lines|append) over the from-scratch SSH transport
+            from bento_spark.streaming.sftp import parse_sftp_address, sftp_sink
+
+            sf = out["sftp"]
+            creds = sf.get("credentials") or {}
+            if creds.get("private_key_file"):
+                raise ValueError(
+                    "sftp: private_key_file auth is not supported by the "
+                    "built-in SSH transport — use credentials.password")
+            host, port = parse_sftp_address(str(sf.get("address",
+                                                       "127.0.0.1:22")))
+            df = self.build_stream(spark)
+            df = df.withColumn("_sftp_path",
+                               compile_interpolated(str(sf["path"])))
+            writer = sftp_sink(host, port,
+                               str(creds.get("username", "")),
+                               str(creds.get("password", "")),
+                               "_sftp_path",
+                               codec=str(sf.get("codec", "all")))
         elif out.get("snowflake_put"):
             # snowflake/output_snowflake_put.go: rows group into stage
             # files per interpolated (stage, path), compressed, announced
