@@ -435,6 +435,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "gcp_cloud_storage" in inp:
+            # bucket-listing consumption (gcp/input_cloud_storage.go) via
+            # the spool bridge — GCS JSON API + service-account OAuth
+            # (streaming/gcs.py); the consumer starts via
+            # start_gcs_consumer().
+            o = inp["gcp_cloud_storage"]
+            if not streaming:
+                raise ValueError(
+                    "gcp_cloud_storage input is streaming-only (pull source)")
+            from bento_spark.streaming.gcs import read_gcs_stream
+
+            return read_gcs_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "sftp" in inp:
             # glob-resolved file consumption (sftp/input.go) over the
             # from-scratch SSH transport via the spool bridge; the
@@ -993,6 +1008,48 @@ class Pipeline:
             spool_dir=o["spool_dir"],
             max_messages=int(o.get("max_in_flight", 16)),
             visibility_timeout_s=max(1, duration_ms(str(vis)) // 1000),
+        ).start()
+
+    @staticmethod
+    def _gcs_creds(o: dict) -> dict | None:
+        """Service-account fields from the section, a credentials_file
+        (the service-account JSON), or None (emulator/unauthenticated)."""
+        import json as _json
+
+        if o.get("credentials_file"):
+            from pathlib import Path as _Path
+
+            sa = _json.loads(_Path(str(o["credentials_file"])).read_text())
+            return {"client_email": sa["client_email"],
+                    "private_key": sa["private_key"],
+                    "token_uri": sa.get(
+                        "token_uri", "https://oauth2.googleapis.com/token")}
+        c = o.get("credentials")
+        if c:
+            return {"client_email": str(c["client_email"]),
+                    "private_key": str(c["private_key"]),
+                    "token_uri": str(c.get(
+                        "token_uri", "https://oauth2.googleapis.com/token"))}
+        return None
+
+    def start_gcs_consumer(self):
+        """Start the consumer bridge for an `input.gcp_cloud_storage`
+        pipeline and return its handle (caller owns `.stop()`;
+        `.wait_finished()` — the reference consumes the listing then
+        stops). Fields follow gcp/input_cloud_storage.go: bucket, prefix,
+        delete_objects."""
+        o = (self.conf.get("input") or {}).get("gcp_cloud_storage")
+        if not o:
+            raise ValueError("pipeline has no input.gcp_cloud_storage section")
+        from bento_spark.streaming.gcs import GcsSpooler
+
+        return GcsSpooler(
+            endpoint=str(o.get("endpoint") or "https://storage.googleapis.com"),
+            bucket=str(o["bucket"]),
+            spool_dir=o["spool_dir"],
+            prefix=str(o.get("prefix", "")),
+            delete_objects=bool(o.get("delete_objects", False)),
+            credentials=self._gcs_creds(o),
         ).start()
 
     def start_sftp_consumer(self):
@@ -1563,6 +1620,25 @@ class Pipeline:
                         str(d.get("secret_key")
                             or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
                         region=str(d.get("region", "us-east-1")),
+                        content_type=str(d.get("content_type",
+                                               "application/octet-stream")),
+                        key_col=key_col, value_col=d.get("value_col", "value"),
+                    )
+                if "gcp_cloud_storage" in r:
+                    d = r["gcp_cloud_storage"] or {}
+                    if "bucket" not in d:
+                        raise ValueError(
+                            f"cache resource {resource!r}: gcp_cloud_storage "
+                            "backend needs `bucket`"
+                        )
+                    from bento_spark.streaming.gcs import GcsCache
+
+                    return GcsCache(
+                        spark,
+                        str(d.get("endpoint")
+                            or "https://storage.googleapis.com"),
+                        str(d["bucket"]),
+                        credentials=self._gcs_creds(d),
                         content_type=str(d.get("content_type",
                                                "application/octet-stream")),
                         key_col=key_col, value_col=d.get("value_col", "value"),
@@ -2677,6 +2753,7 @@ class Pipeline:
             or out.get("aws_kinesis_firehose")
             or out.get("snowflake_put")
             or out.get("sftp")
+            or out.get("gcp_cloud_storage")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -3119,6 +3196,28 @@ class Pipeline:
                                         "application/octet-stream")),
                 value_col=(str(ab["value_col"]) if ab.get("value_col") else None),
             )
+        elif out.get("gcp_cloud_storage"):
+            # one upload per message (gcp/output_cloud_storage.go) —
+            # interpolated object `path` renders JVM-side as a column;
+            # collision_mode overwrite|append|error-if-exists|ignore
+            from bento_spark.streaming.gcs import gcs_sink
+
+            gc = out["gcp_cloud_storage"]
+            if "path" not in gc:
+                raise ValueError(
+                    "output.gcp_cloud_storage requires an interpolated `path`")
+            df = self.build_stream(spark)
+            df = df.withColumn("_gcs_path",
+                               compile_interpolated(str(gc["path"])))
+            writer = gcs_sink(
+                str(gc.get("endpoint") or "https://storage.googleapis.com"),
+                str(gc["bucket"]), "_gcs_path",
+                credentials=self._gcs_creds(gc),
+                content_type=str(gc.get("content_type",
+                                        "application/octet-stream")),
+                collision_mode=str(gc.get("collision_mode", "overwrite")),
+                value_col=(str(gc["value_col"]) if gc.get("value_col")
+                           else None))
         elif out.get("sftp"):
             # per-row upload to the interpolated path (sftp/output.go:
             # codec all|lines|append) over the from-scratch SSH transport
