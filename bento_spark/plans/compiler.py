@@ -1067,10 +1067,6 @@ class Pipeline:
         from bento_spark.streaming.sftp import SftpSpooler, parse_sftp_address
 
         creds = o.get("credentials") or {}
-        if creds.get("private_key_file"):
-            raise ValueError(
-                "sftp: private_key_file auth is not supported by the "
-                "built-in SSH transport — use credentials.password")
         host, port = parse_sftp_address(str(o.get("address",
                                                   "127.0.0.1:22")))
         w = o.get("watcher") or {}
@@ -1078,6 +1074,7 @@ class Pipeline:
             host=host, port=port,
             username=str(creds.get("username", "")),
             password=str(creds.get("password", "")),
+            private_key_pem=self._sftp_private_key(creds),
             paths=[str(p) for p in (o.get("paths") or [])],
             spool_dir=o["spool_dir"],
             delete_on_finish=bool(o.get("delete_on_finish", False)),
@@ -1087,6 +1084,22 @@ class Pipeline:
             minimum_age_s=duration_ms(str(w.get("minimum_age",
                                                 "0s"))) / 1000.0,
         ).start()
+
+    @staticmethod
+    def _sftp_private_key(creds: dict) -> str | None:
+        """credentials.private_key_file -> PEM text (RFC 4252 §7
+        publickey auth, rsa-sha2-256). Passphrase-encrypted keys need
+        PEM decryption the pure-Python parser doesn't do — name it."""
+        if not creds.get("private_key_file"):
+            return None
+        if creds.get("private_key_pass"):
+            raise ValueError(
+                "sftp: private_key_pass (encrypted PEM) is not supported "
+                "by the built-in SSH transport — decrypt the key first "
+                "(openssl pkcs8) or use credentials.password")
+        from pathlib import Path as _Path
+
+        return _Path(str(creds["private_key_file"])).read_text()
 
     def start_service_bus_consumer(self):
         """Start the consumer bridge for an `input.azure_service_bus_queue`
@@ -3225,10 +3238,6 @@ class Pipeline:
 
             sf = out["sftp"]
             creds = sf.get("credentials") or {}
-            if creds.get("private_key_file"):
-                raise ValueError(
-                    "sftp: private_key_file auth is not supported by the "
-                    "built-in SSH transport — use credentials.password")
             host, port = parse_sftp_address(str(sf.get("address",
                                                        "127.0.0.1:22")))
             df = self.build_stream(spark)
@@ -3238,7 +3247,8 @@ class Pipeline:
                                str(creds.get("username", "")),
                                str(creds.get("password", "")),
                                "_sftp_path",
-                               codec=str(sf.get("codec", "all")))
+                               codec=str(sf.get("codec", "all")),
+                               private_key_pem=self._sftp_private_key(creds))
         elif out.get("snowflake_put"):
             # snowflake/output_snowflake_put.go: rows group into stage
             # files per interpolated (stage, path), compressed, announced

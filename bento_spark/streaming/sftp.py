@@ -112,9 +112,10 @@ class SftpClient:
     reassembled across channel-data boundaries."""
 
     def __init__(self, host: str, port: int, username: str, password: str,
-                 timeout: float = 15.0):
+                 timeout: float = 15.0, private_key_pem: str | None = None):
         self.ssh = SshClient(host, port, username, password,
-                             subsystem="sftp", timeout=timeout)
+                             subsystem="sftp", timeout=timeout,
+                             private_key_pem=private_key_pem)
         self._buf = b""
         self._id = 0
         self._send_raw(struct.pack(">B", SSH_FXP_INIT)
@@ -340,6 +341,7 @@ class SftpSpooler:
     watcher: bool = False
     poll_interval_s: float = 1.0
     minimum_age_s: float = 0.0
+    private_key_pem: str | None = None
     _thread: threading.Thread | None = field(default=None, repr=False)
     _done: threading.Event = field(default_factory=threading.Event, repr=False)
     _stop: threading.Event = field(default_factory=threading.Event, repr=False)
@@ -348,7 +350,9 @@ class SftpSpooler:
     def start(self) -> "SftpSpooler":
         spool = Path(self.spool_dir)
         spool.mkdir(parents=True, exist_ok=True)
-        client = SftpClient(self.host, self.port, self.username, self.password)
+        client = SftpClient(self.host, self.port, self.username,
+                            self.password,
+                            private_key_pem=self.private_key_pem)
         seen: set[tuple[str, int, int]] = set()
         seq = {"n": 0}
 
@@ -434,7 +438,8 @@ def read_sftp_stream(spark, spool_dir: str,
 
 
 def sftp_sink(host: str, port: int, username: str, password: str,
-              path_col: str, codec: str = "all"):
+              path_col: str, codec: str = "all",
+              private_key_pem: str | None = None):
     """`sftp` output (output.go): per-row upload to the interpolated
     path COLUMN; codec `all` truncates per message, `lines` appends
     message + newline, `append` appends raw. One SSH session per
@@ -459,7 +464,8 @@ def sftp_sink(host: str, port: int, username: str, password: str,
             try:
                 for row in rows:
                     if client is None:
-                        client = SftpClient(host, port, username, password)
+                        client = SftpClient(host, port, username, password,
+                                            private_key_pem=private_key_pem)
                     d = posixpath.dirname(row.p)
                     if d and d not in made_dirs:
                         client.mkdirs(d)
@@ -644,12 +650,14 @@ class MiniSftpServer:
 
     def __init__(self, root: str, host_key_pem: str,
                  users: dict[str, str], host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0,
+                 authorized_keys: dict[str, bytes] | None = None):
         from bento_spark.functions.crypto_prims import parse_rsa_private
 
         self.root = root
         self.host, self.port = host, port
         self.users = users
+        self.authorized_keys = dict(authorized_keys or {})
         self.host_key = parse_rsa_private(host_key_pem)
         self._server: socket.socket | None = None
         self._stop = threading.Event()
@@ -693,7 +701,8 @@ class MiniSftpServer:
             conn.settimeout(30)
             s = SshServerConn(
                 conn, self.host_key, self.users,
-                {"sftp": lambda _user: SftpSubsystem(self.root)})
+                {"sftp": lambda _user: SftpSubsystem(self.root)},
+                authorized_keys=self.authorized_keys)
             s.handshake()
             s.serve_channel()
         except (ConnectionError, OSError, ValueError):

@@ -426,11 +426,14 @@ def _kex_hash(v_c: str, v_s: str, i_c: bytes, i_s: bytes, k_s: bytes,
 class SshClient:
     """Client role: version exchange, group14 kex (verifying the host
     signature; optionally pinning the host key blob), NEWKEYS, password
-    userauth, then one session channel running a named subsystem."""
+    or publickey userauth (RFC 4252 §7: rsa-sha2-256 signature over the
+    session id + the auth request), then one session channel running a
+    named subsystem."""
 
     def __init__(self, host: str, port: int, username: str, password: str,
                  subsystem: str = "sftp", timeout: float = 15.0,
-                 expected_hostkey: bytes | None = None):
+                 expected_hostkey: bytes | None = None,
+                 private_key_pem: str | None = None):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         v_c = "SSH-2.0-bento_spark_0.1"
         v_s = exchange_versions(self.sock, v_c)
@@ -475,13 +478,25 @@ class SshClient:
             dec_iv=derive_key(km, h, b"B", h, 16),
             mac_out=derive_key(km, h, b"E", h, 32),
             mac_in=derive_key(km, h, b"F", h, 32))
-        # userauth (RFC 4252 password)
+        # userauth (RFC 4252: password §8 or publickey §7)
         t.send_packet(bytes([MSG_SERVICE_REQUEST]) + sp("ssh-userauth"))
         if t.recv_msg()[0] != MSG_SERVICE_ACCEPT:
             raise ConnectionError("ssh: userauth service refused")
-        t.send_packet(bytes([MSG_USERAUTH_REQUEST]) + sp(username)
-                      + sp("ssh-connection") + sp("password") + b"\x00"
-                      + sp(password))
+        if private_key_pem is not None:
+            from bento_spark.functions.crypto_prims import parse_rsa_private
+
+            key = parse_rsa_private(private_key_pem)
+            blob = rsa_host_blob(key["n"], key["e"])
+            req = (sp(username) + sp("ssh-connection") + sp("publickey")
+                   + b"\x01" + sp(HOSTKEY_ALGO) + sp(blob))
+            # the signed data is session_id (as string) + the full request
+            signed = sp(self.session_id) + bytes([MSG_USERAUTH_REQUEST]) + req
+            sig = rsa_sha256_signature(key, signed)
+            t.send_packet(bytes([MSG_USERAUTH_REQUEST]) + req + sp(sig))
+        else:
+            t.send_packet(bytes([MSG_USERAUTH_REQUEST]) + sp(username)
+                          + sp("ssh-connection") + sp("password") + b"\x00"
+                          + sp(password))
         resp = t.recv_msg()
         if resp[0] != MSG_USERAUTH_SUCCESS:
             raise ConnectionError("ssh: authentication failed")
@@ -551,10 +566,13 @@ class SshServerConn:
     callback."""
 
     def __init__(self, sock: socket.socket, host_key: dict,
-                 users: dict[str, str], subsystems: dict):
+                 users: dict[str, str], subsystems: dict,
+                 authorized_keys: dict[str, bytes] | None = None):
         self.sock = sock
         self.host_key = host_key
         self.users = users
+        # username -> authorized ssh-rsa public key BLOB (publickey auth)
+        self.authorized_keys = dict(authorized_keys or {})
         self.subsystems = subsystems
         self.client_channel: int | None = None
         self.username: str | None = None
@@ -619,12 +637,23 @@ class SshServerConn:
                 r.boolean()
                 pwd = r.string().decode()
                 ok = self.users.get(user) == pwd
+            elif method == "publickey":
+                has_sig = r.boolean()
+                alg = r.string().decode()
+                blob = r.string()
+                authorized = self.authorized_keys.get(user)
+                if has_sig and alg == HOSTKEY_ALGO and authorized == blob:
+                    sig = r.string()
+                    # the request MINUS the trailing signature field
+                    req_wo_sig = p[: len(p) - 4 - len(sig)]
+                    signed = sp(h) + req_wo_sig
+                    ok = verify_rsa_sha256(blob, sig, signed)
             if ok:
                 self.username = user
                 t.send_packet(bytes([MSG_USERAUTH_SUCCESS]))
                 break
-            t.send_packet(bytes([MSG_USERAUTH_FAILURE]) + sp("password")
-                          + b"\x00")
+            t.send_packet(bytes([MSG_USERAUTH_FAILURE])
+                          + sp("password,publickey") + b"\x00")
 
     def serve_channel(self) -> None:
         """One session channel; subsystem data round-trips through the

@@ -148,6 +148,43 @@ def test_auth_and_host_signature(server):
         SftpClient("127.0.0.1", server.port, "nobody", "hunter2")
 
 
+def test_publickey_auth(host_key, tmp_path):
+    """RFC 4252 §7 publickey auth: rsa-sha2-256 signature over the
+    session id + request; authorized key accepted, unauthorized and
+    password-less rejected."""
+    import subprocess as sp_mod
+
+    from bento_spark.functions.crypto_prims import parse_rsa_private
+    from bento_spark.streaming.ssh_transport import rsa_host_blob
+
+    sp_mod.run([_OPENSSL, "genrsa", "-out", "user.pem", "2048"],
+               capture_output=True, cwd=tmp_path, check=True)
+    sp_mod.run([_OPENSSL, "genrsa", "-out", "other.pem", "2048"],
+               capture_output=True, cwd=tmp_path, check=True)
+    user_pem = (tmp_path / "user.pem").read_text()
+    key = parse_rsa_private(user_pem)
+    blob = rsa_host_blob(key["n"], key["e"])
+    root = tmp_path / "root"
+    root.mkdir()
+    (root / "f.txt").write_text("keyed")
+    srv = MiniSftpServer(str(root), host_key, users={},
+                         authorized_keys={"keyuser": blob}).start()
+    try:
+        c = SftpClient("127.0.0.1", srv.port, "keyuser", "",
+                       private_key_pem=user_pem)
+        assert c.read_file("f.txt") == b"keyed"
+        c.close_session()
+        # an unauthorized key is rejected
+        with pytest.raises(ConnectionError, match="authentication failed"):
+            SftpClient("127.0.0.1", srv.port, "keyuser", "",
+                       private_key_pem=(tmp_path / "other.pem").read_text())
+        # and so is password auth (no users configured)
+        with pytest.raises(ConnectionError, match="authentication failed"):
+            SftpClient("127.0.0.1", srv.port, "keyuser", "whatever")
+    finally:
+        srv.stop()
+
+
 def test_file_operations(server):
     c = SftpClient("127.0.0.1", server.port, "bento", "hunter2")
     try:
@@ -292,7 +329,9 @@ output:
     assert [r["temp"] for r in bergen] == [9]
 
 
-def test_yaml_private_key_raises_clear_error(server, tmp_path):
+def test_yaml_encrypted_key_raises_clear_error(server, tmp_path):
+    # passphrase-encrypted PEMs need decryption the pure-Python parser
+    # doesn't do — the config error must say so
     p = compile_yaml(f"""
 input:
   sftp:
@@ -300,12 +339,13 @@ input:
     credentials:
       username: bento
       private_key_file: /tmp/key.pem
+      private_key_pass: s3cret
     paths: [x/*]
     spool_dir: {tmp_path}/s
 output:
   path: {tmp_path}/out
 """)
-    with pytest.raises(ValueError, match="private_key_file"):
+    with pytest.raises(ValueError, match="private_key_pass"):
         p.start_sftp_consumer()
 
 
