@@ -149,13 +149,22 @@ def subprocess_map(
             def pump_err() -> None:
                 try:
                     for line in iter(proc.stderr.readline, b""):
+                        # signal BEFORE the (preemptible) queue put: once
+                        # readline returned, the pipe bytes are consumed, so
+                        # a zero-timeout select on the raw fd goes dark — a
+                        # GIL deschedule here (ms under load) would let the
+                        # consumer misread "no stderr". err_seen closes that
+                        # window: the consumer compares it to its taken
+                        # count and waits for the in-flight line.
+                        state["err_seen"] += 1
                         q_err.put(line.rstrip(b"\n"))
                 except Exception:  # noqa: BLE001
                     return
 
+            state.update(proc=proc, q_out=q_out, q_err=q_err,
+                         err_seen=0, err_taken=0)
             for target in (pump_out, pump_err):
                 _threading.Thread(target=target, daemon=True).start()
-            state.update(proc=proc, q_out=q_out, q_err=q_err)
 
         def stop() -> None:
             proc = state["proc"]
@@ -177,6 +186,8 @@ def subprocess_map(
                 try:
                     q.get_nowait()
                     n += 1
+                    if q is state.get("q_err"):
+                        state["err_taken"] += 1
                 except _queue.Empty:
                     return n
 
@@ -228,6 +239,7 @@ def subprocess_map(
                 while time.monotonic() < deadline:
                     try:
                         err = state["q_err"].get_nowait()
+                        state["err_taken"] += 1
                         # a both-streams child (stderr verdict + stdout echo
                         # for the same message) leaves the echo in flight; a
                         # bounded companion-consume plus the suspect-row
@@ -254,12 +266,19 @@ def subprocess_map(
                         try:
                             err = state["q_err"].get_nowait()
                         except _queue.Empty:
-                            if _select.select([state["proc"].stderr], [], [], 0)[0]:
+                            # two late-stderr windows: bytes still in the OS
+                            # pipe (select sees them), or already consumed by
+                            # the pump but not yet queued (err_seen counter —
+                            # the GIL-deschedule window a loaded host hits)
+                            if (_select.select([state["proc"].stderr],
+                                               [], [], 0)[0]
+                                    or state["err_seen"] > state["err_taken"]):
                                 try:
-                                    err = state["q_err"].get(timeout=0.05)
+                                    err = state["q_err"].get(timeout=0.2)
                                 except _queue.Empty:
                                     pass
                         if err is not None:
+                            state["err_taken"] += 1
                             state["suspect"] = True
                             return value, f"subprocess stderr: {err.decode('utf-8', 'replace')}"
                         return (bytes(out) if is_binary else out.decode("utf-8", "replace")), None
