@@ -435,6 +435,20 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "gcp_bigquery_select" in inp:
+            # paged query consumption (gcp/input_bigquery_select.go) via
+            # the spool bridge — BigQuery REST jobs.query
+            # (streaming/bigquery.py); starts via start_bigquery_consumer().
+            o = inp["gcp_bigquery_select"]
+            if not streaming:
+                raise ValueError(
+                    "gcp_bigquery_select input is streaming-only (pull source)")
+            from bento_spark.streaming.bigquery import read_bigquery_stream
+
+            return read_bigquery_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "gcp_cloud_storage" in inp:
             # bucket-listing consumption (gcp/input_cloud_storage.go) via
             # the spool bridge — GCS JSON API + service-account OAuth
@@ -1031,6 +1045,28 @@ class Pipeline:
                     "token_uri": str(c.get(
                         "token_uri", "https://oauth2.googleapis.com/token"))}
         return None
+
+    def start_bigquery_consumer(self):
+        """Start the consumer bridge for an `input.gcp_bigquery_select`
+        pipeline (caller owns `.stop()`; `.wait_finished()`). Fields
+        follow gcp/input_bigquery_select.go: project, table, columns,
+        where + positional `args`, prefix/suffix."""
+        o = (self.conf.get("input") or {}).get("gcp_bigquery_select")
+        if not o:
+            raise ValueError(
+                "pipeline has no input.gcp_bigquery_select section")
+        from bento_spark.streaming.bigquery import BigQuerySpooler
+
+        return BigQuerySpooler(
+            endpoint=str(o.get("endpoint")
+                         or "https://bigquery.googleapis.com"),
+            project=str(o["project"]), table=str(o["table"]),
+            columns=[str(c) for c in (o.get("columns") or ["*"])],
+            spool_dir=o["spool_dir"], where=str(o.get("where", "")),
+            args=list(o.get("args") or []) or None,
+            prefix=str(o.get("prefix", "")), suffix=str(o.get("suffix", "")),
+            credentials=self._gcs_creds(o),
+        ).start()
 
     def start_gcs_consumer(self):
         """Start the consumer bridge for an `input.gcp_cloud_storage`
@@ -2474,6 +2510,35 @@ class Pipeline:
                 retries=int(o.get("retries", 1)),
                 rate_limit=self._rate_limit_share(o.get("rate_limit"), df),
             )
+        if name == "gcp_bigquery_select":
+            # gcp/processor_bigquery_select.go: the sql_raw amortization —
+            # args_mapping compiles to a Catalyst ARRAY column, one
+            # jobs.query per DISTINCT args tuple, JSON row arrays
+            # broadcast-joined back
+            from bento_spark.streaming.bigquery import bigquery_select_map
+
+            o = opts or {}
+            args_col = None
+            d = df
+            if o.get("args_mapping"):
+                if df.isStreaming:
+                    raise ValueError(
+                        "gcp_bigquery_select with args_mapping is batch-only "
+                        "(the per-distinct-tuple query runs driver-side); "
+                        "argless enrichment works in streams")
+                d = df.withColumn("_bq_args",
+                                  compile_expr(str(o["args_mapping"])))
+                args_col = "_bq_args"
+            out = bigquery_select_map(
+                d, str(o.get("endpoint") or "https://bigquery.googleapis.com"),
+                str(o["project"]), str(o["table"]),
+                [str(c) for c in (o.get("columns") or ["*"])], args_col,
+                where=str(o.get("where", "")),
+                prefix=str(o.get("prefix", "")),
+                suffix=str(o.get("suffix", "")),
+                credentials=self._gcs_creds(o),
+                result_col=str(o.get("result_col", "bigquery_rows")))
+            return out.drop("_bq_args") if args_col else out
         if name == "sql_raw":
             # arbitrary statement with placeholder binds
             # (processor_sql_raw.go:30-80): args_mapping compiles to a
@@ -2767,6 +2832,7 @@ class Pipeline:
             or out.get("snowflake_put")
             or out.get("sftp")
             or out.get("gcp_cloud_storage")
+            or out.get("gcp_bigquery")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -3209,6 +3275,25 @@ class Pipeline:
                                         "application/octet-stream")),
                 value_col=(str(ab["value_col"]) if ab.get("value_col") else None),
             )
+        elif out.get("gcp_bigquery"):
+            # one inline-data load job per partition batch
+            # (gcp/output_bigquery.go: dataset/table, format
+            # NEWLINE_DELIMITED_JSON|CSV + csv.header) — rows render
+            # JVM-side (to_json / to_csv)
+            from bento_spark.streaming.bigquery import bigquery_sink
+
+            bq = out["gcp_bigquery"]
+            csv_opts = bq.get("csv") or {}
+            df = self.build_stream(spark)
+            writer = bigquery_sink(
+                str(bq.get("endpoint") or "https://bigquery.googleapis.com"),
+                str(bq["project"]), str(bq["dataset"]), str(bq["table"]),
+                credentials=self._gcs_creds(bq),
+                source_format=str(bq.get("format",
+                                         "NEWLINE_DELIMITED_JSON")),
+                csv_header=[str(h) for h in (csv_opts.get("header") or [])]
+                or None,
+                csv_field_delimiter=str(csv_opts.get("field_delimiter", ",")))
         elif out.get("gcp_cloud_storage"):
             # one upload per message (gcp/output_cloud_storage.go) —
             # interpolated object `path` renders JVM-side as a column;
