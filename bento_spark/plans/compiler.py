@@ -435,6 +435,19 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "discord" in inp:
+            # channel-backlog polling (discord/input.go) via the spool
+            # bridge — REST v10 + Bot token (streaming/discord.py); the
+            # poller starts via start_discord_consumer().
+            o = inp["discord"]
+            if not streaming:
+                raise ValueError("discord input is streaming-only (poll source)")
+            from bento_spark.streaming.discord import read_discord_stream
+
+            return read_discord_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "gcp_bigquery_select" in inp:
             # paged query consumption (gcp/input_bigquery_select.go) via
             # the spool bridge — BigQuery REST jobs.query
@@ -1046,6 +1059,26 @@ class Pipeline:
                         "token_uri", "https://oauth2.googleapis.com/token"))}
         return None
 
+    def start_discord_consumer(self):
+        """Start the poller bridge for an `input.discord` pipeline
+        (caller owns `.stop()`). Fields follow discord/input.go:
+        channel_id, bot_token, poll_period, limit."""
+        o = (self.conf.get("input") or {}).get("discord")
+        if not o:
+            raise ValueError("pipeline has no input.discord section")
+        from bento_spark.streaming.cep import duration_ms
+        from bento_spark.streaming.discord import DiscordSpooler
+
+        return DiscordSpooler(
+            endpoint=str(o.get("endpoint") or "https://discord.com"),
+            channel_id=str(o["channel_id"]),
+            bot_token=str(o["bot_token"]),
+            spool_dir=o["spool_dir"],
+            poll_period_s=duration_ms(str(o.get("poll_period",
+                                                "1m"))) / 1000.0,
+            limit=int(o.get("limit", 100)),
+        ).start()
+
     def start_bigquery_consumer(self):
         """Start the consumer bridge for an `input.gcp_bigquery_select`
         pipeline (caller owns `.stop()`; `.wait_finished()`). Fields
@@ -1537,16 +1570,23 @@ class Pipeline:
             return mem[resource]
         for r in self.conf.get("cache_resources") or []:
             if isinstance(r, dict) and r.get("label") == resource:
-                if any(k in r for k in ("memory", "lru", "ttlru")):
+                if any(k in r for k in ("memory", "lru", "ttlru", "ristretto")):
                     from bento_spark.operators.cache import MemoryCache
 
-                    kind = "memory" if "memory" in r else ("lru" if "lru" in r else "ttlru")
+                    kind = next(k for k in ("memory", "lru", "ttlru",
+                                            "ristretto") if k in r)
                     o = r[kind] or {}
                     # reference defaults: lru cap 1000 (cache_lru.go:17),
                     # ttlru cap 1024 + default_ttl 5m (cache_ttlru.go:15-19),
-                    # memory uncapped + default_ttl 5m (cache_memory.go)
+                    # memory uncapped + default_ttl 5m (cache_memory.go);
+                    # ristretto (dgraph/cache_ristretto.go) = an in-process
+                    # TTL cache — same engine-level semantics as ttlru here
+                    # (the reference's frequency-based admission is an
+                    # eviction heuristic, not an API contract), default_ttl
+                    # optional like the reference's
                     cap = o.get("cap", {"lru": 1000, "ttlru": 1024}.get(kind))
-                    ttl = o.get("default_ttl", "5m" if kind in ("memory", "ttlru") else None)
+                    ttl = o.get("default_ttl",
+                                "5m" if kind in ("memory", "ttlru") else None)
                     mem[resource] = MemoryCache(
                         spark, cap=cap, default_ttl=ttl,
                         init_values=o.get("init_values"),
@@ -2833,6 +2873,7 @@ class Pipeline:
             or out.get("sftp")
             or out.get("gcp_cloud_storage")
             or out.get("gcp_bigquery")
+            or out.get("discord")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -3275,6 +3316,18 @@ class Pipeline:
                                         "application/octet-stream")),
                 value_col=(str(ab["value_col"]) if ab.get("value_col") else None),
             )
+        elif out.get("discord"):
+            # one POST per message (discord/output.go: API message objects
+            # post verbatim, plain content wraps) — rendered JVM-side
+            from bento_spark.streaming.discord import discord_sink
+
+            dc = out["discord"]
+            df = self.build_stream(spark)
+            writer = discord_sink(
+                str(dc.get("endpoint") or "https://discord.com"),
+                str(dc["channel_id"]), str(dc["bot_token"]),
+                value_col=(str(dc["value_col"]) if dc.get("value_col")
+                           else None))
         elif out.get("gcp_bigquery"):
             # one inline-data load job per partition batch
             # (gcp/output_bigquery.go: dataset/table, format
