@@ -435,6 +435,19 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "cypher" in inp:
+            # one-shot graph query (cypher/input_cypher.go) via the spool
+            # bridge — Bolt 4.4 client (streaming/cypher.py); starts via
+            # start_cypher_consumer().
+            o = inp["cypher"]
+            if not streaming:
+                raise ValueError("cypher input is streaming-only (pull source)")
+            from bento_spark.streaming.cypher import read_cypher_stream
+
+            return read_cypher_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "discord" in inp:
             # channel-backlog polling (discord/input.go) via the spool
             # bridge — REST v10 + Bot token (streaming/discord.py); the
@@ -1058,6 +1071,26 @@ class Pipeline:
                     "token_uri": str(c.get(
                         "token_uri", "https://oauth2.googleapis.com/token"))}
         return None
+
+    def start_cypher_consumer(self):
+        """Start the consumer bridge for an `input.cypher` pipeline
+        (caller owns `.stop()`; `.wait_finished()` — the reference input
+        shuts down once the query's records are exhausted). Fields
+        follow cypher/input_cypher.go + conn_fields.go: uri, database,
+        query, no_auth / basic_auth.{user,password}."""
+        o = (self.conf.get("input") or {}).get("cypher")
+        if not o:
+            raise ValueError("pipeline has no input.cypher section")
+        from bento_spark.streaming.cypher import CypherSpooler
+
+        auth = o.get("basic_auth") or {}
+        no_auth = bool(o.get("no_auth", False))
+        return CypherSpooler(
+            uri=str(o["uri"]), query=str(o["query"]),
+            spool_dir=o["spool_dir"], database=str(o.get("database", "")),
+            user=None if no_auth else auth.get("user"),
+            password=None if no_auth else auth.get("password"),
+        ).start()
 
     def start_discord_consumer(self):
         """Start the poller bridge for an `input.discord` pipeline
@@ -2874,6 +2907,7 @@ class Pipeline:
             or out.get("gcp_cloud_storage")
             or out.get("gcp_bigquery")
             or out.get("discord")
+            or out.get("cypher")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -3316,6 +3350,25 @@ class Pipeline:
                                         "application/octet-stream")),
                 value_col=(str(ab["value_col"]) if ab.get("value_col") else None),
             )
+        elif out.get("cypher"):
+            # one RUN per row (cypher/output_cypher.go): the `values` map
+            # of interpolations renders JVM-side as ONE JSON column whose
+            # keys feed the query's $param references
+            from bento_spark.streaming.cypher import cypher_sink
+
+            cy = out["cypher"]
+            vals = cy.get("values") or {}
+            df = self.build_stream(spark)
+            df = df.withColumn("_cypher_values", F.to_json(F.struct(*[
+                compile_interpolated(str(v)).alias(str(k))
+                for k, v in vals.items()])) if vals else F.lit("{}"))
+            auth = cy.get("basic_auth") or {}
+            no_auth = bool(cy.get("no_auth", False))
+            writer = cypher_sink(
+                str(cy["uri"]), str(cy["query"]), "_cypher_values",
+                database=str(cy.get("database", "")),
+                user=None if no_auth else auth.get("user"),
+                password=None if no_auth else auth.get("password"))
         elif out.get("discord"):
             # one POST per message (discord/output.go: API message objects
             # post verbatim, plain content wraps) — rendered JVM-side
