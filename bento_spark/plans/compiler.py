@@ -448,6 +448,22 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "cockroachdb_changefeed" in inp:
+            # core-changefeed consumption (cockroachdb/input_changefeed.go)
+            # via the spool bridge — pgwire v3 client
+            # (streaming/cockroachdb.py); starts via
+            # start_cockroachdb_consumer().
+            o = inp["cockroachdb_changefeed"]
+            if not streaming:
+                raise ValueError(
+                    "cockroachdb_changefeed input is streaming-only "
+                    "(push source)")
+            from bento_spark.streaming.cockroachdb import read_changefeed_stream
+
+            return read_changefeed_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "discord" in inp:
             # channel-backlog polling (discord/input.go) via the spool
             # bridge — REST v10 + Bot token (streaming/discord.py); the
@@ -1090,6 +1106,27 @@ class Pipeline:
             spool_dir=o["spool_dir"], database=str(o.get("database", "")),
             user=None if no_auth else auth.get("user"),
             password=None if no_auth else auth.get("password"),
+        ).start()
+
+    def start_cockroachdb_consumer(self):
+        """Start the consumer bridge for an `input.cockroachdb_changefeed`
+        pipeline (caller owns `.stop()`; the changefeed statement never
+        completes). Fields follow cockroachdb/input_changefeed.go: dsn,
+        tables, options, cursor_cache (here a spool-dir dotfile playing
+        the reference's cache-resource role — set truthy to resume from
+        the last delivered row's `updated` timestamp)."""
+        o = (self.conf.get("input") or {}).get("cockroachdb_changefeed")
+        if not o:
+            raise ValueError(
+                "pipeline has no input.cockroachdb_changefeed section")
+        from bento_spark.streaming.cockroachdb import ChangefeedSpooler
+
+        return ChangefeedSpooler(
+            dsn=str(o["dsn"]),
+            tables=[str(t) for t in (o.get("tables") or [])],
+            spool_dir=o["spool_dir"],
+            options=[str(x) for x in (o.get("options") or [])],
+            cursor_cache=bool(o.get("cursor_cache")),
         ).start()
 
     def start_discord_consumer(self):
