@@ -291,13 +291,15 @@ def _unzigzag(n: int) -> int:
     return (n >> 1) ^ -(n & 1)
 
 
-def _wire_type(t: str) -> int:
+def _wire_type(t: str, reg: dict | None = None) -> int:
     if t in _VARINT_T:
         return 0
     if t in _FIXED64_T:
         return 1
     if t in _FIXED32_T:
         return 5
+    if reg is not None and t in reg and reg[t]["kind"] == "enum":
+        return 0  # enums are varints on the wire
     return 2  # string/bytes/message/map/packed
 
 
@@ -378,9 +380,9 @@ def encode_message(value: dict, message: str, reg: dict) -> bytes:
             vt = resolve_type(f.map_kv[1], message, reg)
             for mk, mv in v.items():
                 entry = bytearray()
-                _tag(1, _wire_type(kt), entry)
+                _tag(1, _wire_type(kt, reg), entry)
                 _enc_scalar(mk, kt, entry, reg)
-                _tag(2, _wire_type(vt), entry)
+                _tag(2, _wire_type(vt, reg), entry)
                 _enc_scalar(mv, vt, entry, reg)
                 _tag(f.num, 2, out)
                 _uvarint_enc(len(entry), out)
@@ -390,7 +392,7 @@ def encode_message(value: dict, message: str, reg: dict) -> bytes:
         if f.repeated:
             if not v:
                 continue
-            wt = _wire_type(t)
+            wt = _wire_type(t, reg)
             if wt in (0, 1, 5):  # packed by default in proto3
                 body = bytearray()
                 for item in v:
@@ -405,7 +407,7 @@ def encode_message(value: dict, message: str, reg: dict) -> bytes:
             continue
         if _is_default(v, t, reg):
             continue
-        _tag(f.num, _wire_type(t), out)
+        _tag(f.num, _wire_type(t, reg), out)
         _enc_scalar(v, t, out, reg)
     return bytes(out)
 
@@ -515,7 +517,7 @@ def decode_message(buf: bytes, message: str, reg: dict) -> dict:
             continue
         t = resolve_type(f.type, message, reg)
         if f.repeated:
-            native_wt = _wire_type(t)
+            native_wt = _wire_type(t, reg)
             if wt == 2 and native_wt in (0, 1, 5):  # packed block
                 ln, i = _uvarint_dec(buf, i)
                 end = i + ln

@@ -464,6 +464,19 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "etcd" in inp:
+            # watch-stream consumption (etcd/input.go) via the spool
+            # bridge — gRPC/HTTP/2 wire client (streaming/etcd.py,
+            # grpc_wire.py); starts via start_etcd_consumer().
+            o = inp["etcd"]
+            if not streaming:
+                raise ValueError("etcd input is streaming-only (push source)")
+            from bento_spark.streaming.etcd import read_etcd_stream
+
+            return read_etcd_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "discord" in inp:
             # channel-backlog polling (discord/input.go) via the spool
             # bridge — REST v10 + Bot token (streaming/discord.py); the
@@ -1127,6 +1140,35 @@ class Pipeline:
             spool_dir=o["spool_dir"],
             options=[str(x) for x in (o.get("options") or [])],
             cursor_cache=bool(o.get("cursor_cache")),
+        ).start()
+
+    def start_etcd_consumer(self):
+        """Start the watcher bridge for an `input.etcd` pipeline (caller
+        owns `.stop()`; the watch never completes). Fields follow
+        etcd/input.go + client.go: endpoints, key, options.{with_prefix,
+        with_range, with_progress_notify, with_created_notify,
+        with_filter_put, with_filter_delete}, auth.{enabled, username,
+        password}."""
+        o = (self.conf.get("input") or {}).get("etcd")
+        if not o:
+            raise ValueError("pipeline has no input.etcd section")
+        from bento_spark.streaming.etcd import EtcdWatchSpooler
+
+        opts = o.get("options") or {}
+        auth = o.get("auth") or {}
+        return EtcdWatchSpooler(
+            endpoints=[str(e) for e in (o.get("endpoints") or [])],
+            key=str(o["key"]),
+            spool_dir=o["spool_dir"],
+            with_prefix=bool(opts.get("with_prefix", False)),
+            with_range=str(opts.get("with_range", "")),
+            progress_notify=bool(opts.get("with_progress_notify", False)),
+            filter_put=bool(opts.get("with_filter_put", False)),
+            filter_delete=bool(opts.get("with_filter_delete", False)),
+            created_notify=bool(opts.get("with_created_notify", False)),
+            username=str(auth.get("username", "")),
+            password=str(auth.get("password", "")),
+            auth_enabled=bool(auth.get("enabled", False)),
         ).start()
 
     def start_discord_consumer(self):
