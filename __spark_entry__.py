@@ -1467,6 +1467,62 @@ def q_dynamodb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.stop()
 
 
+def q_etcd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """etcd watch input end-to-end (etcd/input.go over the from-scratch
+    gRPC/HTTP/2 wire layer, streaming/grpc_wire.py + etcd.py): an
+    EtcdWatchSpooler authenticates (Auth/Authenticate token), opens a
+    prefix watch on `nations/`, then nation rows land as PUT operations
+    against the in-process MiniEtcdServer; the watcher receives every
+    event over the real HPACK/h2 stream and spools the flattened
+    {key,value,type,...} maps (util.go:10-36). Puts are driver-side
+    control-plane (25 rows) — bulk data rides parquet/Iceberg."""
+    import json as _json
+    import tempfile
+    import time as _time
+    from pathlib import Path as _Path
+
+    from bento_spark.streaming.etcd import EtcdWatchSpooler, MiniEtcdServer
+
+    srv = MiniEtcdServer(users={"root": "pw"}).start()
+    spool = tempfile.mkdtemp(prefix="etcd_spool_")
+    try:
+        sp = EtcdWatchSpooler(
+            endpoints=[srv.endpoint], key="nations/", spool_dir=spool,
+            with_prefix=True, username="root", password="pw",
+            auth_enabled=True,
+        ).start()
+        try:
+            n = [(r["n_name"], int(r["n_nationkey"]), int(r["n_regionkey"]))
+                 for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
+                 .select("n_name", "n_nationkey", "n_regionkey").collect()]
+            for name, nk, rk in n:
+                srv.put(f"nations/{name}",
+                        _json.dumps({"nk": nk, "score": rk * 10}))
+
+            def events() -> list[dict]:
+                return [e for f in sorted(_Path(spool).glob("*.msg"))
+                        for e in _json.loads(f.read_text())]
+
+            deadline = _time.monotonic() + 30
+            while len(events()) < len(n):
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(f"etcd watch: {sp.error}")
+                _time.sleep(0.05)
+            rows = [(e["key"], e["value"], e["type"]) for e in events()]
+        finally:
+            sp.stop()
+    finally:
+        srv.stop()
+    out = spark.createDataFrame(rows, "key string, value string, ev string")
+    rec = F.from_json("value", "nk int, score bigint")
+    return out.select(
+        F.expr("substring(key, 9)").alias("nation_name"),
+        rec.getField("nk").alias("n_nationkey"),
+        rec.getField("score").alias("score"),
+        F.col("ev").alias("ev_type"),
+    )
+
+
 def q_sql_raw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sql_raw family end-to-end (sql/input_sql_raw.go +
     processor_sql_raw.go:30-80 over the stdlib sqlite3 DB-API path):
@@ -1920,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_strategies": q_error_strategies,
         # -- round-5 additions --
         "pulsar_roundtrip": q_pulsar_roundtrip,
+        "etcd_roundtrip": q_etcd_roundtrip,
         "s3_roundtrip": q_s3_roundtrip,
         "sql_raw_roundtrip": q_sql_raw_roundtrip,
         "dynamodb_roundtrip": q_dynamodb_roundtrip,
@@ -2511,6 +2568,12 @@ def oracle_sql() -> dict[str, str]:
     sql["kafka_roundtrip"] = """
         SELECT n_name AS nation_name, n_nationkey,
                CAST(n_regionkey * 10 AS BIGINT) AS score
+        FROM nation
+    """
+    sql["etcd_roundtrip"] = """
+        SELECT n_name AS nation_name, n_nationkey,
+               CAST(n_regionkey * 10 AS BIGINT) AS score,
+               'PUT' AS ev_type
         FROM nation
     """
     sql["dynamodb_roundtrip"] = """

@@ -618,6 +618,12 @@ class GrpcChannel:
     def close(self) -> None:
         self.conn.mark_closed()
         try:
+            # shutdown() wakes a thread blocked in recv(); close() alone
+            # leaves it blocked until the peer transmits
+            self.conn.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
             self.conn.sock.close()
         except OSError:
             pass
@@ -694,6 +700,7 @@ class MiniGrpcServer:
         self._stop = threading.Event()
         self._server: socket.socket | None = None
         self._threads: list[threading.Thread] = []
+        self._conns: list[socket.socket] = []
 
     def handle(self, path: str, fn) -> None:
         self.handlers[path] = fn
@@ -713,8 +720,17 @@ class MiniGrpcServer:
     def stop(self) -> None:
         self._stop.set()
         if self._server is not None:
+            try:  # shutdown wakes the blocked accept(); close alone doesn't
+                self._server.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
             try:
                 self._server.close()
+            except OSError:
+                pass
+        for s in self._conns:  # wake connection threads blocked in recv()
+            try:
+                s.shutdown(socket.SHUT_RDWR)
             except OSError:
                 pass
         for t in self._threads:
@@ -727,6 +743,7 @@ class MiniGrpcServer:
                 sock, _ = self._server.accept()
             except OSError:
                 return
+            self._conns.append(sock)
             t = threading.Thread(target=self._serve, args=(sock,),
                                  daemon=True)
             t.start()
