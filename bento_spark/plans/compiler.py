@@ -829,6 +829,38 @@ class Pipeline:
             for d in dfs[1:]:
                 out = out.unionByName(d, allowMissingColumns=True)
             return out
+        if "dynamic" in inp:
+            # labeled broker (input_dynamic.go): the static `inputs` map
+            # compiles to a fan-in union tagged with _dynamic_label.
+            # Runtime add/remove maps to the StreamManager REST API
+            # (update/recreate) — Spark cannot graft sources onto a live
+            # DAG, and the manager's stream-level mutation is the
+            # supported equivalent of the reference's /inputs/{id}.
+            children = inp["dynamic"].get("inputs") or {}
+            if not children:
+                raise ValueError("dynamic input: `inputs` map is empty")
+            dfs = [
+                Pipeline({"input": c})._input(spark, streaming)
+                .withColumn("_dynamic_label", F.lit(str(label)))
+                for label, c in sorted(children.items())
+            ]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+        if "subprocess" in inp:
+            # stdout-line consumption (input_subprocess.go) via the spool
+            # bridge — the child runs driver-side (one OS process, like
+            # the reference itself); starts via start_subprocess_consumer()
+            o = inp["subprocess"]
+            if not streaming:
+                raise ValueError("subprocess input is streaming-only (push source)")
+            from bento_spark.streaming.http_server import read_spool_stream
+
+            return read_spool_stream(
+                spark, o["spool_dir"], whole_body=True,
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "sequence" in inp:
             # ordered consumption: child i's rows all precede child i+1's
             # (input_sequence.go:35 "once that input gracefully terminates
@@ -1140,6 +1172,23 @@ class Pipeline:
             spool_dir=o["spool_dir"],
             options=[str(x) for x in (o.get("options") or [])],
             cursor_cache=bool(o.get("cursor_cache")),
+        ).start()
+
+    def start_subprocess_consumer(self):
+        """Start the child-process bridge for an `input.subprocess`
+        pipeline (caller owns `.stop()`). Fields follow
+        input_subprocess.go: name, args, restart_on_exit, max_buffer."""
+        o = (self.conf.get("input") or {}).get("subprocess")
+        if not o:
+            raise ValueError("pipeline has no input.subprocess section")
+        from bento_spark.streaming.subprocess_io import SubprocessSpooler
+
+        return SubprocessSpooler(
+            name=str(o["name"]),
+            args=[str(a) for a in (o.get("args") or [])],
+            spool_dir=o["spool_dir"],
+            restart_on_exit=bool(o.get("restart_on_exit", False)),
+            max_buffer=int(o.get("max_buffer", 65536)),
         ).start()
 
     def start_etcd_consumer(self):
@@ -2987,6 +3036,10 @@ class Pipeline:
             or out.get("gcp_bigquery")
             or out.get("discord")
             or out.get("cypher")
+            or out.get("socket")
+            or out.get("websocket")
+            or out.get("subprocess")
+            or out.get("dynamic")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -3894,6 +3947,47 @@ class Pipeline:
             sinks = [(None, IdempotentParquetSink(p, checkpoint=checkpoint)) for p in out[mode]]
             self._case_sinks = [s for _, s in sinks]
             writer = route_outputs(sinks, mode=mode)
+        elif out.get("dynamic"):
+            # labeled fan_out broker (output_dynamic.go: "the broker
+            # pattern used is always fan_out"); runtime add/remove maps
+            # to the StreamManager REST API, like input.dynamic
+            from bento_spark.streaming.sink import route_outputs
+
+            df = self.build_stream(spark)
+            outputs = out["dynamic"].get("outputs") or {}
+            if not outputs:
+                raise ValueError("dynamic output: `outputs` map is empty")
+            sinks = [(None, IdempotentParquetSink(p, checkpoint=checkpoint))
+                     for _label, p in sorted(outputs.items())]
+            self._case_sinks = [s for _, s in sinks]
+            writer = route_outputs(sinks, mode="fan_out")
+        elif out.get("socket"):
+            # tcp/udp/unix lines producer (output_socket.go) — one
+            # connection per partition, rows rendered JVM-side
+            from bento_spark.streaming.sink import socket_sink
+
+            s = out["socket"]
+            df = self.build_stream(spark)
+            writer = socket_sink(str(s.get("network", "tcp")), str(s["address"]))
+        elif out.get("websocket"):
+            # masked text frames over an RFC 6455 client connection
+            # (output_websocket.go) — handshake per partition
+            from bento_spark.streaming.sink import websocket_sink
+
+            w = out["websocket"]
+            df = self.build_stream(spark)
+            tls = w.get("tls") or {}
+            writer = websocket_sink(str(w["url"]),
+                                    tls_insecure=bool(tls.get("skip_cert_verify")))
+        elif out.get("subprocess"):
+            # stdin lines into a driver-side child process
+            # (output_subprocess.go: maxInFlight=1, relaunch on exit)
+            from bento_spark.streaming.subprocess_io import subprocess_sink
+
+            sp = out["subprocess"]
+            df = self.build_stream(spark)
+            writer = subprocess_sink(str(sp["name"]),
+                                     [str(a) for a in (sp.get("args") or [])])
         else:
             df = self.build_stream(spark)
             if dlq_path:

@@ -209,6 +209,63 @@ class TcpSpoolServer:
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
 
 
+def ws_connect(url: str, *, tls_insecure: bool = False,
+               timeout: float = 10.0):
+    """RFC 6455 client opening handshake (§4): TCP (+TLS for wss://),
+    HTTP upgrade with Sec-WebSocket-Key, 101 + Sec-WebSocket-Accept
+    verification. Returns (socket, leftover_bytes) — any bytes the
+    server sent after the handshake response belong to the frame
+    stream. Shared by the websocket input spooler and output sink."""
+    import base64
+    import hashlib
+    import os as _os
+    import socket
+    import urllib.parse
+
+    u = urllib.parse.urlsplit(url)
+    if u.scheme not in ("ws", "wss"):
+        raise ValueError(f"websocket supports ws:// and wss:// URLs, got {url!r}")
+    host, port = u.hostname or "127.0.0.1", u.port or (443 if u.scheme == "wss" else 80)
+    path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+
+    key = base64.b64encode(_os.urandom(16)).decode()
+    want_accept = base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()
+    ).decode()
+    sock = socket.create_connection((host, port), timeout=timeout)
+    if u.scheme == "wss":
+        # RFC 6455 §4.1 step 3: TLS before the opening handshake
+        import ssl
+
+        ctx = ssl.create_default_context()
+        if tls_insecure:
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        sock = ctx.wrap_socket(sock, server_hostname=host)
+    sock.sendall(
+        (
+            f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        chunk = sock.recv(4096)
+        if not chunk:
+            raise ConnectionError("websocket handshake: connection closed")
+        buf += chunk
+    head, _, rest = buf.partition(b"\r\n\r\n")
+    lines = head.decode("latin-1").split("\r\n")
+    if " 101 " not in lines[0] + " ":
+        raise ConnectionError(f"websocket handshake rejected: {lines[0]!r}")
+    hdrs = {k.strip().lower(): v.strip() for k, _, v in
+            (ln.partition(":") for ln in lines[1:])}
+    if hdrs.get("sec-websocket-accept") != want_accept:
+        raise ConnectionError("websocket handshake: bad Sec-WebSocket-Accept")
+    return sock, rest
+
+
 @dataclass
 class WebSocketSpooler:
     """`websocket` input: connect to a ws:// URL as a client, spool each
@@ -248,55 +305,11 @@ class WebSocketSpooler:
         return head + mask_key + masked
 
     def start(self) -> "WebSocketSpooler":
-        import base64
-        import hashlib
         import os as _os
-        import socket
-        import urllib.parse
 
-        u = urllib.parse.urlsplit(self.url)
-        if u.scheme not in ("ws", "wss"):
-            raise ValueError(f"websocket input supports ws:// and wss:// URLs, got {self.url!r}")
-        host, port = u.hostname or "127.0.0.1", u.port or (443 if u.scheme == "wss" else 80)
-        path = (u.path or "/") + (f"?{u.query}" if u.query else "")
         spool = Path(self.spool_dir)
         spool.mkdir(parents=True, exist_ok=True)
-
-        key = base64.b64encode(_os.urandom(16)).decode()
-        want_accept = base64.b64encode(
-            hashlib.sha1((key + _WS_GUID).encode()).digest()
-        ).decode()
-        sock = socket.create_connection((host, port), timeout=10)
-        if u.scheme == "wss":
-            # RFC 6455 §4.1 step 3: TLS before the opening handshake
-            import ssl
-
-            ctx = ssl.create_default_context()
-            if self.tls_insecure:
-                ctx.check_hostname = False
-                ctx.verify_mode = ssl.CERT_NONE
-            sock = ctx.wrap_socket(sock, server_hostname=host)
-        sock.sendall(
-            (
-                f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
-                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
-                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
-            ).encode()
-        )
-        buf = b""
-        while b"\r\n\r\n" not in buf:
-            chunk = sock.recv(4096)
-            if not chunk:
-                raise ConnectionError("websocket handshake: connection closed")
-            buf += chunk
-        head, _, rest = buf.partition(b"\r\n\r\n")
-        lines = head.decode("latin-1").split("\r\n")
-        if " 101 " not in lines[0] + " ":
-            raise ConnectionError(f"websocket handshake rejected: {lines[0]!r}")
-        hdrs = {k.strip().lower(): v.strip() for k, _, v in
-                (ln.partition(":") for ln in lines[1:])}
-        if hdrs.get("sec-websocket-accept") != want_accept:
-            raise ConnectionError("websocket handshake: bad Sec-WebSocket-Accept")
+        sock, rest = ws_connect(self.url, tls_insecure=self.tls_insecure)
         if self.open_message is not None:
             sock.sendall(self.client_frame(0x1, self.open_message.encode(), _os.urandom(4)))
         self._sock = sock

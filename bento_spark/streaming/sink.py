@@ -282,6 +282,93 @@ def dlq_split_writer(
     return route_outputs([(F.col(error_col).isNotNull(), dlq), (None, main)])
 
 
+def socket_sink(network: str, address: str):
+    """`socket` output (internal/impl/io/output_socket.go): connect to a
+    tcp/udp/unix server and send rows with the `lines` codec — JSON
+    rendered JVM-side, ONE connection per partition opened executor-side
+    (the questdb ILP pattern; the reference holds one process-wide
+    connection, which a distributed writer generalizes)."""
+    if network not in ("tcp", "udp", "unix"):
+        raise ValueError(f"socket output network must be tcp/udp/unix, got {network!r}")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        payloads = batch_df.select(
+            F.to_json(F.struct(*[F.col(c) for c in batch_df.columns])).alias("v"))
+
+        def send(rows) -> None:
+            import socket as _socket
+
+            sock = None
+            try:
+                for row in rows:
+                    data = row.v.encode("utf-8") + b"\n"
+                    if network == "udp":
+                        if sock is None:
+                            sock = _socket.socket(_socket.AF_INET,
+                                                  _socket.SOCK_DGRAM)
+                        host, _, port = address.rpartition(":")
+                        sock.sendto(data, (host, int(port)))
+                        continue
+                    if sock is None:
+                        if network == "unix":
+                            sock = _socket.socket(_socket.AF_UNIX,
+                                                  _socket.SOCK_STREAM)
+                            sock.settimeout(10)
+                            sock.connect(address)
+                        else:
+                            host, _, port = address.rpartition(":")
+                            sock = _socket.create_connection(
+                                (host, int(port)), timeout=10)
+                    sock.sendall(data)
+            finally:
+                if sock is not None:
+                    sock.close()
+
+        payloads.foreachPartition(send)
+
+    return write_batch
+
+
+def websocket_sink(url: str, tls_insecure: bool = False):
+    """`websocket` output (internal/impl/io/output_websocket.go): rows
+    send as masked text frames over a client connection — JSON rendered
+    JVM-side, one RFC 6455 handshake per partition executor-side, a
+    close frame (§5.5.1) on the way out."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        payloads = batch_df.select(
+            F.to_json(F.struct(*[F.col(c) for c in batch_df.columns])).alias("v"))
+
+        def send(rows) -> None:
+            # worker closures must import submodules inside the function
+            import os as _os
+
+            from bento_spark.streaming.http_server import (
+                WebSocketSpooler,
+                ws_connect,
+            )
+
+            sock = None
+            try:
+                for row in rows:
+                    if sock is None:
+                        sock, _ = ws_connect(url, tls_insecure=tls_insecure)
+                    sock.sendall(WebSocketSpooler.client_frame(
+                        0x1, row.v.encode("utf-8"), _os.urandom(4)))
+            finally:
+                if sock is not None:
+                    try:
+                        sock.sendall(WebSocketSpooler.client_frame(
+                            0x8, b"", _os.urandom(4)))
+                    except OSError:
+                        pass
+                    sock.close()
+
+        payloads.foreachPartition(send)
+
+    return write_batch
+
+
 def http_post_writer(
     url: str,
     method: str = "POST",
