@@ -502,7 +502,7 @@ _STRING_PRODUCERS = {
     "string", "uppercase", "lowercase", "trim", "trim_prefix", "trim_suffix",
     "capitalize", "reverse_string", "quote", "unquote", "slug", "join",
     "format_timestamp", "encode", "concat", "replace_all", "re_replace_all",
-    "substr", "slice_string", "repeat",
+    "substr", "slice_string", "repeat", "diff", "patch",
 }
 
 
@@ -645,6 +645,15 @@ _METHODS = {
     # JSON leg (a typed column can't hold heterogeneous bytes).
     "parse_msgpack": lambda c, schema: F.from_json(_msgpack_to_json(c), _lit_full_str(schema)),
     "format_msgpack": lambda c: _json_to_msgpack(F.to_json(c)),
+    # changelog diff/patch (impl/changelog/bloblang.go wrapping
+    # r3labs/diff/v3, semantics pinned to its test vectors in
+    # functions/changelog.py). Structured From/To are heterogeneous, so
+    # the result rides the JSON leg: .diff() returns the changelog as a
+    # JSON string, .patch() takes one and returns the patched value as a
+    # JSON string — re-type with .parse_json(schema) like the other
+    # schemaless codecs.
+    "diff": lambda c, other: _changelog_diff(F.to_json(c), F.to_json(other)),
+    "patch": lambda c, cl: _changelog_patch(F.to_json(c), cl),
     # html escaping (methods_strings.go escape_html/unescape_html — Go
     # html.EscapeString's 5 entities)
     "escape_html": lambda c: _escape_html(c),
@@ -1341,6 +1350,44 @@ def _json_to_msgpack(c: Column) -> Column:
         return s.map(lambda t: None if t is None else mp_encode(_json.loads(t)))
 
     return conv(c)
+
+
+def _changelog_diff(a: Column, b: Column) -> Column:
+    @pandas_udf("string")
+    def conv(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        import json as _json
+
+        from bento_spark.functions.changelog import diff_values
+
+        def one(x, y):
+            av = None if x is None else _json.loads(x)
+            bv = None if y is None else _json.loads(y)
+            return _json.dumps(diff_values(av, bv))
+
+        return pd.Series([one(x, y) for x, y in zip(sa, sb)])
+
+    return conv(a, b)
+
+
+def _changelog_patch(c: Column, cl: Column) -> Column:
+    @pandas_udf("string")
+    def conv(sv: pd.Series, scl: pd.Series) -> pd.Series:
+        import json as _json
+
+        from bento_spark.functions.changelog import patch_values
+
+        def one(x, y):
+            if x is None:
+                return None  # bloblang.go: nil input passes through
+            try:
+                changes = [] if y is None else _json.loads(y)
+                return _json.dumps(patch_values(_json.loads(x), changes))
+            except (ValueError, KeyError, IndexError):
+                return None  # malformed changelog NULLs the row (catch)
+
+        return pd.Series([one(x, y) for x, y in zip(sv, scl)])
+
+    return conv(c, cl)
 
 
 def _json_to_yaml(c: Column) -> Column:
