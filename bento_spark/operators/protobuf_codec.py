@@ -64,11 +64,12 @@ message Timestamp { int64 seconds = 1; int32 nanos = 2; }
 
 
 class Field:
-    __slots__ = ("name", "num", "type", "repeated", "map_kv")
+    __slots__ = ("name", "num", "type", "repeated", "map_kv", "oneof")
 
-    def __init__(self, name, num, type_, repeated=False, map_kv=None):
+    def __init__(self, name, num, type_, repeated=False, map_kv=None,
+                 oneof=False):
         self.name, self.num, self.type = name, num, type_
-        self.repeated, self.map_kv = repeated, map_kv
+        self.repeated, self.map_kv, self.oneof = repeated, map_kv, oneof
 
 
 # --------------------------------------------------------------------------
@@ -187,10 +188,12 @@ def _parse_message(p: _Parser, scope: str, reg: dict) -> str:
         elif t in ("option", "reserved"):
             p.skip_statement()
         elif t == "oneof":
-            p.next()  # oneof group name — wire-irrelevant, flatten
-            p.expect("{")
+            p.next()  # oneof group name — flattened, but branches keep
+            p.expect("{")  # EXPLICIT presence (proto3 oneof semantics)
             while p.peek() != "}":
-                fields.append(_parse_field(p, p.next(), repeated=False))
+                f = _parse_field(p, p.next(), repeated=False)
+                f.oneof = True
+                fields.append(f)
             p.expect("}")
         elif t == "map":
             p.expect("<")
@@ -405,7 +408,13 @@ def encode_message(value: dict, message: str, reg: dict) -> bytes:
                     _tag(f.num, wt, out)
                     _enc_scalar(item, t, out, reg)
             continue
-        if _is_default(v, t, reg):
+        if f.oneof:
+            # oneof branches have explicit presence: a key present in the
+            # input (even zero-valued) is SET and goes on the wire;
+            # None/absent means unset
+            if f.name not in value or v is None:
+                continue
+        elif _is_default(v, t, reg):
             continue
         _tag(f.num, _wire_type(t, reg), out)
         _enc_scalar(v, t, out, reg)
@@ -476,6 +485,8 @@ def decode_message(buf: bytes, message: str, reg: dict) -> dict:
     by_num = {f.num: f for f in spec["fields"]}
     out: dict = {}
     for f in spec["fields"]:
+        if f.oneof:
+            continue  # explicit presence: only set when seen on the wire
         if f.map_kv is not None:
             out[f.name] = {}
         elif f.repeated:

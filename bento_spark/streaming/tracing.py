@@ -165,6 +165,261 @@ class Tracer:
             json.dump(self.to_otlp_json(), f, indent=2)
 
 
+# -- OTLP/gRPC export (dependency-free) --------------------------------------
+# The published opentelemetry-proto schema subset the trace exporter needs
+# (trace/v1/trace.proto, common/v1/common.proto, resource/v1/resource.proto,
+# collector/trace/v1/trace_service.proto), encoded with the repo's own
+# protobuf codec and shipped over the from-scratch gRPC/HTTP2 wire layer —
+# the reference exports through otel-go's otlptracegrpc; same wire contract.
+
+_OTLP_COMMON = """
+syntax = "proto3";
+package opentelemetry.proto.common.v1;
+
+message AnyValue {
+  oneof value {
+    string string_value = 1;
+    bool bool_value = 2;
+    int64 int_value = 3;
+    double double_value = 4;
+  }
+}
+
+message KeyValue {
+  string key = 1;
+  AnyValue value = 2;
+}
+
+message InstrumentationScope {
+  string name = 1;
+  string version = 2;
+}
+"""
+
+_OTLP_RESOURCE = """
+syntax = "proto3";
+package opentelemetry.proto.resource.v1;
+
+message Resource {
+  repeated opentelemetry.proto.common.v1.KeyValue attributes = 1;
+  uint32 dropped_attributes_count = 2;
+}
+"""
+
+_OTLP_TRACE = """
+syntax = "proto3";
+package opentelemetry.proto.trace.v1;
+
+message ResourceSpans {
+  opentelemetry.proto.resource.v1.Resource resource = 1;
+  repeated ScopeSpans scope_spans = 2;
+  string schema_url = 3;
+}
+
+message ScopeSpans {
+  opentelemetry.proto.common.v1.InstrumentationScope scope = 1;
+  repeated Span spans = 2;
+  string schema_url = 3;
+}
+
+message Span {
+  enum SpanKind {
+    SPAN_KIND_UNSPECIFIED = 0;
+    SPAN_KIND_INTERNAL = 1;
+    SPAN_KIND_SERVER = 2;
+    SPAN_KIND_CLIENT = 3;
+    SPAN_KIND_PRODUCER = 4;
+    SPAN_KIND_CONSUMER = 5;
+  }
+  message Event {
+    fixed64 time_unix_nano = 1;
+    string name = 2;
+    repeated opentelemetry.proto.common.v1.KeyValue attributes = 3;
+  }
+  bytes trace_id = 1;
+  bytes span_id = 2;
+  string trace_state = 3;
+  bytes parent_span_id = 4;
+  string name = 5;
+  SpanKind kind = 6;
+  fixed64 start_time_unix_nano = 7;
+  fixed64 end_time_unix_nano = 8;
+  repeated opentelemetry.proto.common.v1.KeyValue attributes = 9;
+  repeated Event events = 11;
+  Status status = 15;
+}
+
+message Status {
+  string message = 2;
+  StatusCode code = 3;
+  enum StatusCode {
+    STATUS_CODE_UNSET = 0;
+    STATUS_CODE_OK = 1;
+    STATUS_CODE_ERROR = 2;
+  }
+}
+"""
+
+_OTLP_SERVICE = """
+syntax = "proto3";
+package opentelemetry.proto.collector.trace.v1;
+
+message ExportTraceServiceRequest {
+  repeated opentelemetry.proto.trace.v1.ResourceSpans resource_spans = 1;
+}
+
+message ExportTraceServiceResponse {
+  ExportTracePartialSuccess partial_success = 1;
+}
+
+message ExportTracePartialSuccess {
+  int64 rejected_spans = 1;
+  string error_message = 2;
+}
+"""
+
+OTLP_EXPORT_PATH = ("/opentelemetry.proto.collector.trace.v1"
+                    ".TraceService/Export")
+_REQ = "opentelemetry.proto.collector.trace.v1.ExportTraceServiceRequest"
+_RESP = "opentelemetry.proto.collector.trace.v1.ExportTraceServiceResponse"
+
+
+def _otlp_registry():
+    from bento_spark.operators.protobuf_codec import parse_proto
+
+    reg = parse_proto(_OTLP_COMMON)
+    parse_proto(_OTLP_RESOURCE, reg)
+    parse_proto(_OTLP_TRACE, reg)
+    parse_proto(_OTLP_SERVICE, reg)
+    return reg
+
+
+def _any_value(v: Any) -> dict:
+    if isinstance(v, bool):
+        return {"bool_value": v}
+    if isinstance(v, int):
+        return {"int_value": v}
+    if isinstance(v, float):
+        return {"double_value": v}
+    return {"string_value": "" if v is None else str(v)}
+
+
+def otlp_request(tracer: "Tracer") -> dict:
+    """ExportTraceServiceRequest body for the tracer's recorded spans —
+    mirrors to_otlp_json's mapping (bools/ints/floats typed, else
+    stringified; status OK=1 / ERROR=2)."""
+
+    def kvs(attrs: dict) -> list[dict]:
+        return [{"key": k, "value": _any_value(v)} for k, v in attrs.items()]
+
+    with tracer._lock:
+        spans = [
+            {
+                "trace_id": bytes.fromhex(s.trace_id),
+                "span_id": bytes.fromhex(s.span_id),
+                **({"parent_span_id": bytes.fromhex(s.parent_id)}
+                   if s.parent_id else {}),
+                "name": s.name,
+                "kind": "SPAN_KIND_INTERNAL",
+                "start_time_unix_nano": s.start_ns,
+                "end_time_unix_nano": s.end_ns or s.start_ns,
+                "attributes": kvs(s.attrs),
+                "events": [
+                    {"time_unix_nano": s.start_ns, "name": e["name"],
+                     "attributes": kvs(e["attrs"])}
+                    for e in s.events
+                ],
+                "status": {"code": "STATUS_CODE_ERROR" if s.status == "ERROR"
+                           else "STATUS_CODE_OK"},
+            }
+            for s in tracer.spans
+        ]
+    return {
+        "resource_spans": [{
+            "resource": {"attributes": kvs(
+                {"service.name": tracer.service_name})},
+            "scope_spans": [{"scope": {"name": "bento_spark"},
+                             "spans": spans}],
+        }]
+    }
+
+
+def export_otlp_grpc(tracer: "Tracer", endpoint: str) -> int:
+    """Ship the recorded spans to an OTLP/gRPC collector at
+    `host:port` (plaintext h2c). Raises on a non-zero grpc-status or on
+    partial_success rejections; returns the span count exported."""
+    import urllib.parse
+
+    from bento_spark.operators.protobuf_codec import (
+        decode_message,
+        encode_message,
+    )
+    from bento_spark.streaming.grpc_wire import GrpcChannel
+
+    if "//" not in endpoint:
+        endpoint = "otlp://" + endpoint
+    u = urllib.parse.urlparse(endpoint)
+    reg = _otlp_registry()
+    req = otlp_request(tracer)
+    n = len(req["resource_spans"][0]["scope_spans"][0]["spans"])
+    ch = GrpcChannel(u.hostname or "127.0.0.1", u.port or 4317)
+    try:
+        raw = ch.unary(OTLP_EXPORT_PATH, encode_message(req, _REQ, reg))
+    finally:
+        ch.close()
+    resp = decode_message(raw, _RESP, reg)
+    partial = resp.get("partial_success") or {}
+    if partial.get("rejected_spans"):
+        raise ConnectionError(
+            f"otlp export: {partial['rejected_spans']} spans rejected: "
+            f"{partial.get('error_message', '')}")
+    return n
+
+
+class MiniOtlpCollector:
+    """In-process OTLP/gRPC trace collector (protocol-verifying): decodes
+    every ExportTraceServiceRequest with the same published schema and
+    records the span dicts."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        from bento_spark.streaming.grpc_wire import MiniGrpcServer
+
+        self.requests: list[dict] = []
+        self._reg = _otlp_registry()
+        self.grpc = MiniGrpcServer(host, port)
+        self.grpc.handle(OTLP_EXPORT_PATH, self._export)
+
+    @property
+    def port(self) -> int:
+        return self.grpc.port
+
+    def start(self) -> "MiniOtlpCollector":
+        self.grpc.start()
+        return self
+
+    def stop(self) -> None:
+        self.grpc.stop()
+
+    @property
+    def spans(self) -> list[dict]:
+        return [s for r in self.requests
+                for rs in r.get("resource_spans", [])
+                for ss in rs.get("scope_spans", [])
+                for s in ss.get("spans", [])]
+
+    def _export(self, st) -> None:
+        from bento_spark.operators.protobuf_codec import (
+            decode_message,
+            encode_message,
+        )
+
+        raw = st.recv(timeout=15)
+        if raw is not None:
+            self.requests.append(decode_message(raw, _REQ, self._reg))
+        st.send(encode_message({}, _RESP, self._reg))
+        st.close()
+
+
 def otel_available() -> bool:
     try:
         import opentelemetry  # noqa: F401

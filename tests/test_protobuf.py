@@ -142,7 +142,11 @@ message Item { string sku = 1; double price = 2; }
          "items": {7: {"sku": "x1", "price": 9.5}}}
     back = decode_message(encode_message(v, "shop.Order", reg), "shop.Order", reg)
     assert back["status"] == "CLOSED" and back["counts"] == {"a": 1, "b": -5}
-    assert back["card"] == "visa" and back["iban"] == ""
+    # oneof branches keep explicit presence: the unset branch is ABSENT
+    assert back["card"] == "visa" and "iban" not in back
+    # a zero-valued SET branch still goes on the wire (tag present)
+    raw = encode_message({"iban": ""}, "shop.Order", reg)
+    assert raw and decode_message(raw, "shop.Order", reg)["iban"] == ""
     assert back["items"] == {7: {"sku": "x1", "price": 9.5}}
     # enum wire value is the number; unknown numbers decode as ints
     reg2 = _reg("package shop; message O2 { int32 status = 1; }")

@@ -114,3 +114,82 @@ input:
     assert rows == [(0, 1), (0, 2), (1, 3)]
     with pytest.raises(ValueError, match="batch-only"):
         p.build_stream(spark)
+
+
+def test_otlp_grpc_export_roundtrip():
+    """Dependency-free OTLP/gRPC: spans encode with the published
+    opentelemetry-proto schema, ship over the h2c wire layer, and the
+    protocol-verifying collector decodes identical ids/links/attrs."""
+    from bento_spark.streaming.tracing import (
+        MiniOtlpCollector,
+        export_otlp_grpc,
+    )
+
+    t = Tracer(service_name="svc-x")
+    with t.span("parent", rows=42, ratio=0.25, flag=True, note="hi"):
+        t.event("CONSUME", source="p", rows=42)
+        with t.span("child"):
+            pass
+    with pytest.raises(RuntimeError):
+        with t.span("boom"):
+            raise RuntimeError("kaput")
+    col = MiniOtlpCollector().start()
+    try:
+        assert export_otlp_grpc(t, f"127.0.0.1:{col.port}") == 3
+    finally:
+        col.stop()
+    spans = {s["name"]: s for s in col.spans}
+    assert set(spans) == {"parent", "child", "boom"}
+    parent, child = spans["parent"], spans["child"]
+    # ids survive as raw bytes; the child links to its parent
+    assert child["trace_id"] == parent["trace_id"]
+    assert child["parent_span_id"] == parent["span_id"]
+    assert parent.get("parent_span_id") in (None, b"")
+    # typed attributes (AnyValue oneof)
+    attrs = {kv["key"]: kv["value"] for kv in parent["attributes"]}
+    assert attrs["rows"] == {"int_value": 42}
+    assert attrs["ratio"] == {"double_value": 0.25}
+    assert attrs["flag"] == {"bool_value": True}
+    assert attrs["note"] == {"string_value": "hi"}
+    # events + error status + fixed64 nanos
+    assert parent["events"][0]["name"] == "CONSUME"
+    assert spans["boom"]["status"]["code"] == "STATUS_CODE_ERROR"
+    assert parent["end_time_unix_nano"] >= parent["start_time_unix_nano"] > 0
+    # resource carries service.name
+    req = col.requests[0]
+    res_attrs = {kv["key"]: kv["value"] for kv in
+                 req["resource_spans"][0]["resource"]["attributes"]}
+    assert res_attrs["service.name"] == {"string_value": "svc-x"}
+
+
+def test_otlp_grpc_partial_rejection_raises():
+    from bento_spark.streaming.grpc_wire import MiniGrpcServer
+    from bento_spark.streaming.tracing import (
+        OTLP_EXPORT_PATH,
+        _otlp_registry,
+        _RESP,
+        export_otlp_grpc,
+    )
+
+    reg = _otlp_registry()
+
+    def reject(st):
+        from bento_spark.operators.protobuf_codec import encode_message
+
+        st.recv(timeout=15)
+        st.send(encode_message(
+            {"partial_success": {"rejected_spans": 2,
+                                 "error_message": "quota"}}, _RESP, reg))
+        st.close()
+
+    srv = MiniGrpcServer()
+    srv.handle(OTLP_EXPORT_PATH, reject)
+    srv.start()
+    t = Tracer()
+    with t.span("a"):
+        pass
+    try:
+        with pytest.raises(ConnectionError, match="2 spans rejected: quota"):
+            export_otlp_grpc(t, f"127.0.0.1:{srv.port}")
+    finally:
+        srv.stop()
