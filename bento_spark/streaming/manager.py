@@ -200,6 +200,23 @@ class StreamManager:
                 }
         return out
 
+    def metrics_json(self) -> dict:
+        """GET /stats and /metrics: the whole registry as one flat JSON
+        object (io/metrics_json_api.go — "serves metrics as JSON ... at
+        the endpoints /stats and /metrics", debugging format for jq)."""
+        out: dict[str, float | bool] = {}
+        for sid in self.ids():
+            try:
+                st = self.stats(sid)
+            except KeyError:
+                continue
+            out[f"{sid}.input_rows_total"] = st["input_rows_total"]
+            out[f"{sid}.batches_total"] = st["batches_total"]
+            out[f"{sid}.state_rows"] = st["state_rows"]
+            out[f"{sid}.uptime_s"] = st["uptime_s"]
+            out[f"{sid}.active"] = st["active"]
+        return out
+
     def ready(self) -> bool:
         """GET /ready: every registered stream active (no streams = ready,
         manager/api.go:32)."""
@@ -240,6 +257,8 @@ class StreamManager:
                     elif self.path == "/ready":
                         ok = mgr.ready()
                         self._json(200 if ok else 503, {"ready": ok})
+                    elif self.path in ("/stats", "/metrics"):
+                        self._json(200, mgr.metrics_json())
                     elif self.path == "/streams":
                         self._json(200, mgr.list_streams())
                     elif self.path.startswith("/streams/") and self.path.endswith("/stats"):

@@ -92,6 +92,12 @@ def test_two_streams_crud_ready_stats(spark, tmp_path):
         assert code == 200 and st["input_rows_total"] == 2
         code, _ = get("/streams/nope/stats")
         assert code == 404
+        # whole-registry JSON metrics (io/metrics_json_api.go: /stats
+        # and /metrics serve the same flat object)
+        for ep in ("/stats", "/metrics"):
+            code, m = get(ep)
+            assert code == 200 and m["alpha.input_rows_total"] == 2
+            assert m["beta.input_rows_total"] == 3 and m["alpha.active"]
 
         # DELETE stops and deregisters; the other stream is untouched
         req = urllib.request.Request(base + "/streams/alpha", method="DELETE")
