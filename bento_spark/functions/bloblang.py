@@ -464,6 +464,28 @@ def _apply_function(name: str, args: list[Column]) -> Column:
         return F.expr("uuid()")
     if name == "fake":
         return _fake(_lit_str(args[0]))
+    if name == "counter":
+        # impl/pure/bloblang_general.go counter(min=1, max=maxInt): a
+        # sequential per-mapping counter starting at min, wrapping past
+        # max. Sequential state needs a total row order — compiled as
+        # row_number over a single-partition window, which is DEV-GRADE
+        # (the reference's counter is also one process). At scale use
+        # uuid()/monotonically_increasing_id-style ids instead. The
+        # dynamic `set:` reset parameter is a per-row state machine a
+        # columnar plan cannot express — named error.
+        if len(args) > 2:
+            raise BloblangError(
+                "counter(): the `set:` reset parameter is not supported "
+                "(sequential per-row state); use min/max only")
+        from pyspark.sql.window import Window
+
+        mn = args[0] if args else F.lit(1)
+        w = Window.orderBy(F.monotonically_increasing_id())
+        seq = F.row_number().over(w) - F.lit(1)
+        if len(args) == 2:
+            span = args[1] - mn + F.lit(1)
+            return mn + seq % span
+        return mn + seq
     if name == "hostname":
         import socket
 

@@ -102,9 +102,21 @@ class Pipeline:
     _reject_errored: Any = field(default=None, init=False)
     _eh_dlq_query: Any = field(default=None, init=False)
 
+    def __post_init__(self) -> None:
+        # zmq4n (zeromq/input_zmq4n.go, output_zmq4n.go): the reference's
+        # pure-Go client registration of the SAME ZMTP 3.0 wire contract
+        # — normalize onto the zmq4 sections once so every consumer
+        # (plan build, start_zmq_subscriber, run_stream) sees one name.
+        for section in ("input", "output"):
+            sec = self.conf.get(section)
+            if isinstance(sec, dict) and "zmq4n" in sec:
+                sec["zmq4"] = sec.pop("zmq4n")
+
     # ------------------------------------------------------------------ input
     def _input(self, spark: SparkSession, streaming: bool) -> DataFrame:
         inp = self.conf.get("input") or {}
+        if "zmq4n" in inp:  # lint registration; normalized in __post_init__
+            inp = {**inp, "zmq4": inp.pop("zmq4n")}
         if "generate_clips" in inp:
             opts = inp["generate_clips"] or {}
             df = clips_df(

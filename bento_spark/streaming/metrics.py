@@ -298,6 +298,34 @@ def influx_export(totals: dict, url: str, db: str = "bento",
         conn.close()
 
 
+def logger_export(totals: dict, prefix: str = "bento", log=None) -> int:
+    """`metrics: logger` (impl/pure/metrics_logger.go): print aggregated
+    metrics through the logger, one structured line per metric —
+    `{"name": ..., "value": ..., "type": counter|gauge|timing}`. Returns
+    the metric count. `log` is any callable taking one string (defaults
+    to stderr print); push_interval loops belong to the caller's
+    scheduler, exactly like the other pull-shaped exporters here."""
+    import json as _json
+    import sys as _sys
+
+    emit = log or (lambda line: print(line, file=_sys.stderr))
+    kinds = {
+        "input_received": "counter",
+        "output_sent": "counter",
+        "batch_created": "counter",
+        "state_rows_last": "gauge",
+        "max_watermark_lag_ms": "gauge",
+    }
+    n = 0
+    for key, kind in kinds.items():
+        val = totals.get(key)
+        if val is not None:
+            emit(_json.dumps({"name": f"{prefix}.{key}", "value": val,
+                              "type": kind}))
+            n += 1
+    return n
+
+
 def statsd_export(totals: dict, host: str = "127.0.0.1", port: int = 8125,
                   prefix: str = "bento") -> int:
     """Fire listener totals at a statsd daemon over UDP (one datagram per

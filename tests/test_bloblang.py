@@ -389,3 +389,17 @@ def test_file_function_reads_at_compile_time(spark, tmp_path):
         compile_expr(f'file("{tmp_path}/tmpl.txt").format(this.s)').alias("v")
     ).collect()[0]
     assert out.v == "prefix-x"
+
+
+def test_counter_function(spark):
+    # impl/pure/bloblang_general.go: yields min first, increments, wraps
+    # past max back to min; dev-grade single-partition window (doc'd)
+    df = spark.range(7).select(F.col("id").alias("i"))
+    out = df.select(
+        compile_expr("counter()").alias("c"),
+        compile_expr("counter(10, 12)").alias("w"),
+    ).orderBy("c").collect()
+    assert [r.c for r in out] == [1, 2, 3, 4, 5, 6, 7]
+    assert [r.w for r in out] == [10, 11, 12, 10, 11, 12, 10]
+    with pytest.raises(BloblangError, match="set"):
+        compile_expr("counter(1, 5, 0)")

@@ -332,3 +332,21 @@ def test_statsd_export_wire_format():
     got = sorted(rx.recv(1024).decode() for _ in range(n))
     rx.close()
     assert got == sorted(statsd_lines(totals))
+
+
+def test_logger_metrics_export():
+    """metrics: logger (impl/pure/metrics_logger.go) — aggregated metrics
+    as structured log lines with the counter/gauge split."""
+    import json
+
+    from bento_spark.streaming.metrics import logger_export
+
+    lines = []
+    n = logger_export(
+        {"input_received": 10, "output_sent": 8, "state_rows_last": 3},
+        log=lines.append)
+    assert n == 3
+    parsed = {m["name"]: m for m in map(json.loads, lines)}
+    assert parsed["bento.input_received"] == {
+        "name": "bento.input_received", "value": 10, "type": "counter"}
+    assert parsed["bento.state_rows_last"]["type"] == "gauge"

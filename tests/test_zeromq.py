@@ -178,3 +178,20 @@ def test_lint_knows_zmq4():
     from bento_spark.plans.lint import known_inputs
 
     assert "zmq4" in known_inputs()
+
+
+def test_zmq4n_alias_normalizes():
+    # zeromq/input_zmq4n.go + output_zmq4n.go: the pure-Go registration
+    # of the same ZMTP contract — zmq4n sections normalize onto zmq4
+    from bento_spark.plans.compiler import compile_yaml
+    from bento_spark.plans.lint import known_inputs
+
+    p = compile_yaml("""
+input:
+  zmq4n: {urls: ["tcp://127.0.0.1:1"], socket_type: PULL, spool_dir: /tmp/x}
+output:
+  zmq4n: {urls: ["tcp://127.0.0.1:2"], socket_type: PUSH}
+""")
+    assert "zmq4" in p.conf["input"] and "zmq4n" not in p.conf["input"]
+    assert "zmq4" in p.conf["output"] and "zmq4n" not in p.conf["output"]
+    assert "zmq4n" in known_inputs()
