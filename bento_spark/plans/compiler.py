@@ -2723,6 +2723,22 @@ class Pipeline:
                 retries=int(o.get("retries", 1)),
                 rate_limit=self._rate_limit_share(o.get("rate_limit"), df),
             )
+        if name == "nats_request_reply":
+            # request-reply over core NATS (nats/processor_request_reply.go):
+            # interpolated subject, unique inbox reply-to per row, reply
+            # into `out` (timeout -> error column)
+            from bento_spark.streaming.cep import duration_ms
+            from bento_spark.streaming.nats import nats_request_reply_enrich
+
+            o = opts or {}
+            host, port = self._nats_addr(o)
+            return nats_request_reply_enrich(
+                df, host, port,
+                compile_interpolated(str(o["subject"])),
+                out_col=o.get("out", "nats_reply"),
+                timeout=duration_ms(str(o.get("timeout", "3s"))) / 1000.0,
+                inbox_prefix=str(o.get("inbox_prefix", "_INBOX")),
+            )
         if name == "gcp_bigquery_select":
             # gcp/processor_bigquery_select.go: the sql_raw amortization —
             # args_mapping compiles to a Catalyst ARRAY column, one

@@ -166,6 +166,29 @@ class NatsClient:
         while self._io.read_line() != b"PONG":
             pass
 
+    def request(self, subject: str, payload: bytes, timeout: float = 5.0,
+                inbox_prefix: str = "_INBOX") -> bytes:
+        """Core-NATS request-reply: publish with a unique inbox reply
+        subject, block for the responder's reply (nats.go's Request;
+        inbox_prefix per processor_request_reply.go). Raises TimeoutError
+        when no responder answers in time."""
+        inbox = f"{inbox_prefix}.{uuid.uuid4().hex}"
+        sid = self.subscribe(inbox)
+        old = self.sock.gettimeout()
+        try:
+            self.publish(subject, payload, reply=inbox)
+            self.sock.settimeout(timeout)
+            while True:
+                _subj, msid, _r, data = self.recv_msg()
+                if msid == sid:
+                    return data
+        finally:
+            self.sock.settimeout(old)
+            try:
+                self.unsubscribe(sid)
+            except OSError:
+                pass
+
     def close(self) -> None:
         try:
             self.sock.close()
@@ -300,6 +323,79 @@ def nats_sink(host: str, port: int, subject_col: str):
         payloads.foreachPartition(send)
 
     return write_batch
+
+
+def nats_request_reply_enrich(df, host: str, port: int, subject,
+                              out_col: str = "nats_reply",
+                              timeout: float = 5.0,
+                              inbox_prefix: str = "_INBOX"):
+    """`nats_request_reply` processor (nats/processor_request_reply.go):
+    each row publishes to the interpolated subject with a unique inbox
+    reply-to and the responder's reply lands in `out_col` — the http
+    enrichment shape (payload rendered JVM-side, one client per
+    partition, timeouts follow the error-column protocol)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    from bento_spark.operators.errors import ERROR_COL, ensure_error_col
+
+    df = ensure_error_col(df)
+    df = df.withColumn("_nats_subject",
+                       subject if isinstance(subject, Column) else F.lit(str(subject)))
+    in_cols = [c for c in df.columns if c != "_nats_subject"]
+    if out_col in in_cols:
+        raise ValueError(
+            f"nats_request_reply: out_col {out_col!r} collides with an input column")
+    payload = F.to_json(F.struct(*[F.col(c) for c in in_cols if c != ERROR_COL]))
+    df = df.withColumn("_nats_payload", payload)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join([f"{c} {fields[c]}" for c in in_cols]
+                           + [f"{out_col} string"])
+
+    def ask(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # imported here: worker closures must re-resolve submodules
+        from bento_spark.streaming.nats import NatsClient
+
+        client = None
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                outs, errs = [], []
+                for i in range(len(pdf)):
+                    prior = pdf[ERROR_COL].iloc[i]
+                    if isinstance(prior, str):  # errored rows short-circuit
+                        outs.append(None)
+                        errs.append(prior)
+                        continue
+                    try:
+                        if client is None:
+                            client = NatsClient(host, port)
+                        reply = client.request(
+                            pdf["_nats_subject"].iloc[i],
+                            pdf["_nats_payload"].iloc[i].encode("utf-8"),
+                            timeout=timeout, inbox_prefix=inbox_prefix)
+                        outs.append(reply.decode("utf-8", "replace"))
+                        errs.append(None)
+                    except (TimeoutError, ConnectionError, OSError) as e:
+                        outs.append(None)
+                        errs.append(f"nats request failed: "
+                                    f"{type(e).__name__}: {e}")
+                        if client is not None:
+                            client.close()
+                            client = None
+                out = pdf[in_cols].copy()
+                out[out_col] = outs
+                out[ERROR_COL] = errs
+                yield out
+        finally:
+            if client is not None:
+                client.close()
+
+    return df.mapInPandas(ask, schema=out_schema)
 
 
 # --------------------------------------------------------------------------

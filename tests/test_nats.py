@@ -190,3 +190,86 @@ def test_lint_knows_nats():
     from bento_spark.plans.lint import known_inputs
 
     assert "nats" in known_inputs()
+
+
+def _responder(server, subject, transform, ready, stop):
+    """A NATS responder: reply to each request on its inbox (the service
+    side of processor_request_reply.go's pattern)."""
+    c = NatsClient(server.host, server.port)
+    c.subscribe(subject)
+    c.flush()
+    ready.set()
+    c.sock.settimeout(0.2)
+    while not stop.is_set():
+        try:
+            _s, _sid, reply, payload = c.recv_msg()
+        except TimeoutError:
+            continue
+        except (ConnectionError, OSError):
+            break
+        if reply:
+            c.publish(reply, transform(payload))
+    c.close()
+
+
+def test_client_request_reply(server):
+    ready, stop = threading.Event(), threading.Event()
+    t = threading.Thread(target=_responder, args=(
+        server, "svc.echo", lambda p: b"RE:" + p, ready, stop), daemon=True)
+    t.start()
+    assert ready.wait(5)
+    c = NatsClient(server.host, server.port)
+    try:
+        assert c.request("svc.echo", b"hello", timeout=5) == b"RE:hello"
+        with pytest.raises((TimeoutError, OSError)):
+            c.request("svc.nobody", b"x", timeout=0.3)
+    finally:
+        stop.set()
+        t.join(timeout=5)
+        c.close()
+
+
+def test_yaml_nats_request_reply_processor(spark, server, tmp_path):
+    ready, stop = threading.Event(), threading.Event()
+
+    def upper(payload: bytes) -> bytes:
+        doc = json.loads(payload)
+        return json.dumps({"up": doc["name"].upper()}).encode()
+
+    t = threading.Thread(target=_responder, args=(
+        server, "svc.upper", upper, ready, stop), daemon=True)
+    t.start()
+    assert ready.wait(5)
+    try:
+        p = compile_yaml(f"""
+input:
+  generate_clips: {{count: 3}}
+pipeline:
+  processors:
+    - mapping: |
+        root.name = this.codec
+    - nats_request_reply:
+        urls: ["nats://{server.host}:{server.port}"]
+        subject: svc.upper
+        timeout: 5s
+""")
+        rows = p.build_batch(spark).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert r.error is None
+            assert json.loads(r.nats_reply) == {"up": r.name.upper()}
+    finally:
+        stop.set()
+        t.join(timeout=5)
+
+
+def test_nats_request_reply_timeout_errors_row(spark, server):
+    from pyspark.sql import functions as F
+
+    from bento_spark.streaming.nats import nats_request_reply_enrich
+
+    df = spark.range(2).select(F.col("id").cast("int").alias("i"))
+    out = nats_request_reply_enrich(
+        df, server.host, server.port, "svc.absent", timeout=0.3).collect()
+    assert all(r.nats_reply is None for r in out)
+    assert all(r.error and "nats request failed" in r.error for r in out)
