@@ -326,6 +326,61 @@ def logger_export(totals: dict, prefix: str = "bento", log=None) -> int:
     return n
 
 
+def cloudwatch_export(totals: dict, endpoint: str, namespace: str,
+                      access_key: str, secret_key: str,
+                      region: str = "us-east-1",
+                      timeout: float = 10.0) -> int:
+    """`metrics: aws_cloudwatch` (aws/metrics_cloudwatch.go): listener
+    totals ship as ONE PutMetricData call on the monitoring Query
+    protocol (Action/Version form body, MetricData.member.N.* params)
+    over the vector-pinned SigV4 layer; counters as Unit=Count, gauges
+    as Unit=None. Returns the metric count; non-2xx raises."""
+    import http.client
+    import urllib.parse
+
+    from bento_spark.streaming.sqs import sigv4_headers
+
+    kinds = {
+        "input_received": "Count",
+        "output_sent": "Count",
+        "batch_created": "Count",
+        "state_rows_last": "None",
+        "max_watermark_lag_ms": "None",
+    }
+    params = {"Action": "PutMetricData", "Version": "2010-08-01",
+              "Namespace": namespace}
+    n = 0
+    for key, unit in kinds.items():
+        val = totals.get(key)
+        if val is None:
+            continue
+        n += 1
+        params[f"MetricData.member.{n}.MetricName"] = key
+        params[f"MetricData.member.{n}.Value"] = str(float(val))
+        params[f"MetricData.member.{n}.Unit"] = unit
+    if n == 0:
+        return 0
+    payload = urllib.parse.urlencode(params).encode("utf-8")
+    u = urllib.parse.urlsplit(endpoint)
+    https = u.scheme == "https"
+    headers = sigv4_headers(
+        "POST", u.netloc, "/", payload, access_key, secret_key, region,
+        "monitoring", "",  # Query protocol: no X-Amz-Target
+        content_type="application/x-www-form-urlencoded; charset=utf-8")
+    cls = http.client.HTTPSConnection if https else http.client.HTTPConnection
+    conn = cls(u.hostname, u.port or (443 if https else 80), timeout=timeout)
+    try:
+        conn.request("POST", "/", body=payload, headers=headers)
+        resp = conn.getresponse()
+        body = resp.read()
+        if resp.status // 100 != 2:
+            raise ConnectionError(
+                f"cloudwatch: PutMetricData -> {resp.status} {body[:160]!r}")
+    finally:
+        conn.close()
+    return n
+
+
 def statsd_export(totals: dict, host: str = "127.0.0.1", port: int = 8125,
                   prefix: str = "bento") -> int:
     """Fire listener totals at a statsd daemon over UDP (one datagram per

@@ -350,3 +350,66 @@ def test_logger_metrics_export():
     assert parsed["bento.input_received"] == {
         "name": "bento.input_received", "value": 10, "type": "counter"}
     assert parsed["bento.state_rows_last"]["type"] == "gauge"
+
+
+def test_cloudwatch_metrics_export():
+    """metrics: aws_cloudwatch (aws/metrics_cloudwatch.go) — PutMetricData
+    on the Query protocol; the capture server RECOMPUTES the SigV4
+    signature with the shared secret and rejects mismatches."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    import pytest
+
+    from bento_spark.streaming.metrics import cloudwatch_export
+    from bento_spark.streaming.sqs import sigv4_headers
+
+    seen = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_POST(self):  # noqa: N802
+            payload = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            expect = sigv4_headers(
+                "POST", self.headers.get("Host", ""), "/", payload,
+                "AKIATEST", "testsecret", "us-east-1", "monitoring", "",
+                amz_date=self.headers.get("X-Amz-Date", ""),
+                content_type="application/x-www-form-urlencoded; charset=utf-8",
+            )["Authorization"]
+            if self.headers.get("Authorization") != expect:
+                body = b"<ErrorResponse>InvalidSignature</ErrorResponse>"
+                self.send_response(403)
+            else:
+                seen.append(dict(urllib.parse.parse_qsl(payload.decode())))
+                body = b"<PutMetricDataResponse/>"
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    ep = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        n = cloudwatch_export(
+            {"input_received": 12, "state_rows_last": 4}, ep, "bento/prod",
+            "AKIATEST", "testsecret")
+        assert n == 2
+        req = seen[0]
+        assert req["Action"] == "PutMetricData" and req["Version"] == "2010-08-01"
+        assert req["Namespace"] == "bento/prod"
+        assert req["MetricData.member.1.MetricName"] == "input_received"
+        assert req["MetricData.member.1.Value"] == "12.0"
+        assert req["MetricData.member.1.Unit"] == "Count"
+        assert req["MetricData.member.2.Unit"] == "None"
+        # wrong credentials are rejected by the server's recompute
+        with pytest.raises(ConnectionError, match="403"):
+            cloudwatch_export({"input_received": 1}, ep, "x",
+                              "AKIATEST", "WRONGsecret")
+    finally:
+        srv.shutdown()
