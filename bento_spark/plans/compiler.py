@@ -3029,6 +3029,7 @@ class Pipeline:
             or out.get("slack_webhook")
             or out.get("questdb")
             or out.get("elasticsearch")
+            or out.get("elasticsearch_v2")
             or out.get("opensearch")
             or out.get("pusher")
             or out.get("cassandra")
@@ -3236,17 +3237,21 @@ class Pipeline:
                 retries=int(s.get("retries", 3)),
                 backoff_s=float(s.get("backoff", 0.25)),
             )
-        elif out.get("elasticsearch") or out.get("opensearch"):
+        elif (out.get("elasticsearch") or out.get("opensearch")
+              or out.get("elasticsearch_v2")):
             # bulk indexer (elasticsearch/output.go; opensearch/output.go
-            # registers the SAME _bulk API shape — the reference maintains
-            # two near-identical outputs, this one serves both names):
+            # and elasticsearch/output_v2.go register the SAME _bulk API
+            # shape — the reference maintains three near-identical
+            # outputs, this one serves all the names; v2's `auth:` object
+            # is accepted alongside `basic_auth:`):
             # index/action/id/routing/pipeline interpolate PER MESSAGE
             # (:353-363) — each compiles to a COLUMN, and both NDJSON bulk
             # lines are built JVM-side; the executor loop only chunks
             # bytes and POSTs
             from bento_spark.streaming.elasticsearch import ACTIONS, es_bulk_writer
 
-            e = out.get("elasticsearch") or out["opensearch"]
+            e = (out.get("elasticsearch") or out.get("opensearch")
+                 or out["elasticsearch_v2"])
             url = (e.get("urls") or [e.get("url", "http://127.0.0.1:9200")])[0]
             if "index" not in e:
                 raise ValueError("output.elasticsearch requires `index`")
@@ -3263,7 +3268,7 @@ class Pipeline:
                 F.raise_error(F.concat(F.lit("elasticsearch action not allowed: "), act))
             )
             hdrs = dict(e.get("headers") or {})
-            auth = e.get("basic_auth") or {}
+            auth = e.get("basic_auth") or e.get("auth") or {}
             if auth.get("enabled"):
                 import base64
 

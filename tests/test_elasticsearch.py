@@ -173,3 +173,31 @@ output:
 """)
     with pytest.raises(ValueError, match="not allowed"):
         p.run_stream(spark, checkpoint=str(tmp_path / "ckpt2"))
+
+
+def test_yaml_elasticsearch_v2_alias(spark, es, tmp_path):
+    """elasticsearch_v2 (elasticsearch/output_v2.go) registers the same
+    _bulk shape — the section aliases onto the shared writer, accepting
+    v2's `auth:` object spelling."""
+    src = tmp_path / "src_v2"
+    src.mkdir()
+    (src / "a.txt").write_text("one\ntwo")
+    p = compile_yaml(f"""
+input:
+  lines:
+    path: {src}
+pipeline:
+  processors:
+    - mapping: |
+        root.word = this.line
+        root.k = this.line
+output:
+  elasticsearch_v2:
+    urls: [{es.url}]
+    index: v2words
+    id: "${{! this.k }}"
+    auth: {{enabled: false}}
+""")
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt_v2"))
+    assert q.awaitTermination(300)
+    assert set(es.indices["v2words"]) == {"one", "two"}
