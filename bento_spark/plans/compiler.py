@@ -388,6 +388,21 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "gcp_spanner_cdc" in inp:
+            # Spanner change-stream consumption (gcp/input_spanner_cdc.go)
+            # via the spool bridge — REST v1 PartialResultSet streaming
+            # client (streaming/spanner.py); the partition-tree watcher
+            # starts via start_spanner_cdc_consumer().
+            o = inp["gcp_spanner_cdc"]
+            if not streaming:
+                raise ValueError(
+                    "gcp_spanner_cdc input is streaming-only (push source)")
+            from bento_spark.streaming.spanner import read_spanner_cdc_stream
+
+            return read_spanner_cdc_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "gcp_pubsub" in inp:
             # Pub/Sub pull (gcp/input_pubsub.go) via the spool bridge —
             # dependency-free REST client with service-account JWT-bearer
@@ -1034,6 +1049,30 @@ class Pipeline:
             spool_dir=o["spool_dir"],
             region=str(o.get("region", "us-east-1")),
             checkpoint_limit=int(o.get("checkpoint_limit", 1000)),
+        ).start()
+
+    def start_spanner_cdc_consumer(self):
+        """Start the partition-tree watcher for an `input.gcp_spanner_cdc`
+        pipeline (caller owns `.stop()`). Fields follow
+        input_spanner_cdc.go: spanner_dsn, stream_name, start_time,
+        end_time (RFC3339), heartbeat_interval; plus the repo's GCP
+        conventions (endpoint override, credentials file/dict)."""
+        o = (self.conf.get("input") or {}).get("gcp_spanner_cdc")
+        if not o:
+            raise ValueError("pipeline has no input.gcp_spanner_cdc section")
+        from bento_spark.streaming.cep import duration_ms
+        from bento_spark.streaming.spanner import SpannerCdcSpooler
+
+        return SpannerCdcSpooler(
+            dsn=str(o["spanner_dsn"]),
+            stream_name=str(o["stream_name"]),
+            spool_dir=o["spool_dir"],
+            start_time=(str(o["start_time"]) if o.get("start_time") else None),
+            end_time=(str(o["end_time"]) if o.get("end_time") else None),
+            heartbeat_ms=duration_ms(str(o.get("heartbeat_interval", "3s"))),
+            endpoint=str(o.get("endpoint")
+                         or "https://spanner.googleapis.com"),
+            credentials=self._pubsub_creds(o),
         ).start()
 
     def start_pubsub_consumer(self):
