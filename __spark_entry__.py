@@ -1523,6 +1523,73 @@ def q_etcd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spanner_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gcp_spanner_cdc input end-to-end (gcp/input_spanner_cdc.go over the
+    REST v1 PartialResultSet streaming client, streaming/spanner.py):
+    nation rows land as INSERT mods across two change-stream partitions
+    announced by the root query; the SpannerCdcSpooler walks the
+    partition tree over real chunked-JSON streams (incl. a chunkedValue
+    split) and spools one message per mod. Seeding is driver-side
+    control-plane (25 rows) — bulk data rides parquet/Iceberg."""
+    import json as _json
+    import tempfile
+    import time as _time
+    from pathlib import Path as _Path
+
+    from bento_spark.streaming.spanner import (
+        MiniSpannerServer,
+        SpannerCdcSpooler,
+        child_partitions_value,
+        data_change_value,
+    )
+
+    srv = MiniSpannerServer().start()
+    spool = tempfile.mkdtemp(prefix="spanner_spool_")
+    try:
+        n = [(r["n_name"], int(r["n_nationkey"]), int(r["n_regionkey"]))
+             for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
+             .select("n_name", "n_nationkey", "n_regionkey").collect()]
+        srv.add_records(None, child_partitions_value(
+            "2026-01-01T00:00:00Z", ["p-even", "p-odd"]))
+        for name, nk, rk in n:
+            srv.add_records(
+                "p-even" if nk % 2 == 0 else "p-odd",
+                data_change_value(
+                    "nation", "INSERT",
+                    [({"nk": nk}, {"name": name, "score": rk * 10}, None)],
+                    "2026-01-01T00:00:01Z", seq=f"{nk:08d}",
+                    txn=f"txn-{nk}"))
+        sp = SpannerCdcSpooler(
+            dsn="projects/p/instances/i/databases/tpch",
+            stream_name="nation_stream", spool_dir=spool,
+            start_time="2026-01-01T00:00:00Z", endpoint=srv.endpoint,
+        ).start()
+        try:
+            deadline = _time.monotonic() + 30
+            while len(list(_Path(spool).glob("*.msg"))) < len(n):
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(f"spanner cdc: {sp.error}")
+                _time.sleep(0.05)
+            rows = [_json.loads(f.read_text())
+                    for f in sorted(_Path(spool).glob("*.msg"))]
+        finally:
+            sp.stop()
+    finally:
+        srv.stop()
+    out = spark.createDataFrame(
+        [(e["mod"], e["mod_type"], e["table_name"]) for e in rows],
+        "mod string, mod_type string, table_name string")
+    m = F.from_json("mod", "keys struct<nk:int>, "
+                           "new_values struct<name:string,score:bigint>")
+    return out.select(
+        m.getField("new_values").getField("name").alias("nation_name"),
+        m.getField("keys").getField("nk").alias("n_nationkey"),
+        m.getField("new_values").getField("score").alias("score"),
+        F.col("mod_type"),
+        F.col("table_name"),
+    )
+
+
 def q_sql_raw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sql_raw family end-to-end (sql/input_sql_raw.go +
     processor_sql_raw.go:30-80 over the stdlib sqlite3 DB-API path):
@@ -1977,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions --
         "pulsar_roundtrip": q_pulsar_roundtrip,
         "etcd_roundtrip": q_etcd_roundtrip,
+        "spanner_roundtrip": q_spanner_roundtrip,
         "s3_roundtrip": q_s3_roundtrip,
         "sql_raw_roundtrip": q_sql_raw_roundtrip,
         "dynamodb_roundtrip": q_dynamodb_roundtrip,
@@ -2574,6 +2642,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_name AS nation_name, n_nationkey,
                CAST(n_regionkey * 10 AS BIGINT) AS score,
                'PUT' AS ev_type
+        FROM nation
+    """
+    sql["spanner_roundtrip"] = """
+        SELECT n_name AS nation_name, n_nationkey,
+               CAST(n_regionkey * 10 AS BIGINT) AS score,
+               'INSERT' AS mod_type, 'nation' AS table_name
         FROM nation
     """
     sql["dynamodb_roundtrip"] = """
