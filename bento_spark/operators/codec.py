@@ -136,11 +136,14 @@ def grok(df: DataFrame, col: str, pattern: str, keep_source: bool = True,
     (processor_grok.go:104; parse_log presets processor_parse_log.go:105).
 
     ONE regex pass per row: the anchored pattern packs every capture group
-    into a \\x01-separated string via regexp_replace, split once; a second
-    regexp_like flags non-matches (N regexp_extract calls would re-run the
-    same Java regex N+1 times per row — the reference matches once too).
-    Subexpression elimination shares the replace/split across the field
-    projections.
+    into a \\x01-separated string via regexp_replace, split once; match
+    detection is DERIVED from that same pass — regexp_replace returns the
+    input unchanged on non-match, and a matching replacement always
+    differs (the \\x01 separator can't occur in a text line; a zero-field
+    pattern falls back to regexp_like). N regexp_extract calls would
+    re-run the same Java regex N+1 times per row, and a separate
+    regexp_like match flag re-ran it once more — the reference matches
+    once too.
 
     `anchored=True` requires the pattern to match at the START of the
     value: the default find-anywhere form carries a lazy `[\\s\\S]*?`
@@ -157,8 +160,20 @@ def grok(df: DataFrame, col: str, pattern: str, keep_source: bool = True,
         full = r"\A[\s\S]*?(?:" + regex + r")[\s\S]*\Z"
         match_re = regex
     repl = sep.join(f"${i}" for i in range(1, len(fields) + 1))
-    matched = F.regexp_like(F.col(col), F.lit(match_re))
-    packed = F.split(F.regexp_replace(F.col(col), full, repl), sep)
+    packed_str = F.regexp_replace(F.col(col), full, repl)
+    if fields:
+        # a match rewrites the line to \x01-joined captures, which cannot
+        # equal the original (it contains \x01 unless there is exactly one
+        # field covering the whole line — then the "rewrite" is identity
+        # ONLY if the pattern matched anyway, so equality still implies
+        # we can treat single-field identity as a match via regexp_like)
+        if len(fields) == 1:
+            matched = F.regexp_like(F.col(col), F.lit(match_re))
+        else:
+            matched = packed_str != F.col(col)
+    else:
+        matched = F.regexp_like(F.col(col), F.lit(match_re))
+    packed = F.split(packed_str, sep)
     out = df
     for i, f_name in enumerate(fields, start=1):
         out = out.withColumn(
