@@ -585,6 +585,58 @@ def q_parse_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_opensnowcat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """opensnowcat processor (opensnowcat/processor_opensnowcat.go):
+    synthesize canonical 131-column enriched-TSV lines from events, drop
+    on an IP prefix, salted-hash the user id, anonymize the IP, redact the
+    network id, and verify the reconstructed line keeps its column count."""
+    from bento_spark.operators.opensnowcat import COLUMNS, opensnowcat
+
+    ev = _t(spark, sf_dir, "events")
+    parts = {
+        "app_id": F.col("event_type"),
+        "user_id": F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        "user_ipaddress": F.when(
+            F.col("event_type") == "error",
+            F.format_string("10.0.0.%d", (F.col("event_id") % 200).cast("int")),
+        ).otherwise(
+            F.format_string(
+                "192.168.%d.%d",
+                (F.col("user_id") % 256).cast("int"),
+                (F.col("event_id") % 256).cast("int"),
+            )
+        ),
+        "network_userid": F.format_string("net-%d", F.col("user_id").cast("int")),
+        "txn_id": F.col("event_id").cast("string"),
+    }
+    lines = ev.select(
+        F.col("event_id"),
+        F.concat_ws("\t", *[parts.get(c, F.lit("")) for c in COLUMNS]).alias("line"),
+    )
+    out = opensnowcat(
+        lines,
+        col="line",
+        drop={"user_ipaddress": {"contains": ["10.0."]}},
+        transform={
+            "salt": "pepper",
+            "fields": {
+                "user_id": {"strategy": "hash"},
+                "user_ipaddress": {"strategy": "anonymize_ip", "anon_octets": 2},
+                "network_userid": {"strategy": "redact", "redact_value": "GONE"},
+            },
+        },
+    )
+    sp = F.split(F.col("line"), "\t")
+    return out.select(
+        F.col("event_id"),
+        F.get(sp, 0).alias("app_id"),
+        F.get(sp, 12).alias("uid_hash"),
+        F.get(sp, 13).alias("ip_masked"),
+        F.get(sp, 17).alias("net_uid"),
+        F.size(sp).alias("n_cols"),
+    )
+
+
 def q_jq_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jq/jmespath JSON query (processor_jq.go:95) via get_json_object."""
     from bento_spark.operators.codec import json_map
@@ -2048,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_roundtrip": q_s3_roundtrip,
         "sql_raw_roundtrip": q_sql_raw_roundtrip,
         "dynamodb_roundtrip": q_dynamodb_roundtrip,
+        "opensnowcat_events": q_opensnowcat_events,
         # -- code paths touched this round --
         "kafka_roundtrip": q_kafka_roundtrip,
         # -- r04-green rows (rotate into the window as slots allow) --
@@ -2372,6 +2425,25 @@ def oracle_sql() -> dict[str, str]:
               FROM lines)
             SELECT verb, status, count(*) AS n, CAST(sum(size) AS BIGINT) AS total_bytes
             FROM parsed GROUP BY verb, status
+        """,
+        "opensnowcat_events": """
+            WITH src AS (
+              SELECT event_id,
+                     event_type AS app_id,
+                     'u' || CAST(user_id AS VARCHAR) AS uid,
+                     CASE WHEN event_type = 'error'
+                          THEN '10.0.0.' || CAST(event_id % 200 AS VARCHAR)
+                          ELSE '192.168.' || CAST(user_id % 256 AS VARCHAR)
+                               || '.' || CAST(event_id % 256 AS VARCHAR)
+                     END AS ip
+              FROM events)
+            SELECT event_id, app_id,
+                   sha256(uid || 'pepper') AS uid_hash,
+                   regexp_replace(ip, '^(\\d+)\\.(\\d+)\\.\\d+\\.\\d+$', '\\1.\\2.x.x') AS ip_masked,
+                   'GONE' AS net_uid,
+                   131 AS n_cols
+            FROM src
+            WHERE NOT contains(lower(ip), '10.0.')
         """,
         "jq_extract": """
             SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,

@@ -2873,6 +2873,22 @@ class Pipeline:
                 timeout=float(o.get("timeout", 10)),
                 now_unix=o.get("now_unix"),
             )
+        if name == "opensnowcat":
+            # Snowplow/OpenSnowcat enriched-TSV events: drop filters, PII
+            # transforms, TSV->flattened-JSON (opensnowcat/
+            # processor_opensnowcat.go) — filters/transforms compile to
+            # codegen over the split line
+            from bento_spark.operators.opensnowcat import opensnowcat
+
+            o = opts or {}
+            flt = o.get("filters") or {}
+            return opensnowcat(
+                df,
+                col=o.get("column", "line"),
+                output_format=o.get("output_format", "tsv"),
+                drop=flt.get("drop"),
+                transform=flt.get("transform"),
+            )
         if name == "subprocess":
             # long-lived child per partition, lockstep line protocol
             # (processor_subprocess.go:47-66); stderr -> error column
