@@ -2855,6 +2855,85 @@ class Pipeline:
                 str(o["collection"]), "_mongo_filter",
                 out_col=o.get("out_col", "mongodb"),
             ).drop("_mongo_filter")
+        if name == "aws_lambda":
+            # invoke a Lambda per message (aws/processor_lambda.go:20):
+            # result replaces the payload column; function errors set
+            # lambda_function_error; transport failures flag the error
+            # column with content unchanged
+            import os as _os
+
+            from bento_spark.streaming.lambda_proc import lambda_map
+
+            o = opts or {}
+            region = str(o.get("region", "us-east-1"))
+            return lambda_map(
+                df,
+                endpoint=str(o.get("endpoint")
+                             or f"https://lambda.{region}.amazonaws.com"),
+                access_key=str(o.get("access_key")
+                               or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                secret_key=str(o.get("secret_key")
+                               or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                function=str(o["function"]),
+                payload_col=str(o.get("column", "value")),
+                region=region,
+                retries=int(o.get("retries", 3)),
+                timeout=float(o.get("timeout", 5.0)),
+            )
+        if name == "aws_dynamodb_partiql":
+            # PartiQL per message over BatchExecuteStatement
+            # (aws/processor_dynamodb_partiql.go:106); args_mapping
+            # compiles to a Catalyst ARRAY column
+            import os as _os
+
+            from bento_spark.streaming.dynamodb import dynamodb_partiql
+
+            o = opts or {}
+            region = str(o.get("region", "us-east-1"))
+            d, args_col = df, None
+            if o.get("args_mapping"):
+                d = df.withColumn("_pq_args", compile_expr(str(o["args_mapping"])))
+                args_col = "_pq_args"
+            out = dynamodb_partiql(
+                d,
+                endpoint=str(o.get("endpoint")
+                             or f"https://dynamodb.{region}.amazonaws.com"),
+                access_key=str(o.get("access_key")
+                               or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                secret_key=str(o.get("secret_key")
+                               or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                query=str(o["query"]),
+                args_col=args_col,
+                region=region,
+                result_col=str(o.get("result_col", "partiql")),
+            )
+            return out.drop("_pq_args") if args_col else out
+        if name == "aws_s3":
+            # GetObject per message with interpolated bucket/key
+            # (aws/processor_s3.go:26); body lands in out_col,
+            # delete_objects removes only successfully fetched objects
+            import os as _os
+
+            from bento_spark.streaming.s3 import s3_get_map
+
+            o = opts or {}
+            region = str(o.get("region", "us-east-1"))
+            d = (df.withColumn("_s3_bucket", compile_interpolated(str(o["bucket"])))
+                   .withColumn("_s3_key", compile_interpolated(str(o["key"]))))
+            out = s3_get_map(
+                d,
+                endpoint=str(o.get("endpoint")
+                             or f"https://s3.{region}.amazonaws.com"),
+                access_key=str(o.get("access_key")
+                               or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                secret_key=str(o.get("secret_key")
+                               or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                bucket_col="_s3_bucket", key_col="_s3_key",
+                region=region,
+                out_col=str(o.get("out_col", "s3_object")),
+                delete_objects=bool(o.get("delete_objects", False)),
+            )
+            return out.drop("_s3_bucket", "_s3_key")
         if name == "awk":
             # per-message AWK run over the system binary with the
             # reference's custom json_*/metadata_*/timestamp functions

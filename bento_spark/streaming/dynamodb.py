@@ -21,6 +21,7 @@ honors them on read, like DynamoDB's filtered expiry)."""
 from __future__ import annotations
 
 import json
+import re
 import threading
 import time
 
@@ -523,6 +524,39 @@ class MiniDynamoServer:
                                     hits.append(item)
                             out["Responses"][tname] = hits
                         return self._reply(200, out)
+                    if op == "BatchExecuteStatement":
+                        # PartiQL subset for the processor e2e: point
+                        # SELECT by the table's hash attribute; unknown
+                        # tables answer a per-statement Error like the
+                        # real service (not an HTTP failure)
+                        responses = []
+                        for st in req["Statements"]:
+                            m = re.match(
+                                r'\s*SELECT\s+\*\s+FROM\s+"([^"]+)"\s+'
+                                r"WHERE\s+\w+\s*=\s*\?\s*$",
+                                st["Statement"], re.IGNORECASE)
+                            if not m:
+                                responses.append({"Error": {
+                                    "Code": "ValidationError",
+                                    "Message": "unsupported statement"}})
+                                continue
+                            tname = m.group(1)
+                            if tname not in svc._tables:
+                                responses.append({"Error": {
+                                    "Code": "ResourceNotFoundException",
+                                    "Message": f"table {tname} not found"}})
+                                continue
+                            params = st.get("Parameters") or []
+                            key = params[0].get("S") if params else None
+                            item = svc._tables[tname].get(key)
+                            # no _alive() here: that heuristic treats any
+                            # N attribute as the cache layout's ttl_key;
+                            # PartiQL tables carry arbitrary numerics
+                            if item is not None:
+                                responses.append({"Item": item})
+                            else:
+                                responses.append({})
+                        return self._reply(200, {"Responses": responses})
                 return self._reply(400, {"__type": "UnknownOperationException"})
 
             def log_message(self, *a):
@@ -538,3 +572,121 @@ class MiniDynamoServer:
         if self._srv is not None:
             self._srv.shutdown()
             self._srv = None
+
+
+def attr_to_obj(av: dict):
+    """DynamoDB AttributeValue -> Python value (the inverse of
+    attr_value; processor_dynamodb_partiql.go:178 attributeValueToObjForm).
+    N returns int when integral, else float; B stays base64 text (the
+    JSON protocol's wire form)."""
+    if "S" in av:
+        return av["S"]
+    if "N" in av:
+        n = av["N"]
+        try:
+            return int(n)
+        except ValueError:
+            return float(n)
+    if "BOOL" in av:
+        return bool(av["BOOL"])
+    if "NULL" in av:
+        return None
+    if "L" in av:
+        return [attr_to_obj(x) for x in av["L"]]
+    if "M" in av:
+        return {k: attr_to_obj(x) for k, x in av["M"].items()}
+    if "SS" in av:
+        return list(av["SS"])
+    if "NS" in av:
+        return [attr_to_obj({"N": x}) for x in av["NS"]]
+    if "B" in av:
+        return av["B"]
+    if "BS" in av:
+        return list(av["BS"])
+    raise ValueError(f"unknown AttributeValue form: {sorted(av)}")
+
+
+def dynamodb_partiql(df, endpoint: str, access_key: str, secret_key: str,
+                     query: str, args_col: str | None = None,
+                     region: str = "us-east-1",
+                     result_col: str = "partiql"):
+    """`aws_dynamodb_partiql` processor
+    (aws/processor_dynamodb_partiql.go:106): run a PartiQL statement per
+    row via BatchExecuteStatement in <=25-statement chunks (the API cap).
+    `args_col` holds the row's parameter array (compiled from
+    args_mapping, Catalyst ARRAY column); each value converts to an
+    AttributeValue. A per-statement Error flags the row's error column
+    ("failed to process statement (Code): Message", :156); a returned
+    Item lands in `result_col` as a JSON object string, NULL otherwise.
+
+    The reference issues one BatchExecuteStatement per pipeline batch;
+    here each Arrow batch chunks into API-sized calls per partition —
+    same wire shape, executor-side."""
+    from bento_spark.operators.errors import ERROR_COL, ensure_error_col
+
+    if result_col in df.columns:
+        raise ValueError(f"aws_dynamodb_partiql: {result_col!r} collides "
+                         "with an input column")
+    df = ensure_error_col(df)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in cols] + [f"{result_col} string"]
+    )
+
+    def run(batches):
+        import json as _json
+
+        import pandas as _pd
+
+        from bento_spark.streaming.dynamodb import (
+            DynamoClient as _C,
+            attr_to_obj as _from_av,
+            attr_value as _to_av,
+        )
+
+        client = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if client is None:
+                client = _C(endpoint, access_key, secret_key, region=region)
+            args_series = (pdf[args_col] if args_col is not None
+                           else [None] * len(pdf))
+            stmts = []
+            for args in args_series:
+                req = {"Statement": query}
+                if args is not None:
+                    req["Parameters"] = [
+                        _to_av(a.item() if hasattr(a, "item") else a)
+                        for a in args
+                    ]
+                stmts.append(req)
+            results, errs = [], list(pdf[ERROR_COL])
+            for base in range(0, len(stmts), 25):
+                chunk = stmts[base:base + 25]
+                resp = client.call("BatchExecuteStatement",
+                                   {"Statements": chunk})
+                for j, res in enumerate(resp.get("Responses", [])):
+                    i = base + j
+                    err = res.get("Error")
+                    if err:
+                        code = err.get("Code", "")
+                        results.append(None)
+                        errs[i] = errs[i] or (
+                            f"failed to process statement ({code}): "
+                            f"{err.get('Message', '')}")
+                        continue
+                    item = res.get("Item")
+                    if item is not None:
+                        results.append(_json.dumps(
+                            {k: _from_av(v) for k, v in item.items()},
+                            sort_keys=True))
+                    else:
+                        results.append(None)
+            pdf = pdf[cols].copy()
+            pdf[ERROR_COL] = errs
+            pdf[result_col] = results
+            yield _pd.DataFrame(pdf)
+
+    return df.mapInPandas(run, schema=out_schema)

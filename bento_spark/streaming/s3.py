@@ -784,3 +784,61 @@ class MiniS3Server:
         if self._srv is not None:
             self._srv.shutdown()
             self._srv = None
+
+
+def s3_get_map(df, endpoint: str, access_key: str, secret_key: str,
+               bucket_col: str, key_col: str, region: str = "us-east-1",
+               out_col: str = "s3_object", delete_objects: bool = False):
+    """`aws_s3` processor (aws/processor_s3.go:26): GetObject per row
+    using interpolated bucket/key columns; the object body lands in
+    `out_col` (the reference replaces the message parts — bind out_col to
+    the content column to match). Missing objects / request failures
+    follow the error-column protocol with the row's content unchanged;
+    `delete_objects` removes each successfully fetched object, and only
+    those (:108).
+
+    One pooled client per partition, Arrow-batched. A per-row GET is
+    inherent to the operator; bulk object consumption belongs on
+    input.aws_s3 (list+get) or the s3a:// Spark reader path."""
+    from bento_spark.operators.errors import ERROR_COL, ensure_error_col
+
+    if out_col in df.columns:
+        raise ValueError(f"aws_s3 processor: {out_col!r} collides with an input column")
+    df = ensure_error_col(df)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in cols] + [f"{out_col} binary"]
+    )
+
+    def run(batches):
+        import pandas as _pd
+
+        from bento_spark.streaming.s3 import NoSuchKeyError as _NoKey
+        from bento_spark.streaming.s3 import S3Client as _C
+
+        client = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bodies, errs = [], list(pdf[ERROR_COL])
+            for i, (bkt, key) in enumerate(zip(pdf[bucket_col], pdf[key_col])):
+                if client is None:
+                    client = _C(endpoint, access_key, secret_key, region=region)
+                try:
+                    body, _hdrs = client.get_object(str(bkt), str(key))
+                    bodies.append(body)
+                    if delete_objects:
+                        client.delete_object(str(bkt), str(key))
+                except _NoKey as e:
+                    bodies.append(None)
+                    errs[i] = errs[i] or f"aws_s3: NoSuchKey {e}"
+                except (ConnectionError, OSError) as e:
+                    bodies.append(None)
+                    errs[i] = errs[i] or f"aws_s3: {e}"
+            pdf = pdf[cols].copy()
+            pdf[ERROR_COL] = errs
+            pdf[out_col] = bodies
+            yield _pd.DataFrame(pdf)
+
+    return df.mapInPandas(run, schema=out_schema)
