@@ -486,6 +486,22 @@ def _apply_function(name: str, args: list[Column]) -> Column:
             span = args[1] - mn + F.lit(1)
             return mn + seq % span
         return mn + seq
+    if name == "snowflake_id":
+        # impl/lang/bloblang.go:99 (bwmarrin/snowflake layout: 41-bit ms
+        # since epoch 1288834974657 << 22 | 10-bit node << 12 | 12-bit
+        # sequence; string form). The per-process sequence maps to
+        # monotonically_increasing_id's per-partition record number —
+        # unique within (ms, node) at <=4096 rows per partition-ms, the
+        # original's own bound. DOCUMENTED DEVIATION: with no node_id the
+        # reference uses node 1; here the default is spark_partition_id()
+        # so concurrent executors don't share a node and collide —
+        # pass an explicit node_id to pin the reference layout exactly.
+        node = (args[0].cast("long") if args
+                else F.spark_partition_id().cast("long")) % F.lit(1024)
+        ms = F.unix_millis(F.current_timestamp()) - F.lit(1288834974657)
+        seq = F.pmod(F.monotonically_increasing_id(), F.lit(4096))
+        return (F.shiftleft(ms, 22).bitwiseOR(F.shiftleft(node, 12))
+                .bitwiseOR(seq)).cast("string")
     if name == "hostname":
         import socket
 

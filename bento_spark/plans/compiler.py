@@ -3203,6 +3203,7 @@ class Pipeline:
             or out.get("websocket")
             or out.get("subprocess")
             or out.get("dynamic")
+            or out.get("http_server")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -4146,6 +4147,29 @@ class Pipeline:
             tls = w.get("tls") or {}
             writer = websocket_sink(str(w["url"]),
                                     tls_insecure=bool(tls.get("skip_cert_verify")))
+        elif out.get("http_server"):
+            # GET/stream/websocket serving endpoints over a bounded queue
+            # (output_http_server.go:147) — driver-side serving bridge;
+            # push blocks on a full queue (backpressure)
+            from bento_spark.streaming.http_server import (
+                HttpServeOutput,
+                http_serve_sink,
+            )
+
+            hs = out["http_server"]
+            df = self.build_stream(spark)
+            addr = str(hs.get("address", "127.0.0.1:0"))
+            host, _, port = addr.partition(":")
+            self._http_serve = HttpServeOutput(
+                host=host or "127.0.0.1", port=int(port or 0),
+                path=str(hs.get("path", "/get")),
+                stream_path=str(hs.get("stream_path", "/get/stream")),
+                ws_path=str(hs.get("ws_path", "/get/ws")),
+                timeout_s=float(hs.get("timeout", 5.0)),
+                maxsize=int(hs.get("max_pending", 1024)),
+            ).start()
+            writer = http_serve_sink(self._http_serve,
+                                     content_col=hs.get("content_col"))
         elif out.get("subprocess"):
             # stdin lines into a driver-side child process
             # (output_subprocess.go: maxInFlight=1, relaunch on exit)

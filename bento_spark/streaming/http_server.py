@@ -479,3 +479,227 @@ def read_spool_stream(
             "request_id", F.regexp_extract(F.input_file_name(), r"([^/]+)\.msg$", 1)
         )
     return df
+
+
+class HttpServeOutput:
+    """`http_server` OUTPUT (io/output_http_server.go:147): an HTTP
+    server that hands the stream's messages to pulling clients. Three
+    GET endpoints: `path` serves ONE message per request (or 408 after
+    `timeout` with nothing queued), `stream_path` a continuous
+    line-delimited stream, `ws_path` a websocket push (server frames
+    unmasked, RFC 6455 §5.1). Each message goes to exactly one consumer
+    (the reference's shared-queue behavior).
+
+    Driver-side control-plane bridge, same honest scoping as the spool
+    consumers: the reference holds pending messages in one process's
+    memory too — this is a serving endpoint, not a bulk sink. The queue
+    is BOUNDED; `push` blocks when consumers lag, which backpressures
+    the foreachBatch writer (Bento's in-flight cap). A message whose
+    send fails mid-write is re-queued best-effort.
+
+    Documented delta: multi-row batches serve as successive single
+    messages rather than one RFC1341 multipart body (the reference
+    suggests archiving batches to override multipart anyway)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 path: str = "/get", stream_path: str = "/get/stream",
+                 ws_path: str = "/get/ws", timeout_s: float = 5.0,
+                 maxsize: int = 1024):
+        import queue as _queue
+
+        self.host, self.port = host, port
+        self.path, self.stream_path, self.ws_path = path, stream_path, ws_path
+        self.timeout_s = timeout_s
+        self._q: "_queue.Queue[str]" = _queue.Queue(maxsize)
+        self._stop = threading.Event()
+        self._sock = None
+        self._threads: list[threading.Thread] = []
+
+    @property
+    def address(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def push(self, body: str) -> None:
+        while not self._stop.is_set():
+            try:
+                self._q.put(body, timeout=0.5)
+                return
+            except Exception:
+                continue
+
+    def pending(self) -> int:
+        return self._q.qsize()
+
+    # -- server ------------------------------------------------------------
+    def start(self) -> "HttpServeOutput":
+        import socket
+
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind((self.host, self.port))
+        s.listen(16)
+        self.port = s.getsockname()[1]
+        self._sock = s
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _addr = self._sock.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._handle, args=(conn,), daemon=True)
+            t.start()
+
+    @staticmethod
+    def _read_head(conn) -> tuple[str, str, dict[str, str]] | None:
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            chunk = conn.recv(4096)
+            if not chunk:
+                return None
+            buf += chunk
+            if len(buf) > 65536:
+                return None
+        head = buf.split(b"\r\n\r\n", 1)[0].decode("latin-1")
+        lines = head.split("\r\n")
+        try:
+            method, target, _ = lines[0].split(" ", 2)
+        except ValueError:
+            return None
+        headers = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        return method, target.partition("?")[0], headers
+
+    @staticmethod
+    def _resp(code: int, body: bytes = b"",
+              extra: dict[str, str] | None = None) -> bytes:
+        reason = {200: "OK", 404: "Not Found", 405: "Method Not Allowed",
+                  408: "Request Timeout"}.get(code, "")
+        hdrs = {"Content-Length": str(len(body)), "Connection": "close",
+                **(extra or {})}
+        head = f"HTTP/1.1 {code} {reason}\r\n" + "".join(
+            f"{k}: {v}\r\n" for k, v in hdrs.items())
+        return head.encode("latin-1") + b"\r\n" + body
+
+    def _handle(self, conn) -> None:
+        import base64
+        import hashlib as _hashlib
+        import queue as _queue
+
+        try:
+            parsed = self._read_head(conn)
+            if parsed is None:
+                return
+            method, target, headers = parsed
+            if method != "GET":
+                conn.sendall(self._resp(405))
+                return
+            if target == self.path:
+                try:
+                    body = self._q.get(timeout=self.timeout_s).encode()
+                except _queue.Empty:
+                    conn.sendall(self._resp(408))
+                    return
+                try:
+                    conn.sendall(self._resp(
+                        200, body, {"Content-Type": "application/octet-stream"}))
+                except OSError:
+                    self._requeue(body.decode("utf-8", "replace"))
+                return
+            if target == self.stream_path:
+                conn.sendall(
+                    b"HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n")
+                while not self._stop.is_set():
+                    try:
+                        msg = self._q.get(timeout=0.25)
+                    except _queue.Empty:
+                        continue
+                    data = msg.encode() + b"\n"
+                    chunk = f"{len(data):x}\r\n".encode() + data + b"\r\n"
+                    try:
+                        conn.sendall(chunk)
+                    except OSError:
+                        self._requeue(msg)
+                        return
+                try:
+                    conn.sendall(b"0\r\n\r\n")
+                except OSError:
+                    pass
+                return
+            if (target == self.ws_path
+                    and headers.get("upgrade", "").lower() == "websocket"):
+                key = headers.get("sec-websocket-key", "")
+                accept = base64.b64encode(_hashlib.sha1(
+                    (key + _WS_GUID).encode()).digest()).decode()
+                conn.sendall(
+                    ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+                     f"Connection: Upgrade\r\nSec-WebSocket-Accept: {accept}"
+                     "\r\n\r\n").encode())
+                while not self._stop.is_set():
+                    try:
+                        msg = self._q.get(timeout=0.25)
+                    except _queue.Empty:
+                        continue
+                    data = msg.encode()
+                    n = len(data)
+                    if n < 126:
+                        frame = bytes([0x81, n]) + data
+                    elif n < 1 << 16:
+                        frame = bytes([0x81, 126]) + n.to_bytes(2, "big") + data
+                    else:
+                        frame = bytes([0x81, 127]) + n.to_bytes(8, "big") + data
+                    try:
+                        conn.sendall(frame)
+                    except OSError:
+                        self._requeue(msg)
+                        return
+                return
+            conn.sendall(self._resp(404))
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _requeue(self, msg: str) -> None:
+        try:
+            self._q.put_nowait(msg)
+        except Exception:
+            pass  # full queue: best-effort, like a response to a dead request
+
+
+def http_serve_sink(server: HttpServeOutput, content_col: str | None = None):
+    """foreachBatch writer for output.http_server: bodies render JVM-side
+    (content_col as string, else the row as JSON minus engine columns);
+    toLocalIterator keeps the batch off the driver heap; push blocks on a
+    full queue (backpressure). At-least-once under replay — a replayed
+    micro-batch re-serves its messages, the reference's delivery level."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        if content_col is not None:
+            body = F.col(content_col).cast("string")
+        else:
+            doc = [c for c in batch_df.columns if c not in ("error", "meta")]
+            body = F.to_json(F.struct(*[F.col(c) for c in doc]))
+        for row in batch_df.select(body.alias("_b")).toLocalIterator():
+            if row._b is not None:
+                server.push(row._b)
+
+    return write_batch

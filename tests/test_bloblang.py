@@ -403,3 +403,22 @@ def test_counter_function(spark):
     assert [r.w for r in out] == [10, 11, 12, 10, 11, 12, 10]
     with pytest.raises(BloblangError, match="set"):
         compile_expr("counter(1, 5, 0)")
+
+
+def test_snowflake_id_function(spark):
+    # impl/lang/bloblang.go:99 — bwmarrin layout: ms-since-epoch<<22 |
+    # node<<12 | seq; explicit node_id pins the node bits; default node
+    # is the partition id (documented deviation) so ids stay unique
+    # across executors
+    df = spark.range(3000).repartition(4)
+    rows = df.select(
+        compile_expr("snowflake_id()").alias("sid"),
+        compile_expr("snowflake_id(7)").alias("sid7"),
+    ).collect()
+    vals = [int(r.sid) for r in rows]
+    assert len(set(vals)) == len(vals)
+    v7 = int(rows[0].sid7)
+    assert (v7 >> 12) & 1023 == 7
+    # 41-bit ms field is after the 2010-11-04 custom epoch and before 2039
+    assert 0 < (v7 >> 22) < (1 << 41)
+    assert isinstance(rows[0].sid, str)
