@@ -645,6 +645,20 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "hdfs" in inp:
+            # HDFS directory consumption, file == message (hdfs/input.go)
+            # via the spool bridge over the public WebHDFS REST API
+            # (streaming/hdfs.py); the consumer starts via
+            # start_hdfs_consumer() and finishes after one listing pass
+            o = inp["hdfs"]
+            if not streaming:
+                raise ValueError("hdfs input is streaming-only (pull source)")
+            from bento_spark.streaming.hdfs import read_hdfs_stream
+
+            return read_hdfs_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "nanomsg" in inp:
             # nanomsg PULL/SUB (nanomsg/input.go) via the spool bridge —
             # dependency-free SP-over-TCP implementation
@@ -1562,6 +1576,24 @@ class Pipeline:
                                               "Records.*.s3.bucket.name")),
             sqs_wait_time_s=int(sqs_block.get("wait_time_seconds", 1)),
             sqs_max_messages=int(sqs_block.get("max_number_of_messages", 10)),
+        ).start()
+
+    def start_hdfs_consumer(self):
+        """Start the consumer bridge for an `input.hdfs` pipeline and
+        return its handle (caller owns `.stop()`; `.wait_finished()`
+        blocks for the single listing pass — hdfs/input.go consumes the
+        directory then stops). Same runtime-resource/plan split as
+        start_http_listener."""
+        o = (self.conf.get("input") or {}).get("hdfs")
+        if not o:
+            raise ValueError("pipeline has no input.hdfs section")
+        from bento_spark.streaming.hdfs import HdfsSpooler
+
+        return HdfsSpooler(
+            hosts=o.get("hosts") or [str(o.get("host", "127.0.0.1:9870"))],
+            user=str(o.get("user", "bento")),
+            directory=str(o["directory"]),
+            spool_dir=o["spool_dir"],
         ).start()
 
     def start_nanomsg_subscriber(self):
@@ -3204,6 +3236,7 @@ class Pipeline:
             or out.get("subprocess")
             or out.get("dynamic")
             or out.get("http_server")
+            or out.get("hdfs")
             or "sync_response" in out
         ):
             raise ValueError(
@@ -4147,6 +4180,22 @@ class Pipeline:
             tls = w.get("tls") or {}
             writer = websocket_sink(str(w["url"]),
                                     tls_insecure=bool(tls.get("skip_cert_verify")))
+        elif out.get("hdfs"):
+            # one file per message at interpolated directory/path over
+            # WebHDFS two-step CREATE (hdfs/output.go)
+            from bento_spark.streaming.hdfs import hdfs_sink
+
+            ho = out["hdfs"]
+            df = self.build_stream(spark)
+            df = (df.withColumn("_hdfs_dir",
+                                compile_interpolated(str(ho["directory"])))
+                    .withColumn("_hdfs_path",
+                                compile_interpolated(str(ho["path"]))))
+            writer = hdfs_sink(
+                ho.get("hosts") or [str(ho.get("host", "127.0.0.1:9870"))],
+                user=str(ho.get("user", "bento")),
+                value_col=ho.get("value_col"),
+            )
         elif out.get("http_server"):
             # GET/stream/websocket serving endpoints over a bounded queue
             # (output_http_server.go:147) — driver-side serving bridge;
