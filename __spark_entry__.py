@@ -1738,6 +1738,56 @@ def q_s3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.stop()
 
 
+def q_hdfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDFS message-level connector end-to-end (hdfs/output.go + input.go
+    over the public WebHDFS REST API, streaming/hdfs.py): nations write
+    one file each through the output writer (two-step CREATE against the
+    namenode's 307 datanode redirect, executors hold the clients), then
+    the directory listing is consumed back through the HdfsSpooler (one
+    pass, then stop — the reference's contract) and decoded from the
+    spool. The in-process MiniWebHdfsServer enforces user.name auth and
+    the redirect protocol."""
+    from bento_spark.streaming.hdfs import (
+        HdfsSpooler,
+        MiniWebHdfsServer,
+        hdfs_sink,
+        read_hdfs_spool_batch,
+    )
+
+    srv = MiniWebHdfsServer().start()
+    try:
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            F.lit("/data/nations").alias("_hdfs_dir"),
+            F.format_string("n-%05d.json", F.col("n_nationkey")).alias("_hdfs_path"),
+            F.to_json(
+                F.struct(
+                    F.col("n_nationkey").alias("nk"),
+                    F.col("n_name").alias("name"),
+                    (F.col("n_regionkey") * 10).cast("long").alias("score"),
+                )
+            ).alias("body"),
+        )
+        hdfs_sink(srv.endpoint, user="bento", value_col="body")(df, 0)
+        spool = _scratch_dir(
+            f"hdfs_spool_{os.path.basename(sf_dir.rstrip('/'))}", fresh=True)
+        sp = HdfsSpooler(hosts=srv.endpoint, user="bento",
+                         directory="/data/nations", spool_dir=spool).start()
+        try:
+            sp.wait_finished(60)
+        finally:
+            sp.stop()
+        out = read_hdfs_spool_batch(spark, spool)
+        rec = F.from_json("value", "nk int, name string, score bigint")
+        return out.select(
+            "hdfs_path",
+            rec.getField("nk").alias("n_nationkey"),
+            rec.getField("name").alias("nation_name"),
+            rec.getField("score").alias("score"),
+        )
+    finally:
+        srv.stop()
+
+
 def q_awk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`awk` processor (awk/processor.go) over the system awk binary:
     codec json flattens each nation document into variables, the program
@@ -2101,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_raw_roundtrip": q_sql_raw_roundtrip,
         "dynamodb_roundtrip": q_dynamodb_roundtrip,
         "opensnowcat_events": q_opensnowcat_events,
+        "hdfs_roundtrip": q_hdfs_roundtrip,
         # -- code paths touched this round --
         "kafka_roundtrip": q_kafka_roundtrip,
         # -- r04-green rows (rotate into the window as slots allow) --
@@ -2734,6 +2785,12 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["s3_roundtrip"] = """
         SELECT printf('nations/%05d.json', n_nationkey) AS s3_key,
+               n_nationkey, n_name AS nation_name,
+               CAST(n_regionkey * 10 AS BIGINT) AS score
+        FROM nation
+    """
+    sql["hdfs_roundtrip"] = """
+        SELECT printf('n-%05d.json', n_nationkey) AS hdfs_path,
                n_nationkey, n_name AS nation_name,
                CAST(n_regionkey * 10 AS BIGINT) AS score
         FROM nation

@@ -262,6 +262,14 @@ def read_hdfs_stream(spark, spool_dir: str,
     return _decorate_hdfs_spool(df)
 
 
+def read_hdfs_spool_batch(spark, spool_dir: str):
+    """Batch twin of read_hdfs_stream for bounded listing-mode
+    consumption (one listing pass == a complete batch, input.go)."""
+    df = (spark.read.format("text").option("wholetext", "true")
+          .load(f"{spool_dir}/*.msg"))
+    return _decorate_hdfs_spool(df)
+
+
 class MiniWebHdfsServer:
     """WebHDFS REST subset for e2e tests: LISTSTATUS / OPEN / two-step
     CREATE (namenode answers 307 with a datanode Location on THIS server;
