@@ -2887,6 +2887,76 @@ class Pipeline:
                 str(o["collection"]), "_mongo_filter",
                 out_col=o.get("out_col", "mongodb"),
             ).drop("_mongo_filter")
+        if name == "redis":
+            # one command per row (redis/processor.go): `command`
+            # interpolates, args_mapping -> ARRAY column; legacy
+            # `operator:`+`key:` form maps onto the same path. Batch
+            # pipelines as one round trip per partition.
+            from bento_spark.streaming.redis import (
+                parse_redis_url,
+                redis_command_map,
+            )
+
+            o = opts or {}
+            host, port = parse_redis_url(
+                str(o.get("url") or o.get("address", "127.0.0.1:6379")))
+            d = df
+            if o.get("operator"):
+                if o.get("args_mapping"):
+                    raise ValueError(
+                        "redis processor: args_mapping is invalid with an "
+                        "operator set (processor.go config lint)")
+                op = str(o["operator"])
+                if op not in ("keys", "scard", "sadd", "incrby"):
+                    raise ValueError(f"redis processor: unknown operator {op!r}")
+                key = compile_interpolated(str(o.get("key", "")))
+                content = F.col(o.get("column", "value")).cast("string")
+                args = (F.array(key, content) if op in ("sadd", "incrby")
+                        else F.array(key))
+                d = (d.withColumn("_redis_cmd", F.lit(op))
+                       .withColumn("_redis_args", args))
+            else:
+                if not o.get("command"):
+                    raise ValueError(
+                        "redis processor: one of `operator` or `command` "
+                        "must be specified")
+                d = d.withColumn("_redis_cmd",
+                                 compile_interpolated(str(o["command"])))
+                if o.get("args_mapping"):
+                    d = d.withColumn("_redis_args",
+                                     compile_expr(str(o["args_mapping"])))
+            args_col = "_redis_args" if "_redis_args" in d.columns else None
+            out = redis_command_map(
+                d, host, port, "_redis_cmd", args_col=args_col,
+                out_col=str(o.get("out", "redis")),
+                retries=int(o.get("retries", 3)))
+            return out.drop("_redis_cmd", *([args_col] if args_col else []))
+        if name == "redis_script":
+            # Lua script per row via the script-cache protocol
+            # (redis/script_processor.go): EVALSHA, -NOSCRIPT rows retry
+            # as EVAL with the body
+            from bento_spark.streaming.redis import (
+                parse_redis_url,
+                redis_script_map,
+            )
+
+            o = opts or {}
+            host, port = parse_redis_url(
+                str(o.get("url") or o.get("address", "127.0.0.1:6379")))
+            d = df
+            keys_col = args_col = None
+            if o.get("keys_mapping"):
+                d = d.withColumn("_rs_keys", compile_expr(str(o["keys_mapping"])))
+                keys_col = "_rs_keys"
+            if o.get("args_mapping"):
+                d = d.withColumn("_rs_args", compile_expr(str(o["args_mapping"])))
+                args_col = "_rs_args"
+            out = redis_script_map(
+                d, host, port, str(o["script"]),
+                keys_col=keys_col, args_col=args_col,
+                out_col=str(o.get("out", "redis")),
+                retries=int(o.get("retries", 3)))
+            return out.drop(*[c for c in (keys_col, args_col) if c])
         if name == "aws_lambda":
             # invoke a Lambda per message (aws/processor_lambda.go:20):
             # result replaces the payload column; function errors set

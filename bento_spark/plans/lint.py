@@ -50,6 +50,10 @@ _REQUIRED = {
     "msgpack_decode": ("schema",),
     "avro_decode": ("schema",),
     "jmespath": ("query",),
+    "redis_script": ("script",),
+    "aws_lambda": ("function",),
+    "aws_dynamodb_partiql": ("query",),
+    "aws_s3": ("bucket", "key"),
     "image_resize": ("width", "height"),
     "frame_sample": ("every",),
     "avro_encode": ("columns", "schema"),

@@ -1120,6 +1120,71 @@ class MiniRedisServer:
     def _c_smembers(self, conn, a, raw):
         return sorted(self._set_of(a[0]))
 
+    # -- scripting (wire-protocol stub) ---------------------------------------
+    # The deliverable is the CLIENT's script-cache protocol (EVALSHA ->
+    # -NOSCRIPT -> EVAL, SHA-1 computed client-side); a real Lua VM cannot
+    # ship, so EVAL here understands only two forms — enough to verify
+    # keys/args marshaling against real state effects:
+    #   return redis.call('CMD', KEYS[i]/ARGV[j]/literals...)
+    #   return ARGV[n] / return KEYS[n]
+    def _c_script(self, conn, a, raw):
+        import hashlib as _hl
+
+        if a and a[0].upper() == "LOAD":
+            sha = _hl.sha1(raw[1]).hexdigest()
+            self._scripts = getattr(self, "_scripts", {})
+            self._scripts[sha] = a[1]
+            return sha.encode()
+        raise RedisError(f"unsupported SCRIPT subcommand {a[:1]}")
+
+    def _c_eval(self, conn, a, raw):
+        import hashlib as _hl
+
+        sha = _hl.sha1(raw[0]).hexdigest()
+        self._scripts = getattr(self, "_scripts", {})
+        self._scripts[sha] = a[0]
+        return self._eval_stub(a[0], a, raw)
+
+    def _c_evalsha(self, conn, a, raw):
+        body = getattr(self, "_scripts", {}).get(a[0].lower())
+        if body is None:
+            raise RedisError("NOSCRIPT No matching script. Please use EVAL.")
+        return self._eval_stub(body, a, raw)
+
+    def _eval_stub(self, body: str, a, raw):
+        import re as _re
+
+        nkeys = int(a[1])
+        keys, args = raw[2:2 + nkeys], raw[2 + nkeys:]
+
+        def resolve(tok: str) -> bytes:
+            m = _re.fullmatch(r"KEYS\[(\d+)\]", tok)
+            if m:
+                return keys[int(m.group(1)) - 1]
+            m = _re.fullmatch(r"ARGV\[(\d+)\]", tok)
+            if m:
+                return args[int(m.group(1)) - 1]
+            m = _re.fullmatch(r"'([^']*)'", tok)
+            if m:
+                return m.group(1).encode()
+            return tok.encode()
+
+        body = body.strip()
+        m = _re.fullmatch(
+            r"return\s+redis\.call\(\s*'(\w+)'\s*(?:,\s*([^)]*))?\)", body)
+        if m:
+            cmd = m.group(1).upper()
+            toks = [t.strip() for t in (m.group(2) or "").split(",") if t.strip()]
+            sub = [resolve(t) for t in toks]
+            h = getattr(self, f"_c_{cmd.lower()}", None)
+            if h is None:
+                raise RedisError(f"mini-eval: unknown command '{cmd}'")
+            return h(None, [x.decode("utf-8", "surrogateescape") for x in sub], sub)
+        m = _re.fullmatch(r"return\s+(KEYS\[\d+\]|ARGV\[\d+\])", body)
+        if m:
+            return resolve(m.group(1))
+        raise RedisError("mini-eval: unsupported script form (wire stub)")
+
     # -- pub/sub -------------------------------------------------------------
     def _c_publish(self, conn, a, raw):
         channel, payload = a[0], raw[1]
@@ -1243,3 +1308,188 @@ class MiniRedisServer:
     def _c_xpending(self, conn, a, raw):
         g = self._groups.get((a[0], a[1]))
         return len(g["pel"]) if g else 0
+
+
+# --------------------------------------------------------------------------
+# generic command + Lua script processors
+# --------------------------------------------------------------------------
+
+
+def _reply_to_json(v) -> str | None:
+    """Decoded RESP reply -> JSON string (the processor replaces message
+    content with the structured result, processor.go:223)."""
+
+    def conv(x):
+        if isinstance(x, bytes):
+            return x.decode("utf-8", "surrogateescape")
+        if isinstance(x, list):
+            return [conv(i) for i in x]
+        return x
+
+    return json.dumps(conv(v))
+
+
+def _arg_strs(args) -> list[str]:
+    if args is None:
+        return []
+    out = []
+    for a in args:
+        a = a.item() if hasattr(a, "item") else a
+        if isinstance(a, bool):
+            out.append("1" if a else "0")
+        elif isinstance(a, float) and a.is_integer():
+            out.append(str(int(a)))
+        else:
+            out.append(str(a))
+    return out
+
+
+def redis_command_map(df, host: str, port: int, command_col: str,
+                      args_col: str | None = None, out_col: str = "redis",
+                      retries: int = 3):
+    """`redis` processor (redis/processor.go): one command per row —
+    interpolated command COLUMN + args_mapping ARRAY column — with the
+    structured reply JSON-encoded into `out_col`. The whole Arrow batch
+    pipelines as ONE round trip per partition (client.pipeline); per-
+    command -ERR replies follow the error-column protocol without killing
+    the batch (the reference retries per message; transport-level retry
+    lives in the partition loop)."""
+    from bento_spark.operators.errors import ERROR_COL, ensure_error_col
+
+    if out_col in df.columns:
+        raise ValueError(f"redis processor: {out_col!r} collides with an input column")
+    df = ensure_error_col(df)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in cols] + [f"{out_col} string"]
+    )
+
+    def run(batches):
+        import time as _time
+
+        import pandas as _pd
+
+        from bento_spark.streaming.redis import (
+            RedisClient as _C,
+            RedisError as _E,
+            _arg_strs as _strs,
+            _reply_to_json as _enc,
+        )
+
+        client = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            args_series = (pdf[args_col] if args_col is not None
+                           else [None] * len(pdf))
+            commands = [
+                tuple([str(cmd)] + _strs(args))
+                for cmd, args in zip(pdf[command_col], args_series)
+            ]
+            replies = None
+            for attempt in range(retries + 1):
+                try:
+                    if client is None:
+                        client = _C(host, port)
+                    replies = client.pipeline(commands)
+                    break
+                except (ConnectionError, OSError):
+                    client = None
+                    if attempt == retries:
+                        raise
+                    _time.sleep(0.2 * (attempt + 1))
+            outs, errs = [], list(pdf[ERROR_COL])
+            for i, rep in enumerate(replies):
+                if isinstance(rep, _E):
+                    outs.append(None)
+                    errs[i] = errs[i] or f"redis: {rep}"
+                else:
+                    outs.append(_enc(rep))
+            pdf = pdf[cols].copy()
+            pdf[ERROR_COL] = errs
+            pdf[out_col] = outs
+            yield _pd.DataFrame(pdf)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def redis_script_map(df, host: str, port: int, script: str,
+                     keys_col: str | None = None, args_col: str | None = None,
+                     out_col: str = "redis", retries: int = 3):
+    """`redis_script` processor (redis/script_processor.go): EVALSHA with
+    the script's SHA-1 per row (keys_mapping/args_mapping arrays); rows
+    whose server misses the script (-NOSCRIPT) retry as EVAL with the
+    body — the standard script-cache protocol — pipelined per batch."""
+    import hashlib
+
+    from bento_spark.operators.errors import ERROR_COL, ensure_error_col
+
+    if out_col in df.columns:
+        raise ValueError(f"redis_script: {out_col!r} collides with an input column")
+    sha = hashlib.sha1(script.encode()).hexdigest()
+    df = ensure_error_col(df)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in cols] + [f"{out_col} string"]
+    )
+
+    def run(batches):
+        import time as _time
+
+        import pandas as _pd
+
+        from bento_spark.streaming.redis import (
+            RedisClient as _C,
+            RedisError as _E,
+            _arg_strs as _strs,
+            _reply_to_json as _enc,
+        )
+
+        client = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys_series = (pdf[keys_col] if keys_col is not None
+                           else [None] * len(pdf))
+            args_series = (pdf[args_col] if args_col is not None
+                           else [None] * len(pdf))
+            rows = [( _strs(k), _strs(a))
+                    for k, a in zip(keys_series, args_series)]
+            replies = None
+            for attempt in range(retries + 1):
+                try:
+                    if client is None:
+                        client = _C(host, port)
+                    replies = client.pipeline([
+                        ("EVALSHA", sha, str(len(k)), *k, *a) for k, a in rows
+                    ])
+                    miss = [i for i, r in enumerate(replies)
+                            if isinstance(r, _E) and "NOSCRIPT" in str(r)]
+                    if miss:
+                        fixed = client.pipeline([
+                            ("EVAL", script, str(len(rows[i][0])),
+                             *rows[i][0], *rows[i][1]) for i in miss
+                        ])
+                        for i, r in zip(miss, fixed):
+                            replies[i] = r
+                    break
+                except (ConnectionError, OSError):
+                    client = None
+                    if attempt == retries:
+                        raise
+                    _time.sleep(0.2 * (attempt + 1))
+            outs, errs = [], list(pdf[ERROR_COL])
+            for i, rep in enumerate(replies):
+                if isinstance(rep, _E):
+                    outs.append(None)
+                    errs[i] = errs[i] or f"redis_script: {rep}"
+                else:
+                    outs.append(_enc(rep))
+            pdf = pdf[cols].copy()
+            pdf[ERROR_COL] = errs
+            pdf[out_col] = outs
+            yield _pd.DataFrame(pdf)
+
+    return df.mapInPandas(run, schema=out_schema)
