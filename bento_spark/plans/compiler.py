@@ -343,6 +343,20 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "nats_jetstream" in inp:
+            # durable JetStream pull consumer (nats/input_jetstream.go) via
+            # the spool bridge; +ACK fires only after the spool rename
+            # (at-least-once, server-tracked redelivery). Consumer starts
+            # via start_jetstream_consumer().
+            o = inp["nats_jetstream"]
+            if not streaming:
+                raise ValueError("nats_jetstream input is streaming-only (pull source)")
+            from bento_spark.streaming.nats import read_jetstream_stream
+
+            return read_jetstream_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "nats" in inp:
             # core-NATS subscription (nats/input.go) via the spool bridge —
             # dependency-free text-protocol client (streaming/nats.py); the
@@ -997,6 +1011,25 @@ class Pipeline:
         hp = hp.removeprefix("kafka://").removeprefix("tcp://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 9092)
+
+    def start_jetstream_consumer(self):
+        """Start the pull-consumer bridge for an `input.nats_jetstream`
+        pipeline and return its handle (caller owns `.stop()`). Same
+        runtime-resource/plan split as start_http_listener."""
+        o = (self.conf.get("input") or {}).get("nats_jetstream")
+        if not o:
+            raise ValueError("pipeline has no input.nats_jetstream section")
+        from bento_spark.streaming.cep import duration_ms
+        from bento_spark.streaming.nats import JetStreamSpooler
+
+        host, port = self._nats_addr(o)
+        return JetStreamSpooler(
+            host=host, port=port, stream=str(o["stream"]),
+            durable=str(o.get("durable", "bento_spark")),
+            spool_dir=o["spool_dir"], subject=str(o.get("subject", "")),
+            deliver=str(o.get("deliver", "all")),
+            ack_wait_s=duration_ms(str(o.get("ack_wait", "30s"))) / 1000.0,
+        ).start()
 
     def start_nats_subscriber(self):
         """Start the subscriber bridge for an `input.nats` pipeline and
@@ -1990,6 +2023,24 @@ class Pipeline:
                         username=d.get("username"), password=d.get("password"),
                         key_col=key_col, value_col=d.get("value_col", "value"),
                         default_ttl=d.get("default_ttl"),
+                    )
+                if "nats_kv" in r:
+                    # KV bucket over JetStream subjects (nats/cache_kv.go):
+                    # acknowledged publishes, Create via expected-last-seq 0,
+                    # DIRECT.GET last_by_subj reads, DEL markers
+                    d = r["nats_kv"] or {}
+                    if "bucket" not in d:
+                        raise ValueError(
+                            f"cache resource {resource!r}: nats_kv backend "
+                            "needs `bucket`"
+                        )
+                    from bento_spark.streaming.nats import NatsKvCache
+
+                    url = (d.get("urls") or [d.get("url", "127.0.0.1:4222")])[0]
+                    return NatsKvCache(
+                        spark, str(url),
+                        bucket=str(d["bucket"]), key_col=key_col,
+                        value_col=d.get("value_col", "value"),
                     )
                 if "memcached" in r:
                     d = r["memcached"] or {}
@@ -3282,6 +3333,7 @@ class Pipeline:
             or out.get("nanomsg")
             or out.get("nsq")
             or out.get("nats")
+            or out.get("nats_jetstream")
             or out.get("pulsar")
             or out.get("redis_list")
             or out.get("redis_pubsub")
@@ -4097,6 +4149,17 @@ class Pipeline:
             host, port = self._mqtt_addr(m)
             writer = mqtt_sink(host, port, m["topic"], qos=int(m.get("qos", 1)),
                                retained=bool(m.get("retained", False)))
+        elif out.get("nats_jetstream"):
+            # acknowledged JetStream publish per row
+            # (nats/output_jetstream.go) — error acks fail/replay the task
+            from bento_spark.streaming.nats import nats_jetstream_sink
+
+            nj = out["nats_jetstream"]
+            df = self.build_stream(spark).withColumn(
+                "_js_subject", compile_interpolated(str(nj["subject"])))
+            host, port = self._nats_addr(nj)
+            writer = nats_jetstream_sink(host, port, "_js_subject",
+                                         value_col=nj.get("value_col"))
         elif out.get("nats"):
             # dependency-free core-NATS publisher (nats/output.go:
             # interpolated subject) — the per-row subject compiles to a

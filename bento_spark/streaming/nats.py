@@ -419,6 +419,17 @@ class MiniNatsServer:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        # JetStream state (see the JetStream layer above): stream name ->
+        # {subjects, msgs, seq}; consumer (stream, durable) -> state
+        self._js_streams: dict[str, dict] = {}
+        self._js_consumers: dict[tuple[str, str], dict] = {}
+        self._js_lock = threading.Lock()
+
+    def add_stream(self, name: str, subjects: list[str]) -> None:
+        """Register a JetStream stream (tests; STREAM.CREATE does the same)."""
+        with self._js_lock:
+            self._js_streams[name] = {"subjects": list(subjects),
+                                      "msgs": [], "seq": 0}
 
     def start(self) -> "MiniNatsServer":
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -496,7 +507,20 @@ class MiniNatsServer:
                     nbytes = int(parts[-1])
                     payload = io.read_exact(nbytes)
                     io.read_exact(2)
-                    self._route(subject, reply, payload)
+                    if not self._js_intercept(subject, reply, {}, payload):
+                        self._route(subject, reply, payload)
+                elif verb == b"HPUB":
+                    parts = line.decode().split(" ")
+                    # HPUB <subject> [reply-to] <hdr_len> <total_len>
+                    subject = parts[1]
+                    reply = parts[2] if len(parts) == 5 else None
+                    hdr_len, total = int(parts[-2]), int(parts[-1])
+                    blob = io.read_exact(total)
+                    io.read_exact(2)
+                    _st, hdrs = _parse_headers(blob[:hdr_len])
+                    payload = blob[hdr_len:]
+                    if not self._js_intercept(subject, reply, hdrs, payload):
+                        self._route(subject, reply, payload)
         except (ConnectionError, OSError, ValueError):
             pass
         finally:
@@ -507,7 +531,177 @@ class MiniNatsServer:
             except OSError:
                 pass
 
-    def _route(self, subject: str, reply: str | None, payload: bytes) -> None:
+    # -- JetStream (wire-faithful subset for the e2e tests) -------------------
+    def _js_intercept(self, subject: str, reply: str | None,
+                      hdrs: dict, payload: bytes) -> bool:
+        """Handle $JS.API.* / $JS.ACK.* / stream-subject publishes.
+        Returns True when fully handled (no core routing)."""
+        import time as _time
+
+        if subject.startswith("$JS.API."):
+            self._js_api(subject[len("$JS.API."):], reply, payload)
+            return True
+        if subject.startswith("$JS.ACK."):
+            toks = subject.split(".")
+            key = (toks[2], toks[3])
+            with self._js_lock:
+                c = self._js_consumers.get(key)
+                if c is not None and len(toks) > 5:
+                    sseq = int(toks[5])
+                    c["pending"].pop(sseq, None)
+                    c["acked"].add(sseq)
+            return True
+        # stream ingestion: first stream whose subject set matches
+        ack: dict | None = None
+        with self._js_lock:
+            for name, st in self._js_streams.items():
+                if any(subject_matches(f, subject) for f in st["subjects"]):
+                    want = hdrs.get("Nats-Expected-Last-Subject-Sequence")
+                    if want is not None:
+                        last = 0
+                        for m in st["msgs"]:
+                            if m["subject"] == subject:
+                                last = m["seq"]
+                        if int(want) != last:
+                            ack = {"error": {
+                                "code": 400, "err_code": 10071,
+                                "description": f"wrong last sequence: {last}"}}
+                            break
+                    st["seq"] += 1
+                    st["msgs"].append({"seq": st["seq"], "subject": subject,
+                                       "hdrs": dict(hdrs), "payload": payload,
+                                       "t": _time.monotonic()})
+                    ack = {"stream": name, "seq": st["seq"]}
+                    break
+        if ack is not None and reply:
+            self._route(reply, None, json.dumps(ack).encode())
+        return False  # core subscribers still receive stream subjects
+
+    def _js_api(self, verb: str, reply: str | None, payload: bytes) -> None:
+        import time as _time
+
+        def answer(doc: dict) -> None:
+            if reply:
+                self._route(reply, None, json.dumps(doc).encode())
+
+        try:
+            req = json.loads(payload) if payload else {}
+        except ValueError:
+            req = {}
+        if verb.startswith("STREAM.CREATE."):
+            name = verb[len("STREAM.CREATE."):]
+            self.add_stream(name, req.get("subjects") or [name])
+            return answer({"did_create": True,
+                           "config": {"name": name,
+                                      "subjects": req.get("subjects")}})
+        if verb.startswith("CONSUMER.DURABLE.CREATE."):
+            stream, durable = verb[len("CONSUMER.DURABLE.CREATE."):].split(".", 1)
+            cfg = req.get("config") or {}
+            with self._js_lock:
+                if stream not in self._js_streams:
+                    return answer({"error": {"code": 404,
+                                             "description": "stream not found"}})
+                st = self._js_streams[stream]
+                pol = cfg.get("deliver_policy", "all")
+                if pol == "last":
+                    start_seq = max(st["seq"], 1)
+                elif pol == "new":
+                    start_seq = st["seq"] + 1
+                else:  # all
+                    start_seq = 1
+                self._js_consumers.setdefault((stream, durable), {
+                    "filter": cfg.get("filter_subject", ""),
+                    "ack_wait_s": (cfg.get("ack_wait") or 30_000_000_000) / 1e9,
+                    "next_seq": start_seq,
+                    "pending": {}, "acked": set(),
+                })
+            return answer({"name": durable, "stream_name": stream})
+        if verb.startswith("CONSUMER.MSG.NEXT."):
+            stream, durable = verb[len("CONSUMER.MSG.NEXT."):].split(".", 1)
+            now = _time.monotonic()
+            deliver = None
+            with self._js_lock:
+                c = self._js_consumers.get((stream, durable))
+                st = self._js_streams.get(stream)
+                if c is None or st is None:
+                    return answer({"error": {"code": 404,
+                                             "description": "consumer not found"}})
+                # redelivery first: pending past ack_wait
+                for sseq in sorted(c["pending"]):
+                    if c["pending"][sseq] + c["ack_wait_s"] < now:
+                        deliver = next(m for m in st["msgs"] if m["seq"] == sseq)
+                        break
+                if deliver is None:
+                    for m in st["msgs"]:
+                        if m["seq"] < c["next_seq"] or m["seq"] in c["acked"]:
+                            continue
+                        if c["filter"] and not subject_matches(
+                                c["filter"], m["subject"]):
+                            c["next_seq"] = m["seq"] + 1
+                            continue
+                        deliver = m
+                        c["next_seq"] = m["seq"] + 1
+                        break
+                if deliver is not None:
+                    c["pending"][deliver["seq"]] = now
+            if deliver is None:
+                if reply:
+                    self._route_h(reply, None, "404 No Messages", {}, b"")
+                return
+            ack_subj = (f"$JS.ACK.{stream}.{durable}.1.{deliver['seq']}"
+                        f".{deliver['seq']}.0.0")
+            if reply:
+                if deliver["hdrs"]:
+                    self._route_h(reply, ack_subj, "", deliver["hdrs"],
+                                  deliver["payload"],
+                                  subject_override=deliver["subject"])
+                else:
+                    self._route(reply, ack_subj, deliver["payload"],
+                                subject_override=deliver["subject"])
+            return
+        if verb.startswith("DIRECT.GET."):
+            stream = verb[len("DIRECT.GET."):]
+            subj = req.get("last_by_subj", "")
+            hit = None
+            with self._js_lock:
+                st = self._js_streams.get(stream)
+                if st is not None:
+                    for m in st["msgs"]:
+                        if m["subject"] == subj:
+                            hit = m
+            if reply:
+                if hit is None:
+                    self._route_h(reply, None, "404 Message Not Found", {}, b"")
+                else:
+                    hdrs = {"Nats-Subject": hit["subject"],
+                            "Nats-Sequence": str(hit["seq"]), **hit["hdrs"]}
+                    self._route_h(reply, None, "", hdrs, hit["payload"])
+            return
+        return answer({"error": {"code": 400,
+                                 "description": f"unknown api {verb}"}})
+
+    def _route_h(self, subject: str, reply: str | None, status: str,
+                 headers: dict[str, str], payload: bytes,
+                 subject_override: str | None = None) -> None:
+        """HMSG delivery to matching subscribers (status + headers)."""
+        first = f"NATS/1.0 {status}".rstrip() + "\r\n"
+        hdr = (first + "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+               + "\r\n").encode()
+        total = len(hdr) + len(payload)
+        wire_subject = subject_override or subject
+        with self._lock:
+            targets = [(s, sid) for s, filt, sid, _q in self._subs
+                       if subject_matches(filt, subject)]
+        for sock, sid in targets:
+            head = (f"HMSG {wire_subject} {sid} "
+                    f"{reply + ' ' if reply else ''}{len(hdr)} {total}")
+            try:
+                sock.sendall(head.encode() + _CRLF + hdr + payload + _CRLF)
+            except OSError:
+                pass
+
+    def _route(self, subject: str, reply: str | None, payload: bytes,
+               subject_override: str | None = None) -> None:
         with self._lock:
             matches = [s for s in self._subs if subject_matches(s[1], subject)]
             # queue groups: exactly one member per (filter, queue) group,
@@ -524,9 +718,468 @@ class MiniNatsServer:
                 i = self._rr.get(k, 0) % len(members)
                 self._rr[k] = i + 1
                 targets.append(members[i])
+            wire_subject = subject_override or subject
             for sock, sid in targets:
-                head = f"MSG {subject} {sid} {reply + ' ' if reply else ''}{len(payload)}"
+                head = (f"MSG {wire_subject} {sid} "
+                        f"{reply + ' ' if reply else ''}{len(payload)}")
                 try:
                     sock.sendall(head.encode() + _CRLF + payload + _CRLF)
                 except OSError:
                     pass
+
+
+# --------------------------------------------------------------------------
+# JetStream layer (input_jetstream.go / output_jetstream.go / cache_kv.go)
+# --------------------------------------------------------------------------
+# JetStream rides ON core NATS: every API call is request-reply on
+# `$JS.API.*`, publishes acknowledge via the reply inbox, and status
+# signals (404 no-messages) arrive as NATS/1.0 header messages — so the
+# layer below is HPUB/HMSG (the public headers extension) plus JSON docs.
+
+
+class JsError(ConnectionError):
+    """A JetStream API or pub-ack error ({"error":{...}} reply)."""
+
+
+def _fmt_headers(headers: dict[str, str] | None) -> bytes:
+    lines = "".join(f"{k}: {v}\r\n" for k, v in (headers or {}).items())
+    return f"NATS/1.0\r\n{lines}\r\n".encode()
+
+
+def _parse_headers(blob: bytes) -> tuple[str, dict[str, str]]:
+    """-> (status line remainder e.g. '404 No Messages' or '', headers)."""
+    text = blob.decode("utf-8", "replace")
+    lines = text.split("\r\n")
+    status = lines[0][len("NATS/1.0"):].strip()
+    hdrs = {}
+    for ln in lines[1:]:
+        if not ln:
+            continue
+        k, _, v = ln.partition(":")
+        hdrs[k.strip()] = v.strip()
+    return status, hdrs
+
+
+class NatsJsClient(NatsClient):
+    """NatsClient + the headers extension (HPUB/HMSG) and JetStream
+    request helpers. CONNECT advertises headers support."""
+
+    def __init__(self, host: str, port: int, name: str | None = None,
+                 timeout: float = 10.0):
+        super().__init__(host, port, name=name, timeout=timeout)
+        # re-CONNECT with headers:true (idempotent; servers accept
+        # repeated CONNECT) so status/KV header messages flow
+        opts = {"verbose": False, "pedantic": False, "tls_required": False,
+                "name": name or "bento-spark-js", "lang": "python",
+                "version": "0", "protocol": 1, "headers": True}
+        self.sock.sendall(b"CONNECT " + json.dumps(opts).encode() + _CRLF)
+        self.flush()
+
+    def publish_h(self, subject: str, payload: bytes,
+                  headers: dict[str, str] | None = None,
+                  reply: str | None = None) -> None:
+        hdr = _fmt_headers(headers)
+        total = len(hdr) + len(payload)
+        head = (f"HPUB {subject} {reply + ' ' if reply else ''}"
+                f"{len(hdr)} {total}")
+        self.sock.sendall(head.encode() + _CRLF + hdr + payload + _CRLF)
+
+    def recv_any(self) -> tuple[str, int, str | None, str, dict[str, str], bytes]:
+        """Next MSG or HMSG -> (subject, sid, reply, status, headers,
+        payload); status/headers are '' / {} for plain MSG."""
+        while True:
+            line = self._io.read_line()
+            if line.startswith(b"MSG "):
+                parts = line.decode().split(" ")
+                subject, sid = parts[1], int(parts[2])
+                reply = parts[3] if len(parts) == 5 else None
+                payload = self._io.read_exact(int(parts[-1]))
+                self._io.read_exact(2)
+                return subject, sid, reply, "", {}, payload
+            if line.startswith(b"HMSG "):
+                parts = line.decode().split(" ")
+                # HMSG <subject> <sid> [reply] <hdr_len> <total_len>
+                subject, sid = parts[1], int(parts[2])
+                reply = parts[3] if len(parts) == 6 else None
+                hdr_len, total = int(parts[-2]), int(parts[-1])
+                blob = self._io.read_exact(total)
+                self._io.read_exact(2)
+                status, hdrs = _parse_headers(blob[:hdr_len])
+                return subject, sid, reply, status, hdrs, blob[hdr_len:]
+            if line == b"PING":
+                self.sock.sendall(b"PONG" + _CRLF)
+                continue
+            if line in (b"PONG", b"+OK"):
+                continue
+            if line.startswith(b"-ERR"):
+                raise ConnectionError(f"nats: {line.decode(errors='replace')}")
+
+    def request2(self, subject: str, payload: bytes,
+                 headers: dict[str, str] | None = None, timeout: float = 5.0
+                 ) -> tuple[str, dict[str, str], bytes]:
+        """Request-reply that survives header replies -> (status, headers,
+        payload)."""
+        inbox = f"_INBOX.{uuid.uuid4().hex}"
+        sid = self.subscribe(inbox)
+        old = self.sock.gettimeout()
+        try:
+            if headers:
+                self.publish_h(subject, payload, headers=headers, reply=inbox)
+            else:
+                self.publish(subject, payload, reply=inbox)
+            self.sock.settimeout(timeout)
+            while True:
+                _s, msid, _r, status, hdrs, data = self.recv_any()
+                if msid == sid:
+                    return status, hdrs, data
+        finally:
+            self.sock.settimeout(old)
+            try:
+                self.unsubscribe(sid)
+            except OSError:
+                pass
+
+    def js_api(self, verb: str, doc: dict | None = None,
+               timeout: float = 5.0) -> dict:
+        """$JS.API request -> parsed JSON reply; {"error":...} raises."""
+        _status, _h, data = self.request2(
+            f"$JS.API.{verb}", json.dumps(doc or {}).encode(), timeout=timeout)
+        out = json.loads(data) if data else {}
+        if isinstance(out, dict) and out.get("error"):
+            e = out["error"]
+            raise JsError(f"$JS.API.{verb}: {e.get('description', e)}")
+        return out
+
+    def js_publish(self, subject: str, payload: bytes,
+                   headers: dict[str, str] | None = None,
+                   timeout: float = 5.0) -> dict:
+        """Publish expecting a pub-ack ({"stream","seq"}); ack errors
+        raise (output_jetstream.go PublishMsg)."""
+        _status, _h, data = self.request2(subject, payload, headers=headers,
+                                          timeout=timeout)
+        ack = json.loads(data) if data else {}
+        if isinstance(ack, dict) and ack.get("error"):
+            e = ack["error"]
+            raise JsError(f"pub-ack {subject}: {e.get('description', e)}")
+        return ack
+
+
+def nats_jetstream_sink(host: str, port: int, subject_col: str = "_js_subject",
+                        value_col: str | None = None):
+    """`nats_jetstream` output (output_jetstream.go): one acknowledged
+    publish per row (interpolated subject COLUMN; body = value_col raw or
+    the row as JSON). The pub-ack is awaited per message — an error ack
+    raises and fails/replays the task (at-least-once, the reference's
+    level)."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        if value_col:
+            body = F.col(value_col).cast("string")
+        else:
+            data_cols = [c for c in batch_df.columns if c != subject_col]
+            body = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+        payloads = batch_df.select(F.col(subject_col).alias("s"), body.alias("v"))
+
+        def send(rows) -> None:
+            # imported here: worker closures must re-resolve submodules
+            from bento_spark.streaming.nats import NatsJsClient
+
+            client = None
+            try:
+                for row in rows:
+                    if client is None:
+                        client = NatsJsClient(host, port)
+                    client.js_publish(row.s, (row.v or "").encode("utf-8"))
+            finally:
+                if client is not None:
+                    client.close()
+
+        payloads.foreachPartition(send)
+
+    return write_batch
+
+
+@dataclass
+class JetStreamSpooler:
+    """`nats_jetstream` input (input_jetstream.go) as a durable PULL
+    consumer: CONSUMER.DURABLE.CREATE, then MSG.NEXT one message at a
+    time; +ACK goes to the delivery's `$JS.ACK...` reply subject only
+    AFTER the spool rename (at-least-once — an unacked delivery
+    redelivers after ack_wait, which the server tracks)."""
+
+    host: str
+    port: int
+    stream: str
+    durable: str
+    spool_dir: str
+    subject: str = ""          # filter subject ('' = whole stream)
+    deliver: str = "all"       # all | last (input_jetstream.go `deliver`)
+    ack_wait_s: float = 30.0
+    poll_interval_s: float = 0.05
+    error: str | None = field(default=None, repr=False)
+    _client: NatsJsClient | None = field(default=None, repr=False)
+    _thread: threading.Thread | None = field(default=None, repr=False)
+    _stop: threading.Event = field(default_factory=threading.Event, repr=False)
+
+    def start(self) -> "JetStreamSpooler":
+        spool = Path(self.spool_dir)
+        spool.mkdir(parents=True, exist_ok=True)
+        client = NatsJsClient(self.host, self.port)
+        cfg = {
+            "stream_name": self.stream,
+            "config": {
+                "durable_name": self.durable,
+                "ack_policy": "explicit",
+                "deliver_policy": self.deliver,
+                "ack_wait": int(self.ack_wait_s * 1e9),
+                **({"filter_subject": self.subject} if self.subject else {}),
+            },
+        }
+        client.js_api(f"CONSUMER.DURABLE.CREATE.{self.stream}.{self.durable}",
+                      cfg)
+        self._client = client
+        seq = {"n": 0}
+
+        def run() -> None:
+            next_subj = f"CONSUMER.MSG.NEXT.{self.stream}.{self.durable}"
+            while not self._stop.is_set():
+                try:
+                    status, _h, payload, reply, subject = self._next(
+                        client, next_subj)
+                except (ConnectionError, OSError, ValueError) as e:
+                    if not self._stop.is_set():
+                        self.error = f"{type(e).__name__}: {e}"
+                    return
+                if status.startswith(("404", "408")):  # empty / expired
+                    self._stop.wait(self.poll_interval_s)
+                    continue
+                # stream sequence rides token 6 of the ack subject
+                # ($JS.ACK.<stream>.<consumer>.<delivered>.<sseq>...)
+                toks = (reply or "").split(".")
+                sseq = toks[5] if len(toks) > 5 else "0"
+                seq["n"] += 1
+                name = (f"{seq['n']:012d}-{subject.encode().hex()}"
+                        f"-{int(sseq):020d}-{uuid.uuid4().hex}.msg")
+                tmp = spool / f".{name}.tmp"
+                tmp.write_bytes(b"." + payload)  # 1-byte pad (empty KV values)
+                tmp.rename(spool / name)
+                if reply:  # ack AFTER the durable rename
+                    client.publish(reply, b"+ACK")
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        return self
+
+    @staticmethod
+    def _next(client: NatsJsClient, next_subj: str):
+        """One MSG.NEXT round trip -> (status, headers, payload,
+        ack_reply, subject)."""
+        inbox = f"_INBOX.{uuid.uuid4().hex}"
+        sid = client.subscribe(inbox)
+        try:
+            client.publish(f"$JS.API.{next_subj}",
+                           json.dumps({"batch": 1, "no_wait": True}).encode(),
+                           reply=inbox)
+            while True:
+                subject, msid, reply, status, hdrs, payload = client.recv_any()
+                if msid == sid:
+                    return status, hdrs, payload, reply, subject
+        finally:
+            try:
+                client.unsubscribe(sid)
+            except OSError:
+                pass
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._client is not None:
+            self._client.close()
+            self._client = None
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+
+
+def read_jetstream_stream(spark, spool_dir: str,
+                          max_files_per_trigger: int | None = None):
+    """File stream over a JetStreamSpooler's dir: `value string` +
+    nats_subject / nats_sequence columns."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.streaming.http_server import read_spool_stream
+
+    df = read_spool_stream(spark, spool_dir, whole_body=True,
+                           max_files_per_trigger=max_files_per_trigger)
+    fname = F.input_file_name()
+    pat = r"/\d{12}-([0-9a-f]*)-(\d{20})-[0-9a-f]{32}\.msg$"
+    return (
+        df.withColumn("nats_subject",
+                      F.decode(F.unhex(F.regexp_extract(fname, pat, 1)), "UTF-8"))
+          .withColumn("nats_sequence",
+                      F.regexp_extract(fname, pat, 2).cast("long"))
+          .withColumn("value", F.expr("substring(value, 2)"))
+    )
+
+
+class NatsKvCache:
+    """`nats_kv` cache backend (nats/cache_kv.go): a KV bucket is the
+    stream `KV_<bucket>` keyed on `$KV.<bucket>.<key>` subjects. set =
+    acknowledged publish; add = publish with
+    Nats-Expected-Last-Subject-Sequence: 0 (the KV Create contract —
+    the ack errors when the key has history); get = DIRECT.GET
+    last_by_subj (a DEL marker reads as absent); delete = publish with
+    KV-Operation: DEL. Shared cache-operator contract (see
+    MemcachedCache) so `cache_resources:` wiring works unchanged.
+    TTL is a bucket-level max_age in real NATS, not per-key — per-entry
+    ttl is rejected loudly."""
+
+    single_value = True
+
+    def __init__(self, spark, address: str, bucket: str,
+                 key_col: str = "key", value_col: str = "value"):
+        self.spark = spark
+        host, _, port = address.rpartition("://")[2].partition(":")
+        self.host, self.port = host or "127.0.0.1", int(port or 4222)
+        self.bucket = bucket
+        self.key_col, self.value_col = key_col, value_col
+
+    def _reject_ttl(self, ttl) -> None:
+        if ttl is not None:
+            raise ValueError(
+                "nats_kv cache: per-entry TTL is not part of the KV "
+                "contract (bucket max_age governs expiry) — cache_kv.go")
+
+    def set(self, df, ttl=None, now_ms=None) -> None:
+        from pyspark.sql import functions as F
+
+        self._reject_ttl(ttl)
+        host, port, bucket = self.host, self.port, self.bucket
+        rows = df.dropDuplicates([self.key_col]).select(
+            F.col(self.key_col).cast("string").alias("k"),
+            F.col(self.value_col).cast("string").alias("v"))
+
+        def send(it) -> None:
+            from bento_spark.streaming.nats import NatsJsClient as _C
+
+            client = None
+            try:
+                for row in it:
+                    if client is None:
+                        client = _C(host, port)
+                    client.js_publish(f"$KV.{bucket}.{row.k}",
+                                      ("" if row.v is None else row.v).encode())
+            finally:
+                if client is not None:
+                    client.close()
+
+        rows.foreachPartition(send)
+
+    def add(self, df, ttl=None, now_ms=None):
+        from pyspark.sql import functions as F
+
+        self._reject_ttl(ttl)
+        host, port, bucket = self.host, self.port, self.bucket
+        key_col, value_col = self.key_col, self.value_col
+        fresh = df.dropDuplicates([key_col])
+
+        def attempt(iter_pdf):
+            import pandas as pd
+
+            from bento_spark.streaming.nats import JsError as _JsErr
+            from bento_spark.streaming.nats import NatsJsClient as _C
+
+            client = _C(host, port)
+            try:
+                for pdf in iter_pdf:
+                    accepted = []
+                    for k, v in zip(pdf[key_col], pdf[value_col]):
+                        try:
+                            client.js_publish(
+                                f"$KV.{bucket}.{k}",
+                                ("" if v is None else str(v)).encode(),
+                                headers={
+                                    "Nats-Expected-Last-Subject-Sequence": "0"})
+                            accepted.append(True)
+                        except _JsErr:
+                            accepted.append(False)
+                    yield pd.DataFrame({
+                        key_col: [str(k) for k in pdf[key_col]],
+                        "_accepted": accepted,
+                    })
+            finally:
+                client.close()
+
+        verdicts = (
+            fresh.select(F.col(key_col).cast("string").alias(key_col), value_col)
+            .mapInPandas(attempt, f"{key_col} string, _accepted boolean")
+            .localCheckpoint(eager=True)  # exactly-once add attempt
+        )
+        rejected = verdicts.filter(~F.col("_accepted")).select(key_col)
+        return fresh.join(F.broadcast(rejected), key_col, "left_semi")
+
+    def delete(self, keys) -> None:
+        from pyspark.sql import functions as F
+
+        host, port, bucket = self.host, self.port, self.bucket
+        rows = keys.select(F.col(self.key_col).cast("string").alias("k"))
+
+        def send(it) -> None:
+            from bento_spark.streaming.nats import NatsJsClient as _C
+
+            client = None
+            try:
+                for row in it:
+                    if client is None:
+                        client = _C(host, port)
+                    client.js_publish(f"$KV.{bucket}.{row.k}", b"",
+                                      headers={"KV-Operation": "DEL"})
+            finally:
+                if client is not None:
+                    client.close()
+
+        rows.foreachPartition(send)
+
+    def get(self, df, on: str | None = None, broadcast: bool = True, now_ms=None):
+        from pyspark.sql import functions as F
+
+        key = on or self.key_col
+        host, port, bucket = self.host, self.port, self.bucket
+        key_col, value_col = self.key_col, self.value_col
+        distinct = df.select(F.col(key).cast("string").alias(key_col)).distinct()
+
+        def fetch(iter_pdf):
+            import json as _json
+
+            import pandas as pd
+
+            from bento_spark.streaming.nats import NatsJsClient as _C
+
+            client = _C(host, port)
+            try:
+                for pdf in iter_pdf:
+                    vals = []
+                    for k in pdf[key_col]:
+                        status, hdrs, data = client.request2(
+                            f"$JS.API.DIRECT.GET.KV_{bucket}",
+                            _json.dumps(
+                                {"last_by_subj": f"$KV.{bucket}.{k}"}).encode())
+                        if (status.startswith("404")
+                                or hdrs.get("KV-Operation") == "DEL"):
+                            vals.append(None)
+                        elif not status:
+                            vals.append(data.decode("utf-8", "replace"))
+                        else:
+                            raise ConnectionError(
+                                f"nats_kv get {k}: status {status}")
+                    yield pd.DataFrame({key_col: [str(k) for k in pdf[key_col]],
+                                        value_col: vals})
+            finally:
+                client.close()
+
+        side = distinct.mapInPandas(fetch, f"{key_col} string, {value_col} string")
+        side = side.filter(F.col(value_col).isNotNull())
+        if key != key_col:
+            side = side.withColumnRenamed(key_col, key)
+        if broadcast:
+            side = F.broadcast(side)
+        return df.join(side, key, "left")
