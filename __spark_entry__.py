@@ -1788,6 +1788,68 @@ def q_hdfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.stop()
 
 
+def q_jetstream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATS JetStream end-to-end (nats/output_jetstream.go +
+    input_jetstream.go over the public headers extension,
+    streaming/nats.py): nations publish one acknowledged message each,
+    then a durable pull consumer drains the stream into the spool —
+    +ACK only after the rename — and the decode re-derives the rows.
+    The in-process MiniNatsServer implements the JetStream wire subset
+    (pub-acks, MSG.NEXT, ack tracking)."""
+    import time as _time
+
+    from bento_spark.streaming.nats import (
+        JetStreamSpooler,
+        MiniNatsServer,
+        nats_jetstream_sink,
+    )
+
+    srv = MiniNatsServer().start()
+    try:
+        srv.add_stream("NATIONS", ["nations.>"])
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            F.format_string("nations.%d", F.col("n_nationkey")).alias("_js_subject"),
+            F.to_json(
+                F.struct(
+                    F.col("n_nationkey").alias("nk"),
+                    F.col("n_name").alias("name"),
+                    (F.col("n_regionkey") * 10).cast("long").alias("score"),
+                )
+            ).alias("body"),
+        )
+        nats_jetstream_sink(srv.host, srv.port, "_js_subject",
+                            value_col="body")(df, 0)
+        spool = _scratch_dir(
+            f"js_spool_{os.path.basename(sf_dir.rstrip('/'))}", fresh=True)
+        sp = JetStreamSpooler(host=srv.host, port=srv.port, stream="NATIONS",
+                              durable="oracle", spool_dir=spool).start()
+        try:
+            total = srv._js_streams["NATIONS"]["seq"]
+            deadline = _time.monotonic() + 60
+            import glob as _glob
+
+            while len(_glob.glob(f"{spool}/*.msg")) < total:
+                if sp.error:
+                    raise RuntimeError(f"jetstream spooler: {sp.error}")
+                if _time.monotonic() > deadline:
+                    raise RuntimeError("jetstream spooler timed out")
+                _time.sleep(0.05)
+        finally:
+            sp.stop()
+        from bento_spark.streaming.nats import read_jetstream_spool_batch
+
+        out = read_jetstream_spool_batch(spark, spool)
+        rec = F.from_json("value", "nk int, name string, score bigint")
+        return out.select(
+            "nats_subject",
+            rec.getField("nk").alias("n_nationkey"),
+            rec.getField("name").alias("nation_name"),
+            rec.getField("score").alias("score"),
+        )
+    finally:
+        srv.stop()
+
+
 def q_awk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`awk` processor (awk/processor.go) over the system awk binary:
     codec json flattens each nation document into variables, the program
@@ -2152,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamodb_roundtrip": q_dynamodb_roundtrip,
         "opensnowcat_events": q_opensnowcat_events,
         "hdfs_roundtrip": q_hdfs_roundtrip,
+        "jetstream_roundtrip": q_jetstream_roundtrip,
         # -- code paths touched this round --
         "kafka_roundtrip": q_kafka_roundtrip,
         # -- r04-green rows (rotate into the window as slots allow) --
@@ -2785,6 +2848,12 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["s3_roundtrip"] = """
         SELECT printf('nations/%05d.json', n_nationkey) AS s3_key,
+               n_nationkey, n_name AS nation_name,
+               CAST(n_regionkey * 10 AS BIGINT) AS score
+        FROM nation
+    """
+    sql["jetstream_roundtrip"] = """
+        SELECT 'nations.' || CAST(n_nationkey AS VARCHAR) AS nats_subject,
                n_nationkey, n_name AS nation_name,
                CAST(n_regionkey * 10 AS BIGINT) AS score
         FROM nation

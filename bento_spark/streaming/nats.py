@@ -1021,6 +1021,24 @@ def read_jetstream_stream(spark, spool_dir: str,
     )
 
 
+def read_jetstream_spool_batch(spark, spool_dir: str):
+    """Batch twin of read_jetstream_stream for bounded drains (a fully
+    acked spool IS a complete batch)."""
+    from pyspark.sql import functions as F
+
+    df = (spark.read.format("text").option("wholetext", "true")
+          .load(f"{spool_dir}/*.msg"))
+    fname = F.input_file_name()
+    pat = r"/\d{12}-([0-9a-f]*)-(\d{20})-[0-9a-f]{32}\.msg$"
+    return (
+        df.withColumn("nats_subject",
+                      F.decode(F.unhex(F.regexp_extract(fname, pat, 1)), "UTF-8"))
+          .withColumn("nats_sequence",
+                      F.regexp_extract(fname, pat, 2).cast("long"))
+          .withColumn("value", F.expr("substring(value, 2)"))
+    )
+
+
 class NatsKvCache:
     """`nats_kv` cache backend (nats/cache_kv.go): a KV bucket is the
     stream `KV_<bucket>` keyed on `$KV.<bucket>.<key>` subjects. set =
