@@ -343,6 +343,19 @@ class Pipeline:
                 spark, o["spool_dir"],
                 max_files_per_trigger=o.get("max_files_per_trigger"),
             )
+        if "nats_object_store" in inp:
+            # watch an object-store bucket; each metadata update fetches
+            # the OBJECT and spools it as one message (nats/input_os.go).
+            # Consumer starts via start_nats_os_consumer().
+            o = inp["nats_object_store"]
+            if not streaming:
+                raise ValueError("nats_object_store input is streaming-only (pull source)")
+            from bento_spark.streaming.nats import read_nats_os_stream
+
+            return read_nats_os_stream(
+                spark, o["spool_dir"],
+                max_files_per_trigger=o.get("max_files_per_trigger"),
+            )
         if "nats_jetstream" in inp:
             # durable JetStream pull consumer (nats/input_jetstream.go) via
             # the spool bridge; +ACK fires only after the spool rename
@@ -1011,6 +1024,21 @@ class Pipeline:
         hp = hp.removeprefix("kafka://").removeprefix("tcp://")
         host, _, port = hp.partition(":")
         return host or "127.0.0.1", int(port or 9092)
+
+    def start_nats_os_consumer(self):
+        """Start the bucket-watch bridge for an `input.nats_object_store`
+        pipeline and return its handle (caller owns `.stop()`)."""
+        o = (self.conf.get("input") or {}).get("nats_object_store")
+        if not o:
+            raise ValueError("pipeline has no input.nats_object_store section")
+        from bento_spark.streaming.nats import NatsOsSpooler
+
+        host, port = self._nats_addr(o)
+        return NatsOsSpooler(
+            host=host, port=port, bucket=str(o["bucket"]),
+            durable=str(o.get("durable", "bento_spark_os")),
+            spool_dir=o["spool_dir"],
+        ).start()
 
     def start_jetstream_consumer(self):
         """Start the pull-consumer bridge for an `input.nats_jetstream`
@@ -2938,6 +2966,21 @@ class Pipeline:
                 str(o["collection"]), "_mongo_filter",
                 out_col=o.get("out_col", "mongodb"),
             ).drop("_mongo_filter")
+        if name == "nats_object_store":
+            # get/put against an object-store bucket (nats/processor_os.go)
+            from bento_spark.streaming.nats import nats_os_map
+
+            o = opts or {}
+            host, port = self._nats_addr(o)
+            d = df.withColumn("_os_name",
+                              compile_interpolated(str(o["object_name"])))
+            out = nats_os_map(
+                d, host, port, str(o["bucket"]),
+                str(o.get("operation", "get")), name_col="_os_name",
+                value_col=o.get("value_col"),
+                out_col=str(o.get("out", "nats_os")),
+                chunk_size=int(o.get("chunk_size", 128 * 1024)))
+            return out.drop("_os_name")
         if name == "redis":
             # one command per row (redis/processor.go): `command`
             # interpolates, args_mapping -> ARRAY column; legacy
@@ -3334,6 +3377,7 @@ class Pipeline:
             or out.get("nsq")
             or out.get("nats")
             or out.get("nats_jetstream")
+            or out.get("nats_object_store")
             or out.get("pulsar")
             or out.get("redis_list")
             or out.get("redis_pubsub")
@@ -4149,6 +4193,19 @@ class Pipeline:
             host, port = self._mqtt_addr(m)
             writer = mqtt_sink(host, port, m["topic"], qos=int(m.get("qos", 1)),
                                retained=bool(m.get("retained", False)))
+        elif out.get("nats_object_store"):
+            # chunked object put per row at the interpolated name
+            # (nats/output_os.go)
+            from bento_spark.streaming.nats import nats_os_sink
+
+            no = out["nats_object_store"]
+            df = self.build_stream(spark).withColumn(
+                "_os_name", compile_interpolated(str(no["object_name"])))
+            host, port = self._nats_addr(no)
+            writer = nats_os_sink(host, port, str(no["bucket"]), "_os_name",
+                                  value_col=no.get("value_col"),
+                                  chunk_size=int(no.get("chunk_size",
+                                                        128 * 1024)))
         elif out.get("nats_jetstream"):
             # acknowledged JetStream publish per row
             # (nats/output_jetstream.go) — error acks fail/replay the task

@@ -1201,3 +1201,322 @@ class NatsKvCache:
         if broadcast:
             side = F.broadcast(side)
         return df.join(side, key, "left")
+
+
+# --------------------------------------------------------------------------
+# object store (input_os.go / output_os.go / processor_os.go)
+# --------------------------------------------------------------------------
+# The public object-store contract is a thin layer over JetStream: bucket
+# = stream `OBJ_<bucket>` on subjects `$O.<bucket>.C.>` (chunks) and
+# `$O.<bucket>.M.>` (metadata); an object is `chunks` messages on
+# `$O.<bucket>.C.<nuid>` plus one JSON meta message on
+# `$O.<bucket>.M.<base64url(name)>` carrying size/chunks/digest
+# (SHA-256=<base64url>) with the Nats-Rollup: sub header.
+
+
+def _os_name_b64(name: str) -> str:
+    import base64
+
+    return base64.urlsafe_b64encode(name.encode()).decode().rstrip("=")
+
+
+class NatsObjectStore:
+    """put/get against an object-store bucket over a NatsJsClient."""
+
+    def __init__(self, client: NatsJsClient, bucket: str,
+                 chunk_size: int = 128 * 1024):
+        self.client = client
+        self.bucket = bucket
+        self.chunk_size = chunk_size
+
+    def put(self, name: str, data: bytes, ack_window: int = 64) -> dict:
+        """Chunked write: chunk publishes PIPELINE onto one reply inbox
+        and acks drain every `ack_window` sends (a large object is
+        size/chunk_size messages — one synchronous round trip each would
+        serialize the upload; nats.go streams chunks the same way). The
+        meta message publishes LAST, so a reader never sees metadata
+        whose chunks aren't durable."""
+        import base64
+        import hashlib
+
+        nuid = uuid.uuid4().hex
+        subj = f"$O.{self.bucket}.C.{nuid}"
+        offs = list(range(0, len(data), self.chunk_size)) or [0]
+        inbox = f"_INBOX.{uuid.uuid4().hex}"
+        sid = self.client.subscribe(inbox)
+        try:
+            pending = 0
+            for off in offs:
+                self.client.publish(subj, data[off:off + self.chunk_size],
+                                    reply=inbox)
+                pending += 1
+                if pending >= ack_window:
+                    self._drain_acks(sid, pending, name)
+                    pending = 0
+            self._drain_acks(sid, pending, name)
+        finally:
+            try:
+                self.client.unsubscribe(sid)
+            except OSError:
+                pass
+        n_chunks = len(offs)
+        digest = base64.urlsafe_b64encode(
+            hashlib.sha256(data).digest()).decode().rstrip("=")
+        meta = {"name": name, "bucket": self.bucket, "nuid": nuid,
+                "size": len(data), "chunks": n_chunks,
+                "digest": f"SHA-256={digest}"}
+        self.client.js_publish(
+            f"$O.{self.bucket}.M.{_os_name_b64(name)}",
+            json.dumps(meta).encode(),
+            headers={"Nats-Rollup": "sub"})
+        return meta
+
+    def _drain_acks(self, sid: int, n: int, name: str) -> None:
+        for _ in range(n):
+            while True:
+                _s, msid, _r, _status, _h, payload = self.client.recv_any()
+                if msid == sid:
+                    break
+            ack = json.loads(payload) if payload else {}
+            if isinstance(ack, dict) and ack.get("error"):
+                e = ack["error"]
+                raise JsError(
+                    f"object {name!r} chunk ack: {e.get('description', e)}")
+
+    def get_meta(self, name: str) -> dict:
+        status, _h, data = self.client.request2(
+            f"$JS.API.DIRECT.GET.OBJ_{self.bucket}",
+            json.dumps({"last_by_subj":
+                        f"$O.{self.bucket}.M.{_os_name_b64(name)}"}).encode())
+        if status.startswith("404"):
+            raise KeyError(f"object {name!r} not found in {self.bucket!r}")
+        meta = json.loads(data)
+        if meta.get("deleted"):
+            raise KeyError(f"object {name!r} is deleted")
+        return meta
+
+    def get(self, name: str) -> bytes:
+        import base64
+        import hashlib
+
+        meta = self.get_meta(name)
+        return self._assemble(meta)
+
+    def _assemble(self, meta: dict) -> bytes:
+        import base64
+        import hashlib
+
+        nuid, want_chunks = meta["nuid"], int(meta["chunks"])
+        durable = f"osget_{uuid.uuid4().hex[:12]}"
+        self.client.js_api(
+            f"CONSUMER.DURABLE.CREATE.OBJ_{self.bucket}.{durable}",
+            {"stream_name": f"OBJ_{self.bucket}",
+             "config": {"durable_name": durable, "ack_policy": "explicit",
+                        "deliver_policy": "all",
+                        "filter_subject": f"$O.{self.bucket}.C.{nuid}"}})
+        parts = []
+        for _ in range(want_chunks):
+            status, _h, payload, reply, _s = JetStreamSpooler._next(
+                self.client, f"CONSUMER.MSG.NEXT.OBJ_{self.bucket}.{durable}")
+            if status.startswith(("404", "408")):
+                raise ConnectionError(
+                    f"object {meta['name']!r}: missing chunk "
+                    f"({len(parts)}/{want_chunks})")
+            parts.append(payload)
+            if reply:
+                self.client.publish(reply, b"+ACK")
+        data = b"".join(parts)
+        digest = base64.urlsafe_b64encode(
+            hashlib.sha256(data).digest()).decode().rstrip("=")
+        want = meta.get("digest", "")
+        if want and want != f"SHA-256={digest}":
+            raise ConnectionError(
+                f"object {meta['name']!r}: digest mismatch "
+                f"(meta {want}, got SHA-256={digest})")
+        return data
+
+
+def nats_os_sink(host: str, port: int, bucket: str,
+                 name_col: str = "_os_name", value_col: str | None = None,
+                 chunk_size: int = 128 * 1024):
+    """`nats_object_store` output (output_os.go): one chunked put per row
+    at the interpolated object name; body = value_col raw or row JSON."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        if value_col:
+            body = F.col(value_col).cast("string")
+        else:
+            data_cols = [c for c in batch_df.columns if c != name_col]
+            body = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+        payloads = batch_df.select(F.col(name_col).alias("n"), body.alias("v"))
+
+        def send(rows) -> None:
+            # imported here: worker closures must re-resolve submodules
+            from bento_spark.streaming.nats import NatsJsClient, NatsObjectStore
+
+            store = None
+            client = None
+            try:
+                for row in rows:
+                    if store is None:
+                        client = NatsJsClient(host, port)
+                        store = NatsObjectStore(client, bucket,
+                                                chunk_size=chunk_size)
+                    store.put(row.n, (row.v or "").encode("utf-8"))
+            finally:
+                if client is not None:
+                    client.close()
+
+        payloads.foreachPartition(send)
+
+    return write_batch
+
+
+def nats_os_map(df, host: str, port: int, bucket: str, operation: str,
+                name_col: str = "_os_name", value_col: str | None = None,
+                out_col: str = "nats_os", chunk_size: int = 128 * 1024):
+    """`nats_object_store` processor (processor_os.go): `get` fetches the
+    named object into `out_col` (binary); `put` stores the row's
+    value_col under the name and passes the row through (the reference's
+    behavior). Missing objects / digest mismatches follow the
+    error-column protocol."""
+    from bento_spark.operators.errors import ERROR_COL, ensure_error_col
+
+    if operation not in ("get", "put"):
+        raise ValueError("nats_object_store processor: operation must be get|put")
+    df = ensure_error_col(df)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = list(df.columns)
+    extra = [f"{out_col} binary"] if operation == "get" else []
+    if operation == "get" and out_col in cols:
+        raise ValueError(f"nats_object_store: {out_col!r} collides with an input column")
+    out_schema = ", ".join([f"{c} {fields[c]}" for c in cols] + extra)
+
+    def run(batches):
+        import pandas as _pd
+
+        from bento_spark.streaming.nats import NatsJsClient, NatsObjectStore
+
+        client = store = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if store is None:
+                client = NatsJsClient(host, port)
+                store = NatsObjectStore(client, bucket, chunk_size=chunk_size)
+            errs = list(pdf[ERROR_COL])
+            bodies = []
+            for i, name in enumerate(pdf[name_col]):
+                try:
+                    if operation == "get":
+                        bodies.append(store.get(str(name)))
+                    else:
+                        v = pdf[value_col].iloc[i] if value_col else None
+                        raw = (v.encode("utf-8") if isinstance(v, str)
+                               else bytes(v) if v is not None else b"")
+                        store.put(str(name), raw)
+                except (KeyError, ConnectionError) as e:
+                    if operation == "get":
+                        bodies.append(None)
+                    errs[i] = errs[i] or f"nats_object_store: {e}"
+            pdf = pdf[cols].copy()
+            pdf[ERROR_COL] = errs
+            if operation == "get":
+                pdf[out_col] = bodies
+            yield _pd.DataFrame(pdf)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+@dataclass
+class NatsOsSpooler:
+    """`nats_object_store` input (input_os.go): watch the bucket's
+    metadata subjects through a durable consumer; each update fetches the
+    OBJECT and spools it as one message (name/size/chunks ride the
+    filename; deleted markers are skipped). Ack after the rename."""
+
+    host: str
+    port: int
+    bucket: str
+    durable: str
+    spool_dir: str
+    poll_interval_s: float = 0.05
+    error: str | None = field(default=None, repr=False)
+    _client: NatsJsClient | None = field(default=None, repr=False)
+    _thread: threading.Thread | None = field(default=None, repr=False)
+    _stop: threading.Event = field(default_factory=threading.Event, repr=False)
+
+    def start(self) -> "NatsOsSpooler":
+        spool = Path(self.spool_dir)
+        spool.mkdir(parents=True, exist_ok=True)
+        client = NatsJsClient(self.host, self.port)
+        stream = f"OBJ_{self.bucket}"
+        client.js_api(f"CONSUMER.DURABLE.CREATE.{stream}.{self.durable}", {
+            "stream_name": stream,
+            "config": {"durable_name": self.durable, "ack_policy": "explicit",
+                       "deliver_policy": "all",
+                       "filter_subject": f"$O.{self.bucket}.M.>"}})
+        self._client = client
+        store = NatsObjectStore(client, self.bucket)
+        seq = {"n": 0}
+
+        def run() -> None:
+            next_subj = f"CONSUMER.MSG.NEXT.{stream}.{self.durable}"
+            while not self._stop.is_set():
+                try:
+                    status, _h, payload, reply, _s = JetStreamSpooler._next(
+                        client, next_subj)
+                    if status.startswith(("404", "408")):
+                        self._stop.wait(self.poll_interval_s)
+                        continue
+                    meta = json.loads(payload)
+                    if not meta.get("deleted"):
+                        body = store._assemble(meta)
+                        seq["n"] += 1
+                        name = (f"{seq['n']:012d}"
+                                f"-{meta['name'].encode().hex()}"
+                                f"-{int(meta['size']):020d}"
+                                f"-{uuid.uuid4().hex}.msg")
+                        tmp = spool / f".{name}.tmp"
+                        tmp.write_bytes(b"." + body)
+                        tmp.rename(spool / name)
+                    if reply:
+                        client.publish(reply, b"+ACK")
+                except (ConnectionError, OSError, ValueError, KeyError) as e:
+                    if not self._stop.is_set():
+                        self.error = f"{type(e).__name__}: {e}"
+                    return
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._client is not None:
+            self._client.close()
+            self._client = None
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+
+
+def read_nats_os_stream(spark, spool_dir: str,
+                        max_files_per_trigger: int | None = None):
+    """File stream over a NatsOsSpooler's dir: `value string` +
+    nats_object_name / nats_object_size columns (input_os.go metadata)."""
+    from pyspark.sql import functions as F
+
+    from bento_spark.streaming.http_server import read_spool_stream
+
+    df = read_spool_stream(spark, spool_dir, whole_body=True,
+                           max_files_per_trigger=max_files_per_trigger)
+    fname = F.input_file_name()
+    pat = r"/\d{12}-([0-9a-f]*)-(\d{20})-[0-9a-f]{32}\.msg$"
+    return (
+        df.withColumn("nats_object_name",
+                      F.decode(F.unhex(F.regexp_extract(fname, pat, 1)), "UTF-8"))
+          .withColumn("nats_object_size",
+                      F.regexp_extract(fname, pat, 2).cast("long"))
+          .withColumn("value", F.expr("substring(value, 2)"))
+    )

@@ -231,3 +231,113 @@ output:
     assert sorted(r.clip_id for r in rows) == ids
     assert sorted(r.subject for r in rows) == [f"clips.{c}" for c in ids]
     assert sorted(r.seq for r in rows) == [1, 2, 3, 4, 5]
+
+
+# ------------------------------------------------------------ object store
+
+
+def test_object_store_put_get_multichunk(server):
+    from bento_spark.streaming.nats import NatsObjectStore
+
+    server.add_stream("OBJ_blobs", ["$O.blobs.C.>", "$O.blobs.M.>"])
+    c = NatsJsClient(server.host, server.port)
+    store = NatsObjectStore(c, "blobs", chunk_size=8)
+    data = b"0123456789abcdefghij"  # 3 chunks at size 8
+    meta = store.put("docs/a.bin", data)
+    assert meta["chunks"] == 3 and meta["size"] == 20
+    assert meta["digest"].startswith("SHA-256=")
+    assert store.get("docs/a.bin") == data
+    # overwrite rolls up to the new version
+    store.put("docs/a.bin", b"v2")
+    assert store.get("docs/a.bin") == b"v2"
+    with pytest.raises(KeyError, match="not found"):
+        store.get("missing")
+    c.close()
+
+
+def test_object_store_digest_mismatch_detected(server):
+    from bento_spark.streaming.nats import NatsObjectStore, _os_name_b64
+
+    server.add_stream("OBJ_b2", ["$O.b2.C.>", "$O.b2.M.>"])
+    c = NatsJsClient(server.host, server.port)
+    store = NatsObjectStore(c, "b2", chunk_size=64)
+    meta = store.put("x", b"payload")
+    meta["digest"] = "SHA-256=AAAA"  # corrupt the recorded digest
+    c.js_publish(f"$O.b2.M.{_os_name_b64('x')}", json.dumps(meta).encode(),
+                 headers={"Nats-Rollup": "sub"})
+    with pytest.raises(ConnectionError, match="digest mismatch"):
+        store.get("x")
+    c.close()
+
+
+def test_yaml_object_store_roundtrip(spark, server, tmp_path):
+    server.add_stream("OBJ_media", ["$O.media.C.>", "$O.media.M.>"])
+    src = str(tmp_path / "src")
+    Pipeline.stage_clips(spark, src, 3)
+    p_out = compile_yaml(f"""
+input:
+  parquet: {{path: {src}}}
+pipeline:
+  processors:
+    - mapping: 'root = {{"clip_id": this.clip_id}}'
+output:
+  nats_object_store:
+    urls: [nats://{server.host}:{server.port}]
+    bucket: media
+    object_name: ${{! this.clip_id }}.json
+    chunk_size: 16
+""")
+    q = p_out.run_stream(spark, checkpoint=str(tmp_path / "ck1"))
+    q.awaitTermination(90)
+
+    # processor get fetches one object per row
+    keys = tmp_path / "keys"
+    spark.createDataFrame([("clip-000000000001",)], "cid string"
+                          ).write.parquet(str(keys))
+    p_get = compile_yaml(f"""
+input:
+  parquet: {{path: {keys}}}
+pipeline:
+  processors:
+    - nats_object_store:
+        urls: [nats://{server.host}:{server.port}]
+        bucket: media
+        operation: get
+        object_name: ${{! this.cid }}.json
+""")
+    row = p_get.build_batch(spark).collect()[0]
+    assert json.loads(bytes(row.nats_os))["clip_id"] == "clip-000000000001"
+
+    # input side: watch the bucket, objects arrive as messages
+    p_in = compile_yaml(f"""
+input:
+  nats_object_store:
+    urls: [nats://{server.host}:{server.port}]
+    bucket: media
+    spool_dir: {tmp_path / "spool"}
+pipeline:
+  processors:
+    - mapping: |
+        root.clip_id = this.value.parse_json("clip_id string").clip_id
+        root.name = this.nats_object_name
+        root.size = this.nats_object_size
+output:
+  path: {tmp_path / "sink"}
+""")
+    sp = p_in.start_nats_os_consumer()
+    try:
+        deadline = time.monotonic() + 15
+        while len(list((tmp_path / "spool").glob("*.msg"))) < 3:
+            assert time.monotonic() < deadline, sp.error
+            time.sleep(0.05)
+        q2 = p_in.run_stream(spark, checkpoint=str(tmp_path / "ck2"))
+        q2.awaitTermination(90)
+    finally:
+        sp.stop()
+    from bento_spark.streaming.sink import IdempotentParquetSink
+
+    rows = IdempotentParquetSink(str(tmp_path / "sink")).read(spark).collect()
+    ids = [f"clip-{i:012d}" for i in range(3)]
+    assert sorted(r.clip_id for r in rows) == ids
+    assert sorted(r.name for r in rows) == [f"{c}.json" for c in ids]
+    assert all(r.size > 16 for r in rows)  # multi-chunk objects
