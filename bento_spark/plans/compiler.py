@@ -1015,7 +1015,20 @@ class Pipeline:
             host=host, port=port, topics=list(o["topics"]),
             spool_dir=o["spool_dir"],
             checkpoint_limit=int(o.get("checkpoint_limit", 4096)),
+            sasl=self._kafka_sasl(o),
         ).start()
+
+    @staticmethod
+    def _kafka_sasl(o: dict) -> dict | None:
+        """First entry of the reference's `sasl` list (mechanism/username/
+        password — input_kafka_franz.go saslField); None = no auth."""
+        entries = o.get("sasl") or []
+        if not entries:
+            return None
+        e = entries[0] if isinstance(entries, list) else entries
+        return {"mechanism": str(e.get("mechanism", "PLAIN")),
+                "username": str(e.get("username", e.get("user", ""))),
+                "password": str(e.get("password", ""))}
 
     @staticmethod
     def _kafka_addr(o: dict) -> tuple[str, int]:
@@ -3503,7 +3516,9 @@ class Pipeline:
                 df = df.withColumn("_kafka_key", compile_interpolated(str(k["key"])))
                 key_col = "_kafka_key"
             host, port = self._kafka_addr(k)
-            writer = kafka_wire_sink(host, port, str(k["topic"]), key_col=key_col)
+            writer = kafka_wire_sink(host, port, str(k["topic"]),
+                                     key_col=key_col,
+                                     sasl=self._kafka_sasl(k))
         elif out.get("http_client"):
             # per-row JSON POSTs, executor-side pooled connections,
             # at-least-once via micro-batch retry (output_http_client.go)

@@ -117,20 +117,27 @@ def parse_error_fields(payload: bytes) -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
-def scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
-    return hashlib.pbkdf2_hmac("sha256", password.encode("utf-8"), salt,
+def scram_salted_password(password: str, salt: bytes, iterations: int,
+                          hash_name: str = "sha256") -> bytes:
+    return hashlib.pbkdf2_hmac(hash_name, password.encode("utf-8"), salt,
                                iterations)
 
 
-def _hm(key: bytes, msg: bytes) -> bytes:
-    return hmac.new(key, msg, hashlib.sha256).digest()
+def _hm(key: bytes, msg: bytes, hash_name: str = "sha256") -> bytes:
+    return hmac.new(key, msg, getattr(hashlib, hash_name)).digest()
 
 
 class ScramClient:
-    """Client side of SCRAM-SHA-256 without channel binding (gs2 header
-    `n,,` — the `biws` base64 constant in client-final)."""
+    """Client side of SCRAM without channel binding (gs2 header `n,,` —
+    the `biws` base64 constant in client-final). SHA-256 by default;
+    `hash_name="sha512"` yields SCRAM-SHA-512 (Kafka's second mechanism,
+    same RFC 5802 recipe with the hash swapped). Usernames escape `,`/`=`
+    per RFC 5802 §5.1 saslname."""
 
-    def __init__(self, user: str, password: str, nonce: str | None = None):
+    def __init__(self, user: str, password: str, nonce: str | None = None,
+                 hash_name: str = "sha256"):
+        self.hash_name = hash_name
+        user = user.replace("=", "=3D").replace(",", "=2C")
         self.user, self.password = user, password
         self.cnonce = nonce or base64.b64encode(secrets.token_bytes(18)).decode()
         self.client_first_bare = f"n={self.user},r={self.cnonce}"
@@ -146,14 +153,14 @@ class ScramClient:
         if not nonce.startswith(self.cnonce):
             raise ConnectionError("scram: server nonce does not extend ours")
         self._salted = scram_salted_password(
-            self.password, base64.b64decode(salt_b64), iters)
-        client_key = _hm(self._salted, b"Client Key")
-        stored_key = hashlib.sha256(client_key).digest()
+            self.password, base64.b64decode(salt_b64), iters, self.hash_name)
+        client_key = _hm(self._salted, b"Client Key", self.hash_name)
+        stored_key = getattr(hashlib, self.hash_name)(client_key).digest()
         without_proof = f"c=biws,r={nonce}"
         self._auth_message = (
             f"{self.client_first_bare},{server_first.decode()},"
             f"{without_proof}").encode("utf-8")
-        signature = _hm(stored_key, self._auth_message)
+        signature = _hm(stored_key, self._auth_message, self.hash_name)
         proof = bytes(a ^ b for a, b in zip(client_key, signature))
         return (without_proof + ",p="
                 + base64.b64encode(proof).decode()).encode("utf-8")
@@ -161,8 +168,8 @@ class ScramClient:
     def verify_server_final(self, server_final: bytes) -> None:
         attrs = dict(p.split("=", 1)
                      for p in server_final.decode().split(","))
-        server_key = _hm(self._salted, b"Server Key")
-        expect = _hm(server_key, self._auth_message)
+        server_key = _hm(self._salted, b"Server Key", self.hash_name)
+        expect = _hm(server_key, self._auth_message, self.hash_name)
         if not hmac.compare_digest(base64.b64decode(attrs["v"]), expect):
             raise ConnectionError("scram: server signature mismatch")
 
@@ -174,13 +181,16 @@ class ScramServer:
     StoredKey) — it never compares raw passwords."""
 
     def __init__(self, password: str, *, salt: bytes | None = None,
-                 iterations: int = 4096, nonce: str | None = None):
+                 iterations: int = 4096, nonce: str | None = None,
+                 hash_name: str = "sha256"):
+        self.hash_name = hash_name
         self.salt = salt or secrets.token_bytes(16)
         self.iterations = iterations
         self.snonce = nonce or base64.b64encode(secrets.token_bytes(18)).decode()
-        salted = scram_salted_password(password, self.salt, iterations)
-        self.stored_key = hashlib.sha256(_hm(salted, b"Client Key")).digest()
-        self.server_key = _hm(salted, b"Server Key")
+        salted = scram_salted_password(password, self.salt, iterations, hash_name)
+        self.stored_key = getattr(hashlib, hash_name)(
+            _hm(salted, b"Client Key", hash_name)).digest()
+        self.server_key = _hm(salted, b"Server Key", hash_name)
         self._client_first_bare = ""
         self._server_first = ""
 
@@ -201,13 +211,15 @@ class ScramServer:
         without_proof, _, proof_b64 = text.rpartition(",p=")
         auth_message = (f"{self._client_first_bare},{self._server_first},"
                         f"{without_proof}").encode("utf-8")
-        signature = _hm(self.stored_key, auth_message)
+        signature = _hm(self.stored_key, auth_message, self.hash_name)
         proof = base64.b64decode(proof_b64)
         client_key = bytes(a ^ b for a, b in zip(proof, signature))
-        if not hmac.compare_digest(hashlib.sha256(client_key).digest(),
-                                   self.stored_key):
+        if not hmac.compare_digest(
+                getattr(hashlib, self.hash_name)(client_key).digest(),
+                self.stored_key):
             raise ConnectionError("scram: client proof invalid")
-        return (b"v=" + base64.b64encode(_hm(self.server_key, auth_message)))
+        return (b"v=" + base64.b64encode(
+            _hm(self.server_key, auth_message, self.hash_name)))
 
 
 # ---------------------------------------------------------------------------

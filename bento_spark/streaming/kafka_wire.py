@@ -371,7 +371,9 @@ def _batch_num_records(batch: bytes) -> int:
 # --------------------------------------------------------------------------
 
 _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS, _API_METADATA = 0, 1, 2, 3
+_API_SASL_HANDSHAKE = 17
 _API_VERSIONS = 18
+_API_SASL_AUTHENTICATE = 36
 
 
 class _TransientMetadataError(ConnectionError):
@@ -386,12 +388,54 @@ class KafkaWireClient:
     (compact/tagged) encoding is needed."""
 
     def __init__(self, host: str, port: int, client_id: str = "bento-spark",
-                 timeout: float = 10.0):
+                 timeout: float = 10.0, sasl: dict | None = None):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.client_id = client_id
         self._corr = 0
         self._buf = bytearray()
         self.api_versions = self._api_versions()
+        if sasl:
+            self._sasl_auth(sasl)
+
+    # -- SASL (kafka/sasl.go; KIP-152: auth bytes flow through the
+    # SaslAuthenticate API after a SaslHandshake v1 names the mechanism) --
+
+    def _sasl_round(self, auth_bytes: bytes) -> bytes:
+        r = self._call(_API_SASL_AUTHENTICATE, 0, _enc_bytes(auth_bytes))
+        err = r.i16()
+        msg = r.string()
+        if err:
+            raise ConnectionError(f"kafka sasl: error {err}: {msg}")
+        return r.bytes_() or b""
+
+    def _sasl_auth(self, sasl: dict) -> None:
+        mech = str(sasl.get("mechanism", "PLAIN")).upper()
+        user = str(sasl.get("username", sasl.get("user", "")))
+        password = str(sasl.get("password", ""))
+        r = self._call(_API_SASL_HANDSHAKE, 1, _enc_str(mech))
+        err = r.i16()
+        if err:
+            n = r.i32()
+            offered = [r.string() for _ in range(max(n, 0))]
+            raise ConnectionError(
+                f"kafka sasl: mechanism {mech} rejected (error {err}); "
+                f"server offers {offered}")
+        if mech == "PLAIN":
+            self._sasl_round(b"\x00" + user.encode("utf-8")
+                             + b"\x00" + password.encode("utf-8"))
+            return
+        if mech in ("SCRAM-SHA-256", "SCRAM-SHA-512"):
+            from bento_spark.streaming.cockroachdb import ScramClient
+
+            sc = ScramClient(user, password,
+                             hash_name="sha256" if mech.endswith("256")
+                             else "sha512")
+            server_first = self._sasl_round(sc.client_first())
+            server_final = self._sasl_round(sc.client_final(server_first))
+            sc.verify_server_final(server_final)
+            return
+        raise ValueError(f"kafka sasl: unsupported mechanism {mech!r} "
+                         "(PLAIN, SCRAM-SHA-256, SCRAM-SHA-512)")
 
     # -- framing ------------------------------------------------------------
 
@@ -612,6 +656,7 @@ class KafkaSpooler:
     spool_dir: str
     checkpoint_limit: int = 4096
     poll_wait_ms: int = 200
+    sasl: dict | None = None
     error: str | None = field(default=None, repr=False)
     _thread: threading.Thread | None = field(default=None, repr=False)
     _stop: threading.Event = field(default_factory=threading.Event, repr=False)
@@ -622,7 +667,8 @@ class KafkaSpooler:
         delay = 0.2
         while not self._stop.is_set():
             try:
-                self._client = KafkaWireClient(self.host, self.port)
+                self._client = KafkaWireClient(self.host, self.port,
+                                               sasl=self.sasl)
                 return True
             except (ConnectionError, OSError):
                 self._stop.wait(delay)
@@ -768,7 +814,8 @@ def read_kafka_wire_stream(spark, spool_dir: str,
 
 def kafka_wire_sink(host: str, port: int, topic: str,
                     key_col: str | None = None,
-                    max_batch_records: int = 1000):
+                    max_batch_records: int = 1000,
+                    sasl: dict | None = None):
     """`kafka_franz` output (output_kafka_franz.go): rows serialize as JSON
     JVM-side; the interpolated key arrives as a pre-computed COLUMN. Each
     executor partition groups rows by murmur2(key) % n_partitions (keyless
@@ -808,7 +855,7 @@ def kafka_wire_sink(host: str, port: int, topic: str,
             try:
                 for row in rows:
                     if client is None:
-                        client = KafkaWireClient(host, port)
+                        client = KafkaWireClient(host, port, sasl=sasl)
                         n_parts = max(1, len(client.metadata([topic]).get(topic, {})))
                     key = row.k.encode("utf-8") if row.k is not None else None
                     if key is None:
@@ -847,9 +894,13 @@ class MiniKafkaBroker:
     can be driven end-to-end without external services."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 num_partitions: int = 2):
+                 num_partitions: int = 2,
+                 sasl_credentials: dict[str, str] | None = None):
         self.host, self.port = host, port
         self.num_partitions = num_partitions
+        # user -> password; when set, every non-SASL API requires a
+        # completed handshake first (the real broker's listener behavior)
+        self.sasl_credentials = sasl_credentials
         self._logs: dict[tuple[str, int], list[tuple[int, bytes]]] = {}
         self._next: dict[tuple[str, int], int] = {}
         self._topics: set[str] = set()
@@ -914,6 +965,10 @@ class MiniKafkaBroker:
             del buf[:n]
             return out
 
+        # per-connection SASL session (sasl.go; KIP-152): authed starts
+        # True only on brokers without credentials
+        sasl = {"authed": self.sasl_credentials is None, "mech": None,
+                "scram": None, "stage": 0}
         try:
             while not self._stop.is_set():
                 size = _I32.unpack(read_exact(4))[0]
@@ -921,11 +976,19 @@ class MiniKafkaBroker:
                 api_key, api_version, corr = r.i16(), r.i16(), r.i32()
                 r.string()  # client_id
                 if api_key == _API_VERSIONS:
-                    body = _I16.pack(0) + _I32.pack(5) + b"".join(
+                    body = _I16.pack(0) + _I32.pack(7) + b"".join(
                         _I16.pack(k) + _I16.pack(lo) + _I16.pack(hi)
                         for k, lo, hi in [(0, 0, 3), (1, 0, 4), (2, 0, 1),
-                                          (3, 0, 1), (18, 0, 0)]
+                                          (3, 0, 1), (17, 0, 1), (18, 0, 0),
+                                          (36, 0, 0)]
                     )
+                elif api_key == _API_SASL_HANDSHAKE:
+                    body = self._handle_sasl_handshake(r, sasl)
+                elif api_key == _API_SASL_AUTHENTICATE:
+                    body = self._handle_sasl_authenticate(r, sasl)
+                elif not sasl["authed"]:
+                    # the real listener kills unauthenticated data APIs
+                    raise ConnectionError("unauthenticated")
                 elif api_key == _API_METADATA:
                     body = self._handle_metadata(r, api_version)
                 elif api_key == _API_PRODUCE:
@@ -945,6 +1008,63 @@ class MiniKafkaBroker:
                 conn.close()
             except OSError:
                 pass
+
+    _SASL_MECHS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+
+    def _handle_sasl_handshake(self, r: _Reader, sasl: dict) -> bytes:
+        mech = r.string() or ""
+        offered = b"".join(_enc_str(m) for m in self._SASL_MECHS)
+        if mech not in self._SASL_MECHS:
+            return _I16.pack(33) + _I32.pack(len(self._SASL_MECHS)) + offered
+        sasl["mech"], sasl["stage"], sasl["scram"] = mech, 0, None
+        return _I16.pack(0) + _I32.pack(len(self._SASL_MECHS)) + offered
+
+    def _handle_sasl_authenticate(self, r: _Reader, sasl: dict) -> bytes:
+        import hmac as _hmac
+
+        def fail(msg: str) -> bytes:
+            # 58 = SASL_AUTHENTICATION_FAILED
+            return _I16.pack(58) + _enc_str(msg) + _enc_bytes(b"")
+
+        def ok(auth: bytes) -> bytes:
+            return _I16.pack(0) + _enc_str(None) + _enc_bytes(auth)
+
+        auth = r.bytes_() or b""
+        creds = self.sasl_credentials or {}
+        mech = sasl["mech"]
+        if mech is None:
+            return fail("SaslHandshake required first")
+        if mech == "PLAIN":
+            parts = auth.split(b"\x00")
+            if len(parts) != 3:
+                return fail("malformed PLAIN response")
+            user, password = parts[1].decode(), parts[2].decode()
+            want = creds.get(user)
+            if want is None or not _hmac.compare_digest(want, password):
+                return fail("invalid credentials")
+            sasl["authed"] = True
+            return ok(b"")
+        # SCRAM: two SaslAuthenticate round trips, proof verified with the
+        # RFC 5802 recipe (never a raw password compare)
+        from bento_spark.streaming.cockroachdb import ScramServer
+
+        hash_name = "sha256" if mech.endswith("256") else "sha512"
+        try:
+            if sasl["stage"] == 0:
+                text = auth.decode("utf-8")
+                attrs = dict(p.split("=", 1)
+                             for p in text[3:].split(",") if "=" in p)
+                user = attrs.get("n", "").replace("=2C", ",").replace("=3D", "=")
+                if user not in creds:
+                    return fail(f"unknown user {user!r}")
+                sasl["scram"] = ScramServer(creds[user], hash_name=hash_name)
+                sasl["stage"] = 1
+                return ok(sasl["scram"].server_first(auth))
+            final = sasl["scram"].server_final(auth)
+            sasl["authed"] = True
+            return ok(final)
+        except (ConnectionError, ValueError, UnicodeDecodeError) as e:
+            return fail(f"scram failure: {e}")
 
     def _handle_metadata(self, r: _Reader, api_version: int) -> bytes:
         n = r.i32()

@@ -439,3 +439,99 @@ def test_sink_timestamps_are_current(broker, spark):
         assert found and all(ts > 1_600_000_000_000 for ts in found)  # not 1970
     finally:
         c.close()
+
+
+# --------------------------------------------------------------------------
+# SASL (kafka/sasl.go; KIP-152 SaslHandshake v1 + SaslAuthenticate)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def sasl_broker():
+    b = MiniKafkaBroker(num_partitions=2,
+                        sasl_credentials={"ada": "s3cret"}).start()
+    yield b
+    b.stop()
+
+
+def _roundtrip(broker, sasl):
+    c = KafkaWireClient(broker.host, broker.port, sasl=sasl)
+    batch = encode_record_batch(0, [(0, b"k", b"v", [])])
+    c.produce("t", 0, batch)
+    _hw, recs = c.fetch("t", 0, 0)
+    c.close()
+    return recs
+
+
+def test_sasl_plain_authenticates(sasl_broker):
+    recs = _roundtrip(sasl_broker, {"mechanism": "PLAIN",
+                                    "username": "ada", "password": "s3cret"})
+    assert [(r[2], r[3]) for r in recs] == [(b"k", b"v")]
+
+
+def test_sasl_plain_bad_password_rejected(sasl_broker):
+    with pytest.raises(ConnectionError, match="invalid credentials"):
+        KafkaWireClient(sasl_broker.host, sasl_broker.port,
+                        sasl={"mechanism": "PLAIN", "username": "ada",
+                              "password": "wrong"})
+
+
+@pytest.mark.parametrize("mech", ["SCRAM-SHA-256", "SCRAM-SHA-512"])
+def test_sasl_scram_authenticates(sasl_broker, mech):
+    recs = _roundtrip(sasl_broker, {"mechanism": mech, "username": "ada",
+                                    "password": "s3cret"})
+    assert [(r[2], r[3]) for r in recs] == [(b"k", b"v")]
+
+
+def test_sasl_scram_bad_password_rejected(sasl_broker):
+    with pytest.raises(ConnectionError, match="scram"):
+        KafkaWireClient(sasl_broker.host, sasl_broker.port,
+                        sasl={"mechanism": "SCRAM-SHA-256",
+                              "username": "ada", "password": "wrong"})
+
+
+def test_sasl_unknown_mechanism_names_offers(sasl_broker):
+    with pytest.raises(ConnectionError, match="SCRAM-SHA-256"):
+        KafkaWireClient(sasl_broker.host, sasl_broker.port,
+                        sasl={"mechanism": "GSSAPI", "username": "a",
+                              "password": "b"})
+
+
+def test_unauthenticated_data_api_is_killed(sasl_broker):
+    c = KafkaWireClient(sasl_broker.host, sasl_broker.port)  # no sasl
+    with pytest.raises(ConnectionError):
+        c.metadata(["t"])
+    c.close()
+
+
+def test_yaml_kafka_franz_sasl_sink(spark, sasl_broker, tmp_path):
+    from bento_spark.plans.compiler import Pipeline, compile_yaml
+
+    src = str(tmp_path / "src")
+    Pipeline.stage_clips(spark, src, 3)
+    p = compile_yaml(f"""
+input:
+  parquet: {{path: {src}}}
+pipeline:
+  processors:
+    - mapping: 'root = {{"clip_id": this.clip_id}}'
+output:
+  kafka_franz:
+    seed_brokers: ["{sasl_broker.host}:{sasl_broker.port}"]
+    topic: words
+    sasl:
+      - mechanism: SCRAM-SHA-512
+        username: ada
+        password: s3cret
+""")
+    q = p.run_stream(spark, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(90)
+    reader = KafkaWireClient(sasl_broker.host, sasl_broker.port,
+                             sasl={"mechanism": "PLAIN", "username": "ada",
+                                   "password": "s3cret"})
+    got = []
+    for pid in range(2):
+        _hw, recs = reader.fetch("words", pid, 0, max_wait_ms=50)
+        got.extend(json.loads(v)["clip_id"] for _o, _t, _k, v, _h in recs)
+    reader.close()
+    assert sorted(got) == [f"clip-{i:012d}" for i in range(3)]
