@@ -1026,9 +1026,13 @@ class Pipeline:
         if not entries:
             return None
         e = entries[0] if isinstance(entries, list) else entries
-        return {"mechanism": str(e.get("mechanism", "PLAIN")),
-                "username": str(e.get("username", e.get("user", ""))),
-                "password": str(e.get("password", ""))}
+        out = {"mechanism": str(e.get("mechanism", "PLAIN")),
+               "username": str(e.get("username", e.get("user", ""))),
+               "password": str(e.get("password", ""))}
+        for k in ("access_key", "secret_key", "region", "host"):
+            if e.get(k) is not None:
+                out[k] = str(e[k])
+        return out
 
     @staticmethod
     def _kafka_addr(o: dict) -> tuple[str, int]:

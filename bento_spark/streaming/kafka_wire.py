@@ -434,8 +434,20 @@ class KafkaWireClient:
             server_final = self._sasl_round(sc.client_final(server_first))
             sc.verify_server_final(server_final)
             return
+        if mech == "AWS_MSK_IAM":
+            import os as _os
+
+            doc = msk_iam_payload(
+                str(sasl.get("host", self.sock.getpeername()[0])),
+                str(sasl.get("access_key")
+                    or _os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                str(sasl.get("secret_key")
+                    or _os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                str(sasl.get("region", "us-east-1")))
+            self._sasl_round(json.dumps(doc).encode("utf-8"))
+            return
         raise ValueError(f"kafka sasl: unsupported mechanism {mech!r} "
-                         "(PLAIN, SCRAM-SHA-256, SCRAM-SHA-512)")
+                         "(PLAIN, SCRAM-SHA-256, SCRAM-SHA-512, AWS_MSK_IAM)")
 
     # -- framing ------------------------------------------------------------
 
@@ -1009,7 +1021,7 @@ class MiniKafkaBroker:
             except OSError:
                 pass
 
-    _SASL_MECHS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+    _SASL_MECHS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512", "AWS_MSK_IAM")
 
     def _handle_sasl_handshake(self, r: _Reader, sasl: dict) -> bytes:
         mech = r.string() or ""
@@ -1044,6 +1056,20 @@ class MiniKafkaBroker:
                 return fail("invalid credentials")
             sasl["authed"] = True
             return ok(b"")
+        if mech == "AWS_MSK_IAM":
+            # credentials map: access_key -> secret_key; the broker
+            # recomputes the presigned-query signature (aws.go's role)
+            try:
+                doc = json.loads(auth)
+                access_key = doc["x-amz-credential"].split("/")[0]
+            except (ValueError, KeyError, IndexError):
+                return fail("malformed AWS_MSK_IAM payload")
+            secret = creds.get(access_key)
+            if secret is None or not msk_iam_verify(doc, secret):
+                return fail("invalid msk iam signature")
+            sasl["authed"] = True
+            return ok(json.dumps({"version": _MSK_VERSION,
+                                  "request-id": uuid.uuid4().hex}).encode())
         # SCRAM: two SaslAuthenticate round trips, proof verified with the
         # RFC 5802 recipe (never a raw password compare)
         from bento_spark.streaming.cockroachdb import ScramServer
@@ -1190,3 +1216,87 @@ class MiniKafkaBroker:
                         offset = self._next.get((topic, pid), 0)
                 out += _I32.pack(pid) + _I16.pack(0) + _I64.pack(-1) + _I64.pack(offset)
         return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# AWS_MSK_IAM SASL (kafka/aws/aws.go; the published aws-msk-iam-sasl-signer
+# contract: a presigned kafka-cluster:Connect "GET /" rendered as a
+# lowercase-keyed JSON payload, botocore SigV4QueryAuth semantics —
+# UNSIGNED-PAYLOAD, host the only signed header)
+# --------------------------------------------------------------------------
+
+_MSK_VERSION = "2020_10_22"
+
+
+def _msk_quote(s: str) -> str:
+    import urllib.parse
+
+    return urllib.parse.quote(s, safe="-_.~")
+
+
+def msk_iam_payload(host: str, access_key: str, secret_key: str,
+                    region: str, amz_date: str | None = None,
+                    expires: int = 900,
+                    user_agent: str = "bento-spark") -> dict:
+    """The SASL client-first JSON for mechanism AWS_MSK_IAM."""
+    import time as _time
+
+    from bento_spark.streaming.sqs import sigv4_signature
+
+    if amz_date is None:
+        amz_date = _time.strftime("%Y%m%dT%H%M%SZ", _time.gmtime())
+    credential = f"{access_key}/{amz_date[:8]}/{region}/kafka-cluster/aws4_request"
+    params = {
+        "Action": "kafka-cluster:Connect",
+        "X-Amz-Algorithm": "AWS4-HMAC-SHA256",
+        "X-Amz-Credential": credential,
+        "X-Amz-Date": amz_date,
+        "X-Amz-Expires": str(expires),
+        "X-Amz-SignedHeaders": "host",
+    }
+    query = "&".join(f"{_msk_quote(k)}={_msk_quote(v)}"
+                     for k, v in sorted(params.items()))
+    _signed, sig = sigv4_signature(
+        "GET", "/", query, {"host": host}, b"", secret_key, region,
+        "kafka-cluster", amz_date, payload_hash="UNSIGNED-PAYLOAD")
+    return {
+        "version": _MSK_VERSION,
+        "host": host,
+        "user-agent": user_agent,
+        "action": "kafka-cluster:Connect",
+        "x-amz-algorithm": "AWS4-HMAC-SHA256",
+        "x-amz-credential": credential,
+        "x-amz-date": amz_date,
+        "x-amz-expires": str(expires),
+        "x-amz-signedheaders": "host",
+        "x-amz-signature": sig,
+    }
+
+
+def msk_iam_verify(doc: dict, secret_key: str) -> bool:
+    """Server-side recompute of the payload's signature (the broker's
+    role): rebuild the presigned query from the payload fields and
+    compare HMACs."""
+    import hmac as _hmac
+
+    from bento_spark.streaming.sqs import sigv4_signature
+
+    try:
+        params = {
+            "Action": doc["action"],
+            "X-Amz-Algorithm": doc["x-amz-algorithm"],
+            "X-Amz-Credential": doc["x-amz-credential"],
+            "X-Amz-Date": doc["x-amz-date"],
+            "X-Amz-Expires": doc["x-amz-expires"],
+            "X-Amz-SignedHeaders": doc["x-amz-signedheaders"],
+        }
+        region = doc["x-amz-credential"].split("/")[2]
+        query = "&".join(f"{_msk_quote(k)}={_msk_quote(v)}"
+                         for k, v in sorted(params.items()))
+        _s, want = sigv4_signature(
+            "GET", "/", query, {"host": doc["host"]}, b"", secret_key,
+            region, "kafka-cluster", doc["x-amz-date"],
+            payload_hash="UNSIGNED-PAYLOAD")
+    except (KeyError, IndexError):
+        return False
+    return _hmac.compare_digest(want, doc.get("x-amz-signature", ""))

@@ -48,18 +48,21 @@ from pathlib import Path
 def sigv4_signature(method: str, path: str, query: str,
                     headers: dict[str, str], payload: bytes,
                     secret_key: str, region: str, service: str,
-                    amz_date: str) -> tuple[str, str]:
+                    amz_date: str,
+                    payload_hash: str | None = None) -> tuple[str, str]:
     """-> (signed_headers, signature) for arbitrary requests — the
     published recipe verbatim (canonical request -> string-to-sign ->
     derived-key HMAC chain). Pinned by AWS's own documented example
-    vector in the tests."""
+    vector in the tests. `payload_hash` overrides the computed hash for
+    presigned-query flows whose canonical form carries the literal
+    UNSIGNED-PAYLOAD (botocore SigV4QueryAuth — the MSK IAM signer)."""
     date = amz_date[:8]
     lower = {k.lower(): v.strip() for k, v in headers.items()}
     signed = ";".join(sorted(lower))
     canonical = "\n".join([
         method, path, query,
         "".join(f"{k}:{lower[k]}\n" for k in sorted(lower)),
-        signed, hashlib.sha256(payload).hexdigest(),
+        signed, payload_hash or hashlib.sha256(payload).hexdigest(),
     ])
     scope = f"{date}/{region}/{service}/aws4_request"
     to_sign = "\n".join([

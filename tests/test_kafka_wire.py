@@ -535,3 +535,34 @@ output:
         got.extend(json.loads(v)["clip_id"] for _o, _t, _k, v, _h in recs)
     reader.close()
     assert sorted(got) == [f"clip-{i:012d}" for i in range(3)]
+
+
+def test_sasl_aws_msk_iam_roundtrip():
+    from bento_spark.streaming.kafka_wire import msk_iam_payload, msk_iam_verify
+
+    b = MiniKafkaBroker(num_partitions=1,
+                        sasl_credentials={"AKIATEST": "topsecret"}).start()
+    try:
+        recs = _roundtrip(b, {"mechanism": "AWS_MSK_IAM",
+                              "access_key": "AKIATEST",
+                              "secret_key": "topsecret",
+                              "region": "us-east-1",
+                              "host": "127.0.0.1"})
+        assert [(r[2], r[3]) for r in recs] == [(b"k", b"v")]
+        # wrong secret is rejected by the broker's recompute
+        with pytest.raises(ConnectionError, match="msk iam"):
+            KafkaWireClient(b.host, b.port,
+                            sasl={"mechanism": "AWS_MSK_IAM",
+                                  "access_key": "AKIATEST",
+                                  "secret_key": "wrong",
+                                  "region": "us-east-1",
+                                  "host": "127.0.0.1"})
+    finally:
+        b.stop()
+    # any field tampering breaks the signature
+    doc = msk_iam_payload("broker.example", "AK", "SK", "eu-west-1",
+                          amz_date="20240101T000000Z")
+    assert msk_iam_verify(doc, "SK")
+    assert not msk_iam_verify({**doc, "host": "evil.example"}, "SK")
+    assert not msk_iam_verify({**doc, "x-amz-expires": "9000"}, "SK")
+    assert not msk_iam_verify(doc, "SK2")
