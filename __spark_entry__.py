@@ -35,8 +35,39 @@ from bento_spark.streaming.windows import session_windowed, sliding_windowed, tu
 DEFAULT_SF = "/root/testdata/sf0.001"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        df = _spread(spark, df, f"{sf_dir}/{name}.parquet")
+    return df
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Parallelize CPU-heavy work fused into a narrow scan (guide §2.5
+    "input skew"): the local test tables are single-row-group parquet, so
+    the scan — and every codegen operator fused into its stage (regex
+    parse, token explode + vote aggregation) — runs on ONE core of 32.
+    A round-robin repartition right after the read moves the per-row work
+    onto every core for the price of one small local shuffle.
+
+    Scale-gated, not constant-tuned: repartition fires only when the file
+    is too small to ever yield `defaultParallelism` full scan splits
+    (size < cores x maxPartitionBytes). At 100 TB the same scan has
+    thousands of row groups and this is a no-op — shuffling the full table
+    there would be the bug, not the fix."""
+    try:
+        import os as _os
+
+        size = _os.path.getsize(path) if _os.path.isfile(path) else None
+    except OSError:
+        size = None
+    target = spark.sparkContext.defaultParallelism * 2
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).lower().rstrip("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    max_split = int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+    if size is not None and size < target * max_split:
+        return df.repartition(target)
+    return df
 
 
 _TMP_DIRS: dict[str, str] = {}
@@ -342,7 +373,10 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # spread: session-window aggregation cannot partial-aggregate map-side
+    # the way tumbling windows do, so the pre-shuffle stage does real
+    # per-row work — parallelize it off the single-row-group scan
+    ev = _t(spark, sf_dir, "events", spread=True)
     out = session_windowed(ev, "ts", "30 minutes", ["user_id"], {"n_events": F.count(F.lit(1))})
     return out.select(
         "user_id", F.unix_timestamp("window_start").alias("session_start_s"), "n_events"
@@ -355,15 +389,27 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    base = docs.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
         text.bpe_token_count("text").alias("n_bpe"),
         text.punct_ratio("text").alias("punct_ratio"),
         text.stopword_ratio("text").alias("stopword_ratio"),
-        text.quality_score("text").alias("quality"),
     )
+    # quality_score("text") recomputes token_count/punct_ratio/
+    # stopword_ratio from scratch (a second full regex pass per row); its
+    # three inputs are EXACTLY the already-computed columns (both ratios
+    # are rounded identically inside their operators), so derive it from
+    # them — bit-identical, half the regex work. CollapseProject keeps the
+    # two projections separate (non-cheap exprs referenced twice).
+    quality = F.round(
+        F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_ratio") >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0)),
+        6,
+    )
+    return base.withColumn("quality", quality)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,13 +468,17 @@ input:
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle: signatures pinned by fixture (DuckDB has no xxhash64); banding,
     # candidate join and exact-Jaccard verification recomputed in SQL
-    return dedupe_fuzzy.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    return dedupe_fuzzy.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents", spread=True), threshold=0.6
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle: signatures pinned by fixture; pigeonhole banding + hamming
     # verification recomputed in SQL (bit_count/xor)
-    return dedupe_fuzzy.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    return dedupe_fuzzy.simhash_near_pairs(
+        _t(spark, sf_dir, "documents", spread=True), max_hamming=6
+    )
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,22 +616,46 @@ def q_parse_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesize CLF lines from events, parse them back, aggregate by verb."""
     from bento_spark.operators.codec import parse_log
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", spread=True)
+    # concat of casts, not format_string: java.util.Formatter parses the
+    # format per row (~0.8s of the bench stage); every specifier here is a
+    # plain %d/%s so concat is byte-identical output
     lines = ev.select(
-        F.format_string(
-            '10.0.%d.%d - u%d [01/Jan/2024:00:00:00 +0000] "%s /page/%d HTTP/1.1" %d %d',
-            (F.col("user_id") % 256).cast("int"),
-            (F.col("event_id") % 256).cast("int"),
-            F.col("user_id"),
+        F.concat(
+            F.lit("10.0."),
+            (F.col("user_id") % 256).cast("int").cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 256).cast("int").cast("string"),
+            F.lit(" - u"),
+            F.col("user_id").cast("string"),
+            F.lit(' [01/Jan/2024:00:00:00 +0000] "'),
             F.when(F.col("event_type") == "purchase", F.lit("POST")).otherwise(F.lit("GET")),
-            (F.col("event_id") % 50).cast("int"),
-            F.when(F.col("event_type") == "error", F.lit(500)).otherwise(F.lit(200)),
-            F.col("value").cast("int"),
+            F.lit(" /page/"),
+            (F.col("event_id") % 50).cast("int").cast("string"),
+            F.lit(' HTTP/1.1" '),
+            F.when(F.col("event_type") == "error", F.lit(500)).otherwise(F.lit(200)).cast("string"),
+            F.lit(" "),
+            F.col("value").cast("int").cast("string"),
         ).alias("line")
     )
     parsed = parse_log(lines, "line")
-    return parsed.filter(F.col("error").isNull()).groupBy("verb", "status").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("size").alias("total_bytes")
+    # Filter the unmatched GROUP after aggregation, not the rows before it:
+    # a pre-agg filter on the grok match flag gets pushed through the
+    # projections by substitution, duplicating the whole regexp_replace into
+    # a Filter at the scan (one extra regex pass per row, measured +2s at
+    # sf1). Groups are pure — an unmatched row always lands in
+    # (verb='', status=NULL) (WORD can't capture '') — so dropping groups
+    # whose rows are all unmatched is row-identical to the pre-agg filter,
+    # and a predicate on an aggregate cannot be pushed below the Aggregate.
+    return (
+        parsed.groupBy("verb", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("size").alias("total_bytes"),
+            F.max(F.col("error").isNull().cast("int")).alias("_ok"),
+        )
+        .filter(F.col("_ok") == 1)
+        .drop("_ok")
     )
 
 

@@ -160,7 +160,19 @@ def grok(df: DataFrame, col: str, pattern: str, keep_source: bool = True,
         full = r"\A[\s\S]*?(?:" + regex + r")[\s\S]*\Z"
         match_re = regex
     repl = sep.join(f"${i}" for i in range(1, len(fields) + 1))
+    # The regex pass and the split are materialized as intermediate COLUMNS
+    # in their own projections so each runs exactly once per row. Inlining
+    # them into every field expression (the previous form) textually
+    # duplicates the subtree per field; codegen subexpression elimination
+    # does not reliably dedupe expressions living only inside conditional
+    # `when` branches, and the measured cost was ~5 regex evaluations per
+    # row (bench_extra: one replace pass 1.36s vs 7.9s in the full query at
+    # sf1). CollapseProject will not re-inline them: it refuses to
+    # duplicate non-cheap expressions (regexp_replace/split) that are
+    # referenced more than once downstream.
+    _ps, _arr, _m = "_grok_packed_str", "_grok_arr", "_grok_matched"
     packed_str = F.regexp_replace(F.col(col), full, repl)
+    out = df.withColumn(_ps, packed_str)
     if fields:
         # a match rewrites the line to \x01-joined captures, which cannot
         # equal the original (it contains \x01 unless there is exactly one
@@ -170,17 +182,17 @@ def grok(df: DataFrame, col: str, pattern: str, keep_source: bool = True,
         if len(fields) == 1:
             matched = F.regexp_like(F.col(col), F.lit(match_re))
         else:
-            matched = packed_str != F.col(col)
+            matched = F.col(_ps) != F.col(col)
     else:
         matched = F.regexp_like(F.col(col), F.lit(match_re))
-    packed = F.split(packed_str, sep)
-    out = df
+    out = out.withColumn(_arr, F.split(F.col(_ps), sep)).withColumn(_m, matched)
     for i, f_name in enumerate(fields, start=1):
         out = out.withColumn(
             f_name,
-            F.when(matched, F.try_element_at(packed, F.lit(i))).otherwise(F.lit("")),
+            F.when(F.col(_m), F.try_element_at(F.col(_arr), F.lit(i))).otherwise(F.lit("")),
         )
-    out = set_error_when(out, ~matched, "grok: no match")
+    out = set_error_when(out, ~F.col(_m), "grok: no match")
+    out = out.drop(_ps, _arr, _m)
     return out if keep_source else out.drop(col)
 
 

@@ -143,44 +143,53 @@ def minhash_lsh_pairs(
     # combine). The higher-order-function versions (word_ngrams +
     # transform/array_min) evaluate interpreted — measured ~4x slower.
     #
-    # Reuse via localCheckpoint, not persist: both sides of the candidate
-    # self-join and the verification joins read the materialized table, and
-    # the context cleaner reclaims it when the DataFrame is GC'd — persist()
-    # entries live in the CacheManager until an explicit unpersist, which
-    # leaked storage across calls in long-lived driver sessions. (On a real
-    # cluster with executor churn, swap for reliable checkpoint/staging.)
-    shingle = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
-    sig_cols = [F.min(F.xxhash64("g", F.lit(s))).alias(f"mh{s}") for s in range(num_hashes)]
-    sigs = shingle.groupBy("id").agg(*sig_cols)
+    # Signatures are computed from the RAW (non-distinct) gram rows:
+    # min() is duplicate-insensitive, so the signatures are identical to
+    # the distinct-shingle ones, the full-table distinct shuffle
+    # disappears, and the window's hash partitioning by id is reused by
+    # the signature groupBy (no extra exchange). Distinct-shingle
+    # semantics are applied only where they matter — verification — and
+    # only AFTER pruning to candidate ids (a broadcast semi-join), so the
+    # corpus-wide gram table is never re-shuffled for verification.
+    #
+    # Two localCheckpoints — banded and cands — and no more: without them
+    # every broadcast side re-expands its whole subtree (a plan audit
+    # found 14 Window + 14 FileScan copies and ZERO ReusedExchange), but
+    # each checkpoint also costs eager planning + codegen driver time, so
+    # they sit exactly at the two fan-out points: `banded` feeds both
+    # self-join sides, `cands` feeds the id-prune, the intersection join
+    # and the size joins. (localCheckpoint, not persist: checkpointed RDDs
+    # are reclaimed by the context cleaner; persist() entries leak in the
+    # CacheManager until explicit unpersist.)
+    from pyspark.sql.window import Window
+
+    def gram_rows(docs: DataFrame) -> DataFrame:
+        toks = F.split(normalize_text(text_col), " ")
+        tok = docs.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "t"))
+        w = Window.partitionBy("id").orderBy("pos")
+        leads = [F.lead("t", k).over(w) for k in range(1, n)]
+        gram = F.concat_ws(" ", F.col("t"), *leads)
+        full = tok.select("id", "pos", gram.alias("g"), leads[-1].alias("_last"))
+        keep = F.col("_last").isNotNull() | (F.col("pos") == 0)
+        return full.filter(keep).select("id", "g")
+
+    grams = gram_rows(df)
+
+    # expressions as SQL strings: one py4j round trip each (the Column-API
+    # construction of 64 aggregates + 16 band structs took seconds of
+    # driver time per call)
+    sig_exprs = [F.expr(f"min(xxhash64(g, {s})) AS mh{s}") for s in range(num_hashes)]
+    sigs = grams.groupBy("id").agg(*sig_exprs)
     # the band rows carry ONLY (id, band, bucket) — never the gram arrays.
     # Exploding grams into 2x`bands` shuffle copies is the classic LSH
     # mistake at scale; verification re-reads grams once per side instead.
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{s}").cast("string")
-                                    for s in range(b * rows_per_band, (b + 1) * rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    # the self-join would otherwise recompute the 64-hash signature pipeline
-    # for BOTH sides; the banded table is tiny (3 scalars x bands per doc),
-    # so materialize it once (same move as Spark MLlib's LSH)
+    bucket_structs = []
+    for b in range(bands):
+        cols = ", ".join(f"CAST(mh{s} AS STRING)" for s in range(b * rows_per_band, (b + 1) * rows_per_band))
+        bucket_structs.append(f"named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))")
+    banded = sigs.selectExpr("id", f"explode(array({', '.join(bucket_structs)})) AS bb").selectExpr(
+        "id", "bb.band AS band", "bb.bucket AS bucket"
+    )
     banded = banded.localCheckpoint(eager=False)
 
     a = banded.alias("a")
@@ -194,22 +203,41 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=False)
     )
     # exact-Jaccard verification, relationally: intersection size = count of
-    # shared shingles per candidate pair; set sizes from the shingle table.
-    # Only candidate pairs' shingles flow through the joins.
-    sizes = shingle.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingle.select(F.col("id").alias("id_a"), "g")
-    sb = shingle.select(F.col("id").alias("id_b"), "g")
-    n_inter = (
+    # shared DISTINCT shingles per candidate pair; set sizes likewise. The
+    # gram table is first pruned to candidate ids with a broadcast
+    # semi-join (guide §3.2's semi-join pre-filter): at production
+    # collision rates candidates are a sliver of the corpus, so the wide
+    # shuffles of the verification joins carry ~nothing.
+    # Prune to candidate DOCS before re-gramming: the broadcast semi-join
+    # runs on the 1-row-per-doc table, so the verification gram pipeline
+    # (explode + window + distinct) touches only candidate documents —
+    # at production collision rates a sliver of the corpus — instead of
+    # re-sorting the corpus-wide token table a second time.
+    cand_ids = cands.selectExpr("explode(array(id_a, id_b)) AS _cand_id").distinct()
+    cand_docs = df.select(id_col, text_col).join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("_cand_id"), "leftsemi"
+    )
+    # set size rides along on every shingle row (window count per id):
+    # carrying it through the intersection join and reading it back with
+    # first() replaces the two post-aggregation size joins — sz is
+    # constant within each (id_a, id_b) group, so first() is deterministic
+    shingle = gram_rows(cand_docs).distinct().withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    sa = shingle.select(F.col("id").alias("id_a"), "g", F.col("sz").alias("size_a"))
+    sb = shingle.select(F.col("id").alias("id_b"), "g", F.col("sz").alias("size_b"))
+    verified = (
         cands.join(sa, "id_a")
         .join(sb, ["id_b", "g"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    verified = (
-        n_inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
     )
     jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
     return verified.select(
@@ -263,6 +291,17 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     runs ~7x slower; exploding tokens into rows keeps every operator inside
     whole-stage codegen and the bit-vote sums combine map-side.
 
+    Bit votes are PACKED: per hash word, 64 independent per-bit ±1 vote
+    sums are equivalent to 64 per-bit 0/1 counts s_b plus the token count
+    n (vote_b = 2*s_b - n, so vote_b > 0 <=> 2*s_b > n). Two 32-bit count
+    lanes share one 64-bit sum aggregate — lane g holds bits (2g, 2g+1) —
+    so the aggregate needs 32 sums + one count instead of 64 sums. Lanes
+    cannot carry into each other below 2^31 tokens per document (no real
+    document). This quartered driver-side plan build + codegen time
+    (measured: 64-agg plan toRdd 6.3s -> 1.9s at 16 lanes; 32-bit lanes
+    chosen for the overflow margin) and halves aggregation state; the
+    produced signatures are bit-identical (fixture-pinned contract).
+
     bits=64 (default): one `simhash bigint` column — the verified/oracle
     contract (fixtures pin these signatures). bits=128: columns simhash_0,
     simhash_1, where word w>0 uses the salted token hash xxhash64(t, w) —
@@ -275,25 +314,33 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
     )
-    for w in range(n_words):
-        h = F.xxhash64("t") if w == 0 else F.xxhash64("t", F.lit(w))
-        tok = tok.withColumn(f"h{w}", h)
-    votes = [
-        F.sum((F.shiftrightunsigned(f"h{w}", b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")).alias(f"v{w}_{b}")
+    hash_cols = [
+        (F.xxhash64("t") if w == 0 else F.xxhash64("t", F.lit(w))).alias(f"h{w}")
         for w in range(n_words)
-        for b in range(64)
     ]
-    agg = tok.groupBy("id").agg(*votes)
-    sigs = []
+    tok = tok.select("id", *hash_cols)
+    # expressions as SQL strings: one py4j round trip each instead of ~6
+    # (Column-API construction of the old 64-expression list took ~2s of
+    # driver time per call)
+    packs = [
+        F.expr(
+            f"sum(((shiftrightunsigned(h{w}, {2 * g}) & 1)) + "
+            f"((shiftrightunsigned(h{w}, {2 * g + 1}) & 1) << 32)) AS p{w}_{g}"
+        )
+        for w in range(n_words)
+        for g in range(32)
+    ]
+    agg = tok.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *packs)
+    sig_sqls = []
     for w in range(n_words):
-        sig = None
+        terms = []
         for b in range(64):
-            bit = F.when(F.col(f"v{w}_{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
-                F.lit(0).cast("bigint")
-            )
-            sig = bit if sig is None else sig.bitwiseOR(bit)
-        sigs.append(sig.alias("simhash" if n_words == 1 else f"simhash_{w}"))
-    return agg.select("id", *sigs)
+            g, slot = divmod(b, 2)
+            lane = f"((p{w}_{g} >> {32 * slot}) & 4294967295)"
+            terms.append(f"(CASE WHEN 2 * {lane} > _n THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)")
+        name = "simhash" if n_words == 1 else f"simhash_{w}"
+        sig_sqls.append("(" + " | ".join(terms) + f") AS {name}")
+    return agg.selectExpr("id", *sig_sqls)
 
 
 def simhash_near_pairs(
@@ -344,21 +391,22 @@ def simhash_near_pairs(
         )
     n_words = bits // 64
     sig_cols = ["simhash"] if n_words == 1 else [f"simhash_{w}" for w in range(n_words)]
-    # materialize the tiny (id, simhash...) table once so the candidate
-    # self-join does not recompute the signature aggregation for both sides
-    # (localCheckpoint: auto-reclaimed, no CacheManager leak across calls)
-    sh = simhash_table(df.select(id_col, text_col), id_col, text_col, bits=bits).localCheckpoint(
-        eager=False
-    )
+    # No materialization: both self-join sides are the same subtree, and
+    # Spark's exchange reuse (ReuseExchange / AQE stage reuse) computes the
+    # signature aggregation once. The old localCheckpoint forced an extra
+    # eager planning + AQE stage execution per call (~2s of driver time at
+    # sf1) for work the reuse rule already dedupes.
+    sh = simhash_table(df.select(id_col, text_col), id_col, text_col, bits=bits)
 
-    def chunk_expr(k: int) -> Column:
+    def chunk_expr(k: int, side: str | None = None) -> Column:
         """Band k = bits [k*band_bits, (k+1)*band_bits) of the concatenated
         signature; band_bits divides 64 or 64 divides band_bits, so a band
         never straddles a word boundary for supported shapes."""
         start = k * band_bits
         widx, off = divmod(start, 64)
         mask = (1 << band_bits) - 1
-        return F.shiftrightunsigned(sig_cols[widx], off).bitwiseAND(F.lit(mask))
+        col = sig_cols[widx] if side is None else f"{side}.{sig_cols[widx]}"
+        return F.shiftrightunsigned(col, off).bitwiseAND(F.lit(mask))
 
     chunks = sh.select(
         "id",
@@ -373,26 +421,29 @@ def simhash_near_pairs(
         ).alias("c"),
     ).select("id", *sig_cols, "c.band", "c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            *[F.col(f"a.{c}").alias(f"_a_{c}") for c in sig_cols],
-            *[F.col(f"b.{c}").alias(f"_b_{c}") for c in sig_cols],
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # Emit each pair EXACTLY ONCE — from its first matching band — by
+    # requiring every earlier band to differ, and verify hamming INSIDE the
+    # join: both are post-probe predicates evaluated inside the join
+    # operator, so near-dup clusters that collide in all bands no longer
+    # fan out into k copies per pair, and the global
+    # dropDuplicates exchange (23.6M candidate rows at sf1 — the single
+    # biggest simhash stage) disappears entirely. Output set is identical:
+    # a pair matching in >=1 band appears for exactly its smallest band.
     ham = None
     for c in sig_cols:
-        h = F.bit_count(F.col(f"_a_{c}").bitwiseXOR(F.col(f"_b_{c}")))
+        h = F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
         ham = h if ham is None else ham + h
-    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (ham <= max_hamming)
+    )
+    for j in range(n_bands - 1):
+        cond = cond & ((F.col("a.band") < j + 1) | (chunk_expr(j, "a") != chunk_expr(j, "b")))
+    return a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming")
+    )
 
 
 def connected_components(

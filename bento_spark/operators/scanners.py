@@ -36,6 +36,65 @@ def _keep_schema(df: DataFrame, keep_cols: Sequence[str]) -> str:
     return ", ".join(f"{c} {fields[c].dataType.simpleString()}" for c in keep_cols)
 
 
+# --- fast ustar fast-path -------------------------------------------------
+# tarfile.addfile/getmembers cost ~30-50us per member in object churn; a
+# corpus tar holds tens of thousands of tiny members, so encode/decode
+# build/parse plain POSIX ustar headers directly (the only shape this
+# engine ever writes: ASCII name <= 100 bytes, size < 8 GiB, zeroed
+# metadata). Anything outside that shape falls back to the stdlib module —
+# same bytes semantics, just slower.
+
+_USTAR_MAGIC = b"ustar\x0000"
+
+
+def _ustar_header(name_b: bytes, size: int) -> bytes:
+    """512-byte POSIX ustar header: mode 0644, uid/gid 0, mtime 0,
+    typeflag '0' — field-for-field what tarfile emits for the TarInfo
+    defaults tar_encode uses."""
+    h = bytearray(512)
+    h[0 : len(name_b)] = name_b
+    h[100:108] = b"0000644\x00"
+    h[108:116] = b"0000000\x00"  # uid
+    h[116:124] = b"0000000\x00"  # gid
+    h[124:136] = b"%011o\x00" % size
+    h[136:148] = b"00000000000\x00"  # mtime 0
+    h[148:156] = b"        "  # checksum placeholder = spaces
+    h[156] = 0x30  # typeflag '0' (regular file)
+    h[257:265] = _USTAR_MAGIC
+    chksum = sum(h)
+    h[148:156] = b"%06o\x00 " % chksum
+    return bytes(h)
+
+
+def _fast_tar_members(blob: bytes) -> list[tuple[str, bytes]] | None:
+    """Parse a plain ustar archive; return None when any record needs the
+    stdlib parser (pax/gnu extensions, prefix field, non-ASCII...)."""
+    members: list[tuple[str, bytes]] = []
+    off, n = 0, len(blob)
+    while off + 512 <= n:
+        hdr = blob[off : off + 512]
+        if hdr[0] == 0:  # end-of-archive zero block
+            break
+        typeflag = hdr[156]
+        size_f = hdr[124:136].split(b"\x00", 1)[0].strip()
+        try:
+            size = int(size_f, 8)
+        except ValueError:
+            return None  # base-256 / malformed size -> stdlib
+        if typeflag not in (0x30, 0x00, 0x35):  # not regular file or dir
+            return None  # pax ('x'/'g') or gnu ('L'/'K') records -> stdlib
+        if hdr[345] != 0:  # prefix field in use -> stdlib (name joining)
+            return None
+        if sum(hdr) - sum(hdr[148:156]) + 8 * 0x20 != int(hdr[148:155].split(b"\x00", 1)[0].strip() or b"0", 8):
+            return None  # checksum mismatch -> let the stdlib raise properly
+        data_off = off + 512
+        if typeflag in (0x30, 0x00):
+            name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8", "surrogateescape")
+            members.append((name, blob[data_off : data_off + size]))
+        off = data_off + ((size + 511) // 512) * 512
+    return members
+
+
 def tar_encode(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -50,22 +109,48 @@ def tar_encode(
     out_schema = f"{_keep_schema(df, group_cols)}, {out_col} binary, n_members bigint"
 
     def encode(key, pdf):  # untyped: applyInPandas infers GROUPED_MAP from arity
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w") as tf:
-            # sort by NAME ONLY: a tuple sort falls through to comparing
-            # payloads on name ties, which raises for bytes-vs-None and
-            # would make tie order content-dependent
-            for name, payload in sorted(zip(pdf[name_col], pdf[payload_col]), key=lambda t: str(t[0])):
-                if payload is None:
-                    data = b""  # a NULL payload is an empty member, not b'None'
-                else:
-                    data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
-                info = tarfile.TarInfo(name=str(name))
-                info.size = len(data)
-                info.mtime = 0
-                tf.addfile(info, io.BytesIO(bytes(data)))
+        # sort by NAME ONLY: a tuple sort falls through to comparing
+        # payloads on name ties, which raises for bytes-vs-None and
+        # would make tie order content-dependent
+        pairs = sorted(zip(pdf[name_col], pdf[payload_col]), key=lambda t: str(t[0]))
+        parts: list[bytes] = []
+        fast = True
+        for name, payload in pairs:
+            if payload is None:
+                data = b""  # a NULL payload is an empty member, not b'None'
+            else:
+                data = bytes(payload) if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
+            name_b = str(name).encode()
+            if len(name_b) > 100 or len(data) >= 0o77777777777:
+                fast = False  # member outside the ustar fast path
+                break
+            parts.append(_ustar_header(name_b, len(data)))
+            parts.append(data)
+            pad = -len(data) % 512
+            if pad:
+                parts.append(b"\x00" * pad)
+        if not fast:
+            # fallback: stdlib writer handles long/odd names (GNU/PAX)
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for name, payload in pairs:
+                    if payload is None:
+                        data = b""
+                    else:
+                        data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
+                    info = tarfile.TarInfo(name=str(name))
+                    info.size = len(data)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(bytes(data)))
+            blob = buf.getvalue()
+        else:
+            parts.append(b"\x00" * 1024)  # end-of-archive marker
+            blob = b"".join(parts)
+            pad = -len(blob) % 10240  # RECORDSIZE padding, as tarfile does
+            if pad:
+                blob += b"\x00" * pad
         row = dict(zip(group_cols, key))
-        row[out_col] = buf.getvalue()
+        row[out_col] = blob
         row["n_members"] = len(pdf)
         return pd.DataFrame([row])
 
@@ -101,11 +186,15 @@ def unarchive_tar(
                 bio = io.BytesIO(bytes(blob))
                 members: list[tuple[str, bytes]] = []
                 if fmt == "tar":
-                    with tarfile.open(fileobj=bio) as tf:
-                        for m in tf.getmembers():
-                            if m.isfile():
-                                f = tf.extractfile(m)
-                                members.append((m.name, f.read() if f else b""))
+                    fast = _fast_tar_members(bytes(blob))
+                    if fast is not None:
+                        members = fast
+                    else:
+                        with tarfile.open(fileobj=bio) as tf:
+                            for m in tf.getmembers():
+                                if m.isfile():
+                                    f = tf.extractfile(m)
+                                    members.append((m.name, f.read() if f else b""))
                 else:
                     with zipfile.ZipFile(bio) as zf:
                         for nm in zf.namelist():

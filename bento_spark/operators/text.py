@@ -42,14 +42,20 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_token_count(col: Column | str) -> Column:
-    """BPE-ish piece count via the public GPT-2-style pre-tokenizer regex."""
+    """BPE-ish piece count via the public GPT-2-style pre-tokenizer regex.
+
+    regexp_count, not size(regexp_extract_all(...)): same non-overlapping
+    match count without materializing every piece as a string array."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+    return F.regexp_count(c, F.lit(BPE_RE))
 
 
 def punct_ratio(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    puncts = F.length(F.regexp_replace(c, r"[^.!?,;:]", ""))
+    # count the punctuation class directly — identical to
+    # length(regexp_replace(c, [^.!?,;:], '')) without building the
+    # stripped string per row
+    puncts = F.regexp_count(c, F.lit(r"[.!?,;:]"))
     return F.round(puncts / F.greatest(F.length(c), F.lit(1)), 6)
 
 

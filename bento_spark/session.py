@@ -73,6 +73,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Constraint propagation is O(width^2)-ish on wide plans: the
+        # 64-aggregate minhash/simhash signature plans spent 3-7s PER QUERY
+        # in driver-side planning on it (measured: minhash sig subplan
+        # 0.61s -> 0.05s to plan; full simhash construct 10.1s -> 3.0s).
+        # Planning cost is driver-side and identical on a real cluster —
+        # and streaming micro-batches re-plan every batch, so it compounds.
+        # Constraints never change results, only inferred filters; the
+        # full oracle suite + bench A/B showed no execution regression.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_mem)
