@@ -494,8 +494,15 @@ def _apply_function(name: str, args: list[Column]) -> Column:
         # unique within (ms, node) at <=4096 rows per partition-ms, the
         # original's own bound. DOCUMENTED DEVIATION: with no node_id the
         # reference uses node 1; here the default is spark_partition_id()
-        # so concurrent executors don't share a node and collide —
-        # pass an explicit node_id to pin the reference layout exactly.
+        # so concurrent executors don't share a node and collide.
+        # COLLISION WARNING (ADVICE r05): an EXPLICIT node_id pins the
+        # reference layout but makes the node constant across partitions
+        # while current_timestamp is constant per batch and the sequence
+        # is the PER-PARTITION record number — two partitions can then
+        # emit the same (ms, node, seq). Use the default (partition-id
+        # node) for distributed uniqueness; explicit node_id is only safe
+        # single-partition or when ids are never compared across
+        # partitions.
         node = (args[0].cast("long") if args
                 else F.spark_partition_id().cast("long")) % F.lit(1024)
         ms = F.unix_millis(F.current_timestamp()) - F.lit(1288834974657)

@@ -335,7 +335,10 @@ def opensnowcat(
                 new = _hash_expr(
                     v,
                     str(cfg.get("hash_algo") or g_algo),
-                    str(cfg.get("salt") if cfg.get("salt") is not None else g_salt),
+                    # `or`, not `is not None`: the reference (hashValue) falls
+                    # back to the global salt when the field salt is the
+                    # EMPTY STRING too (ADVICE r05)
+                    str(cfg.get("salt") or g_salt),
                 )
             elif strategy == "redact":
                 new = F.lit(str(cfg.get("redact_value", "[REDACTED]")))

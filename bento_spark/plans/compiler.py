@@ -3075,6 +3075,7 @@ class Pipeline:
             # column with content unchanged
             import os as _os
 
+            from bento_spark.streaming.cep import duration_ms
             from bento_spark.streaming.lambda_proc import lambda_map
 
             o = opts or {}
@@ -3091,7 +3092,14 @@ class Pipeline:
                 payload_col=str(o.get("column", "value")),
                 region=region,
                 retries=int(o.get("retries", 3)),
-                timeout=float(o.get("timeout", 5.0)),
+                # reference-style duration strings ('5s') parse via
+                # duration_ms (ADVICE r05); bare YAML numbers keep the old
+                # seconds semantics
+                timeout=(
+                    float(o["timeout"])
+                    if isinstance(o.get("timeout"), (int, float))
+                    else duration_ms(str(o.get("timeout", "5s"))) / 1000.0
+                ),
             )
         if name == "aws_dynamodb_partiql":
             # PartiQL per message over BatchExecuteStatement

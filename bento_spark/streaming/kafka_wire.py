@@ -690,7 +690,7 @@ class KafkaSpooler:
     def start(self) -> "KafkaSpooler":
         spool = Path(self.spool_dir)
         spool.mkdir(parents=True, exist_ok=True)
-        client = KafkaWireClient(self.host, self.port)
+        client = KafkaWireClient(self.host, self.port, sasl=self.sasl)
         self._client = client
         meta = client.metadata(self.topics)
         offsets_path = spool / ".offsets.json"
@@ -1273,14 +1273,32 @@ def msk_iam_payload(host: str, access_key: str, secret_key: str,
     }
 
 
-def msk_iam_verify(doc: dict, secret_key: str) -> bool:
+def msk_iam_verify(doc: dict, secret_key: str, now: "object | None" = None) -> bool:
     """Server-side recompute of the payload's signature (the broker's
     role): rebuild the presigned query from the payload fields and
-    compare HMACs."""
+    compare HMACs.
+
+    Pass `now` (a datetime, UTC) to also enforce the presigned-URL expiry
+    the real broker applies — x-amz-date + x-amz-expires must not be in
+    the past (ADVICE r05: without it an arbitrarily old replayed payload
+    verifies). Kept opt-in/injected so the in-process test broker stays
+    deterministic."""
     import hmac as _hmac
 
     from bento_spark.streaming.sqs import sigv4_signature
 
+    if now is not None:
+        import datetime as _dt
+
+        try:
+            issued = _dt.datetime.strptime(
+                str(doc["x-amz-date"]), "%Y%m%dT%H%M%SZ"
+            ).replace(tzinfo=_dt.timezone.utc)
+            ttl = int(doc["x-amz-expires"])
+        except (KeyError, ValueError):
+            return False
+        if now > issued + _dt.timedelta(seconds=ttl):
+            return False
     try:
         params = {
             "Action": doc["action"],

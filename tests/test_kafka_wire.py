@@ -537,6 +537,50 @@ output:
     assert sorted(got) == [f"clip-{i:012d}" for i in range(3)]
 
 
+def test_yaml_kafka_franz_sasl_input_end_to_end(spark, sasl_broker, tmp_path):
+    """input.kafka_franz with SASL against a SASL-enforcing broker: the
+    spooler's INITIAL connection must authenticate too (ADVICE r05: only
+    _reconnect passed sasl, so startup failed before the first fetch)."""
+    from bento_spark.plans.compiler import compile_yaml
+    from bento_spark.streaming.sink import IdempotentParquetSink
+
+    spool = tmp_path / "spool_sasl_in"
+    p = compile_yaml(f"""
+input:
+  kafka_franz:
+    seed_brokers: ["{sasl_broker.host}:{sasl_broker.port}"]
+    topics: [metrics]
+    spool_dir: {spool}
+    sasl:
+      - mechanism: SCRAM-SHA-256
+        username: ada
+        password: s3cret
+pipeline:
+  processors:
+    - mapping: 'root.body = this.value.uppercase()'
+output:
+  path: {tmp_path}/out_sasl
+""")
+    sp = p.start_kafka_franz_consumer()
+    try:
+        prod = KafkaWireClient(sasl_broker.host, sasl_broker.port,
+                               sasl={"mechanism": "PLAIN", "username": "ada",
+                                     "password": "s3cret"})
+        prod.produce("metrics", 0, encode_record_batch(
+            0, [(0, b"a", b"warm", []), (0, b"b", b"cold", [])]))
+        prod.close()
+        deadline = time.monotonic() + 10
+        while len(list(spool.glob("*.msg"))) < 2:
+            assert time.monotonic() < deadline, "spooler never fetched (SASL startup failed?)"
+            time.sleep(0.05)
+        q = p.run_stream(spark, checkpoint=str(tmp_path / "ckpt_sasl_in"))
+        q.awaitTermination(90)
+    finally:
+        sp.stop()
+    rows = sorted(r.body for r in IdempotentParquetSink(str(tmp_path / "out_sasl")).read(spark).collect())
+    assert rows == ["COLD", "WARM"]
+
+
 def test_sasl_aws_msk_iam_roundtrip():
     from bento_spark.streaming.kafka_wire import msk_iam_payload, msk_iam_verify
 
@@ -566,3 +610,11 @@ def test_sasl_aws_msk_iam_roundtrip():
     assert not msk_iam_verify({**doc, "host": "evil.example"}, "SK")
     assert not msk_iam_verify({**doc, "x-amz-expires": "9000"}, "SK")
     assert not msk_iam_verify(doc, "SK2")
+    # opt-in presigned-URL expiry (deterministic: time injected)
+    import datetime as dt
+
+    utc = dt.timezone.utc
+    assert msk_iam_verify(doc, "SK", now=dt.datetime(2024, 1, 1, 0, 1, tzinfo=utc))
+    assert not msk_iam_verify(doc, "SK", now=dt.datetime(2024, 1, 1, 1, 0, tzinfo=utc))
+    assert not msk_iam_verify({k: v for k, v in doc.items() if k != "x-amz-date"},
+                              "SK", now=dt.datetime(2024, 1, 1, tzinfo=utc))
