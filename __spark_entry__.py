@@ -2254,9 +2254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r05 window dropouts first (all green in r04 + the r05 judge's
         #    own full check_oracle run): the 25 entries that fell outside
         #    the r05 50-entry sample, restored to the window per the
-        #    two-round rotation invariant. minhash_lsh / simhash /
-        #    audio_features_window are also optimization-touched this
-        #    round, so their driver rows double as regression proof. --
+        #    two-round rotation invariant. minhash_lsh / simhash are also
+        #    optimization-touched this round, so their driver rows double
+        #    as regression proof. --
         "image_features": q_image_features,
         "video_features": q_video_features,
         "frame_sample": q_frame_sample,

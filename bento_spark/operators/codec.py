@@ -171,20 +171,22 @@ def grok(df: DataFrame, col: str, pattern: str, keep_source: bool = True,
     # duplicate non-cheap expressions (regexp_replace/split) that are
     # referenced more than once downstream.
     _ps, _arr, _m = "_grok_packed_str", "_grok_arr", "_grok_matched"
+    if not fields:
+        # zero-field pattern: pure match check, no extraction pass at all
+        out = df.withColumn(_m, F.regexp_like(F.col(col), F.lit(match_re)))
+        out = set_error_when(out, ~F.col(_m), "grok: no match").drop(_m)
+        return out if keep_source else out.drop(col)
     packed_str = F.regexp_replace(F.col(col), full, repl)
     out = df.withColumn(_ps, packed_str)
-    if fields:
-        # a match rewrites the line to \x01-joined captures, which cannot
-        # equal the original (it contains \x01 unless there is exactly one
-        # field covering the whole line — then the "rewrite" is identity
-        # ONLY if the pattern matched anyway, so equality still implies
-        # we can treat single-field identity as a match via regexp_like)
-        if len(fields) == 1:
-            matched = F.regexp_like(F.col(col), F.lit(match_re))
-        else:
-            matched = F.col(_ps) != F.col(col)
-    else:
+    # a match rewrites the line to \x01-joined captures, which cannot
+    # equal the original (it contains \x01 unless there is exactly one
+    # field covering the whole line — then the "rewrite" is identity
+    # ONLY if the pattern matched anyway, so equality still implies
+    # we can treat single-field identity as a match via regexp_like)
+    if len(fields) == 1:
         matched = F.regexp_like(F.col(col), F.lit(match_re))
+    else:
+        matched = F.col(_ps) != F.col(col)
     out = out.withColumn(_arr, F.split(F.col(_ps), sep)).withColumn(_m, matched)
     for i, f_name in enumerate(fields, start=1):
         out = out.withColumn(

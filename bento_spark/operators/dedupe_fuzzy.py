@@ -391,12 +391,16 @@ def simhash_near_pairs(
         )
     n_words = bits // 64
     sig_cols = ["simhash"] if n_words == 1 else [f"simhash_{w}" for w in range(n_words)]
-    # No materialization: both self-join sides are the same subtree, and
-    # Spark's exchange reuse (ReuseExchange / AQE stage reuse) computes the
-    # signature aggregation once. The old localCheckpoint forced an extra
-    # eager planning + AQE stage execution per call (~2s of driver time at
-    # sf1) for work the reuse rule already dedupes.
-    sh = simhash_table(df.select(id_col, text_col), id_col, text_col, bits=bits)
+    # ONE materialization point: the signature table feeds both self-join
+    # sides, and exchange reuse does NOT reliably fire across a broadcast
+    # join boundary (the small side re-expands the whole aggregation
+    # subtree; measured: at 128 bits the double-computed signature
+    # pipeline cost more than the checkpoint's eager planning — 3.31s vs
+    # 2.16s at the 50k probe — and even the 64-bit bench case is ~0.3s
+    # faster checkpointed).
+    sh = simhash_table(df.select(id_col, text_col), id_col, text_col, bits=bits).localCheckpoint(
+        eager=False
+    )
 
     def chunk_expr(k: int, side: str | None = None) -> Column:
         """Band k = bits [k*band_bits, (k+1)*band_bits) of the concatenated
