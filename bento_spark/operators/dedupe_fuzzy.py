@@ -45,25 +45,44 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, g) distinct word n-gram shingles — the codegen formulation.
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, g) word n-gram shingle ROWS (non-distinct) — the shuffle-free
+    codegen formulation.
 
     `word_ngrams` builds the shingle ARRAY with higher-order functions,
-    which Spark evaluates interpreted (~8s for 5k docs); posexplode +
-    window leads keeps shingling in compiled operators. Docs shorter than
-    n tokens contribute their whole text as one shingle (pos-0 row;
-    concat_ws skips the NULL leads), matching word_ngrams semantics.
-    """
-    from pyspark.sql.window import Window
+    which Spark evaluates interpreted (~8s for 5k docs). The previous
+    relational form (posexplode + window leads) was codegen'd but the
+    Window(partitionBy id) forced a full shuffle+sort of the token table
+    just to read the next n-1 tokens. Those leads already exist array-side:
+    arrays_zip(toks, slice(toks,2,..), slice(toks,3,..)) pads the shorter
+    slices with NULL, so zipped[i] = (toks[i], toks[i+1], toks[i+2]) —
+    posexplode that and concat_ws (which skips NULLs) builds the identical
+    gram set with ZERO exchanges, and any groupBy(id) downstream now
+    partial-aggregates map-side to one row per doc BEFORE its shuffle
+    (guide §2.3 "aggregate before you shuffle"; equivalence proven by
+    exceptAll in both directions at sf1.0 — 0 differing rows).
 
-    toks = F.split(normalize_text(text_col), " ")
-    tok = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "t"))
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("t", k).over(w) for k in range(1, n)]
-    gram = F.concat_ws(" ", F.col("t"), *leads)
-    full = tok.select("id", "pos", gram.alias("g"), leads[-1].alias("_last"))
-    keep = F.col("_last").isNotNull() | (F.col("pos") == 0)
-    return full.filter(keep).select("id", "g").distinct()
+    Docs shorter than n tokens contribute their whole text as one shingle
+    (pos-0 row; concat_ws skips the NULL leads), matching word_ngrams
+    semantics: keep a row iff the last lead is non-NULL (full-width gram)
+    or pos == 0 (the short-doc whole-text shingle).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("toks"),
+    )
+    zcols = [F.col("toks")] + [
+        F.slice("toks", k + 1, F.size("toks")).alias(f"l{k}") for k in range(1, n)
+    ]
+    z = base.select("id", F.posexplode(F.arrays_zip(*zcols)).alias("pos", "z"))
+    gram = F.concat_ws(" ", F.col("z.toks"), *[F.col(f"z.l{k}") for k in range(1, n)])
+    keep = F.col(f"z.l{n - 1}").isNotNull() | (F.col("pos") == 0)
+    return z.filter(keep).select("id", gram.alias("g"))
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, g) DISTINCT word n-gram shingles (see _gram_rows)."""
+    return _gram_rows(df, id_col, text_col, n).distinct()
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -138,19 +157,20 @@ def minhash_lsh_pairs(
     candidates per bucket are tiny at production thresholds.
     """
     rows_per_band = num_hashes // bands
-    # Codegen formulation end to end: shingle rows (posexplode + window
-    # leads), 64 per-seed min-hashes as groupBy aggregates (map-side
-    # combine). The higher-order-function versions (word_ngrams +
-    # transform/array_min) evaluate interpreted — measured ~4x slower.
+    # Codegen formulation end to end: shingle rows via the shuffle-free
+    # arrays_zip/slice form (_gram_rows — zero exchanges before the
+    # signature groupBy, which partial-aggregates map-side to one row per
+    # doc), 64 per-seed min-hashes as groupBy aggregates. The
+    # higher-order-function versions (word_ngrams + transform/array_min)
+    # evaluate interpreted — measured ~4x slower.
     #
     # Signatures are computed from the RAW (non-distinct) gram rows:
     # min() is duplicate-insensitive, so the signatures are identical to
-    # the distinct-shingle ones, the full-table distinct shuffle
-    # disappears, and the window's hash partitioning by id is reused by
-    # the signature groupBy (no extra exchange). Distinct-shingle
-    # semantics are applied only where they matter — verification — and
-    # only AFTER pruning to candidate ids (a broadcast semi-join), so the
-    # corpus-wide gram table is never re-shuffled for verification.
+    # the distinct-shingle ones and the full-table distinct shuffle
+    # disappears. Distinct-shingle semantics are applied only where they
+    # matter — verification — and only AFTER pruning to candidate ids (a
+    # broadcast semi-join), so the corpus-wide gram table is never
+    # re-shuffled for verification.
     #
     # Two localCheckpoints — banded and cands — and no more: without them
     # every broadcast side re-expands its whole subtree (a plan audit
@@ -161,19 +181,8 @@ def minhash_lsh_pairs(
     # and the size joins. (localCheckpoint, not persist: checkpointed RDDs
     # are reclaimed by the context cleaner; persist() entries leak in the
     # CacheManager until explicit unpersist.)
-    from pyspark.sql.window import Window
 
-    def gram_rows(docs: DataFrame) -> DataFrame:
-        toks = F.split(normalize_text(text_col), " ")
-        tok = docs.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "t"))
-        w = Window.partitionBy("id").orderBy("pos")
-        leads = [F.lead("t", k).over(w) for k in range(1, n)]
-        gram = F.concat_ws(" ", F.col("t"), *leads)
-        full = tok.select("id", "pos", gram.alias("g"), leads[-1].alias("_last"))
-        keep = F.col("_last").isNotNull() | (F.col("pos") == 0)
-        return full.filter(keep).select("id", "g")
-
-    grams = gram_rows(df)
+    grams = _gram_rows(df, id_col, text_col, n)
 
     # expressions as SQL strings: one py4j round trip each (the Column-API
     # construction of 64 aggregates + 16 band structs took seconds of
@@ -220,24 +229,30 @@ def minhash_lsh_pairs(
     cand_docs = df.select(id_col, text_col).join(
         F.broadcast(cand_ids), F.col(id_col) == F.col("_cand_id"), "leftsemi"
     )
-    # set size rides along on every shingle row (window count per id):
-    # carrying it through the intersection join and reading it back with
-    # first() replaces the two post-aggregation size joins — sz is
-    # constant within each (id_a, id_b) group, so first() is deterministic
-    shingle = gram_rows(cand_docs).distinct().withColumn(
-        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
-    )
-    sa = shingle.select(F.col("id").alias("id_a"), "g", F.col("sz").alias("size_a"))
-    sb = shingle.select(F.col("id").alias("id_b"), "g", F.col("sz").alias("size_b"))
+    # The distinct candidate-shingle table is checkpointed ONCE and feeds
+    # three consumers (both intersection-join sides and the set-size
+    # aggregate); un-checkpointed, each consumer re-ran the whole
+    # semi-join + gram + distinct pipeline. Set sizes are a groupBy
+    # (partial-aggregated map-side to one row per doc) broadcast-joined to
+    # the AGGREGATED pair table — the earlier per-row window count
+    # re-shuffled and re-sorted every candidate gram row just to tag a
+    # value that is per-doc constant. `cands` is explicitly broadcast into
+    # the first intersection join: after localCheckpoint its LogicalRDD
+    # has no size statistics (defaultSizeInBytes = +inf), so the planner
+    # would otherwise shuffle the big gram table for a sort-merge join
+    # against a table that is, at production collision rates, tiny.
+    shingle = _gram_rows(cand_docs, id_col, text_col, n).distinct().localCheckpoint(eager=False)
+    sizes = shingle.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingle.select(F.col("id").alias("id_a"), "g")
+    sb = shingle.select(F.col("id").alias("id_b"), "g")
     verified = (
-        cands.join(sa, "id_a")
+        F.broadcast(cands)
+        .join(sa, "id_a")
         .join(sb, ["id_b", "g"])
         .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("size_a").alias("size_a"),
-            F.first("size_b").alias("size_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "sz": "size_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "sz": "size_b"})), "id_b")
     )
     jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
     return verified.select(

@@ -560,3 +560,42 @@ def test_tar_encode_null_payload_empty_member(spark):
     with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
         members = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
     assert members == {"a.txt": b"data", "b.txt": b""}
+
+
+def test_gram_rows_matches_window_lead_formulation(spark):
+    """The shuffle-free arrays_zip/slice shingle formulation must emit the
+    exact multiset of (id, gram) rows the window-lead formulation did —
+    including the short-doc whole-text shingle, empty text, extra
+    whitespace, and n-1/n/n+1 token boundaries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bento_spark.operators.dedupe_fuzzy import _gram_rows
+    from bento_spark.operators.text import normalize_text
+
+    rows = [
+        (0, ""),
+        (1, "one"),
+        (2, "two tokens"),
+        (3, "three word gram"),
+        (4, "four words in line"),
+        (5, "  padded   with \t odd   whitespace  "),
+        (6, "repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def gram_rows_window(d, n=3):
+        toks = F.split(normalize_text("text"), " ")
+        tok = d.select(F.col("doc_id").alias("id"), F.posexplode(toks).alias("pos", "t"))
+        w = Window.partitionBy("id").orderBy("pos")
+        leads = [F.lead("t", k).over(w) for k in range(1, n)]
+        gram = F.concat_ws(" ", F.col("t"), *leads)
+        full = tok.select("id", "pos", gram.alias("g"), leads[-1].alias("_last"))
+        keep = F.col("_last").isNotNull() | (F.col("pos") == 0)
+        return full.filter(keep).select("id", "g")
+
+    for n in (2, 3, 4):
+        new = _gram_rows(df, "doc_id", "text", n)
+        old = gram_rows_window(df, n)
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
