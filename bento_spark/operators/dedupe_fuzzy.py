@@ -111,19 +111,22 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|). Quadratic in duplicates-per-shingle — the
     small-scale truth; use minhash_lsh_pairs at scale.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-    ex = sh.join(sizes, "id")
-    a = ex.alias("a")
-    b = ex.alias("b")
+    # One checkpoint: the distinct shingle table feeds both self-join
+    # sides and the set-size aggregate. Set sizes (one row per doc,
+    # partial-aggregated map-side) attach to the AGGREGATED pair table by
+    # broadcast join; the earlier `sh.join(sizes, "id")` pre-join
+    # re-shuffled every gram row by id on BOTH self-join sides just to
+    # carry a per-doc constant through the intersection count.
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("a.set_size").alias("size_a"),
-            F.first("b.set_size").alias("size_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "sz": "size_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "sz": "size_b"})), "id_b")
     )
     jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
     return inter.select(
