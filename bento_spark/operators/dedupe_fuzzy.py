@@ -463,7 +463,16 @@ def simhash_near_pairs(
     )
     for j in range(n_bands - 1):
         cond = cond & ((F.col("a.band") < j + 1) | (chunk_expr(j, "a") != chunk_expr(j, "b")))
-    return a.join(b, cond).select(
+    # Deliberate join strategy (guide §3.1): both sides are the same
+    # checkpointed chunk table (no stats -> the planner defaulted to
+    # sort-merge; broadcast can never apply to a corpus-sized self-join).
+    # A shuffled-hash build skips BOTH per-partition sorts of the chunk
+    # rows — measured 2.5s -> 1.9s at 50k docs, consistent across
+    # interleaved rounds. Build side = rows per (band, chunk) hash
+    # partition, ~60 bytes each; a corpus whose docs concentrate into one
+    # chunk bucket has quadratic join OUTPUT regardless of strategy, so
+    # the hash build is never the binding constraint.
+    return a.hint("shuffle_hash").join(b, cond).select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming")
     )
 
