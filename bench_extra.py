@@ -111,7 +111,7 @@ def main():
 
         timed(
             spark,
-            "minhash: shingle_table (window+distinct)",
+            "minhash: shingle_table (zip-slice+distinct)",
             lambda: dedupe_fuzzy.shingle_table(docs(), "doc_id", "text", 3),
         )
         sig_cols = [F.min(F.xxhash64("g", F.lit(s))).alias(f"mh{s}") for s in range(64)]
